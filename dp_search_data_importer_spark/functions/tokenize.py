@@ -1,0 +1,126 @@
+"""Tokenizers (SURVEY.md §2 Table B1).
+
+The reference delegates analysis to Elasticsearch's analyzer chain (char
+filter → tokenizer → token filters); the only evidence in-repo is the bulk
+POST to the ``ons`` index (``/root/reference/handler/handler.go:95``). We
+implement two analyzers natively:
+
+- ``tokenize_expr``       — pure-Catalyst split/lower/filter. Whole-stage
+                            codegen'd, zero Python. Semantics chosen to be
+                            expressible 1:1 in ANSI SQL so DuckDB can act as
+                            the correctness oracle.
+- ``tokenize_code_expr``  — code-aware analyzer (north_star): splits
+                            identifiers (camelCase, snake_case, dotted paths),
+                            lowercases. Still pure Catalyst — regexp_replace
+                            inserts boundaries, then split. No UDF needed.
+- ``code_term_freqs``     — Arrow-vectorized map-side (term, tf) extraction:
+                            tokenize + count *inside* the scan stage so the
+                            postings build shuffles pre-aggregated (term, tf)
+                            pairs instead of raw token streams. This is the
+                            hot path of the index build: one Counter per doc
+                            over an Arrow batch, never per-row Python calls
+                            into Spark.
+
+Scale note: the Catalyst paths keep the whole tokenize→explode→agg pipeline
+inside WholeStageCodegen; the Arrow path trades that for ~#tokens× less
+shuffle volume (pre-aggregated tfs) — measured in bench.py.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Token boundary: any run of non-alphanumerics. Mirrors a simplified ES
+# `standard`-ish tokenizer over ascii corpora and is expressible identically
+# in DuckDB (`regexp_split_to_array(lower(x), '[^a-z0-9]+')`).
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+
+# camelCase boundaries: lower-or-digit→Upper, and acronym→Word (HTTPServer).
+_CAMEL_RE = "([a-z0-9])([A-Z])"
+_ACRONYM_RE = "([A-Z]+)([A-Z][a-z])"
+
+_PY_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+_PY_CAMEL = re.compile(_CAMEL_RE)
+_PY_ACRONYM = re.compile(_ACRONYM_RE)
+
+
+def tokenize_expr(col: Column | str) -> Column:
+    """array<string> of lowercase tokens; empty strings removed.
+
+    Pure Catalyst: lower → split → filter. Oracle-parity with DuckDB's
+    ``unnest(regexp_split_to_array(lower(x),'[^a-z0-9]+'))`` + non-empty filter.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), TOKEN_SPLIT_REGEX)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def tokenize_code_expr(col: Column | str) -> Column:
+    """Code-aware tokens: camelCase/snake_case/dotted identifiers split into
+    their parts, lowercased. ``getUserName`` → [get, user, name];
+    ``pkg.mod.Fn`` → [pkg, mod, fn]; ``snake_case`` → [snake, case].
+
+    Implemented as regexp_replace (insert boundary) + the simple tokenizer —
+    stays fully inside Catalyst/codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    with_bounds = F.regexp_replace(
+        F.regexp_replace(c, _ACRONYM_RE, r"$1 $2"), _CAMEL_RE, r"$1 $2"
+    )
+    return tokenize_expr(with_bounds)
+
+
+def _simple_tokens_py(text: str) -> list[str]:
+    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+
+
+def _code_tokens_py(text: str) -> list[str]:
+    return _simple_tokens_py(_PY_CAMEL.sub(r"\1 \2", _PY_ACRONYM.sub(r"\1 \2", text)))
+
+
+def _term_freq_batches(
+    batches: Iterator[pd.DataFrame], *, code_aware: bool, id_col: str, text_col: str
+) -> Iterator[pd.DataFrame]:
+    tok = _code_tokens_py if code_aware else _simple_tokens_py
+    for pdf in batches:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        for doc_id, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+            toks = tok(text or "")
+            counts = Counter(toks)
+            n = len(counts)
+            ids.extend([doc_id] * n)
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+            dls.extend([len(toks)] * n)
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "term": terms,
+             "tf": pd.Series(tfs, dtype="int64"), "dl": pd.Series(dls, dtype="int64")}
+        )
+
+
+TERM_FREQ_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+
+def simple_term_freqs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, term, tf, dl) rows, tf pre-aggregated map-side in Arrow batches."""
+    return df.select(id_col, text_col).mapInPandas(
+        lambda it: _term_freq_batches(it, code_aware=False, id_col=id_col, text_col=text_col),
+        schema=TERM_FREQ_SCHEMA,
+    )
+
+
+def code_term_freqs(df, id_col: str = "doc_id", text_col: str = "content"):
+    """Code-aware variant of :func:`simple_term_freqs` (north_star tokenizer)."""
+    return df.select(id_col, text_col).mapInPandas(
+        lambda it: _term_freq_batches(it, code_aware=True, id_col=id_col, text_col=text_col),
+        schema=TERM_FREQ_SCHEMA,
+    )

@@ -1,0 +1,132 @@
+"""Inverted-index statistics + uncompressed postings (SURVEY.md §2 B2).
+
+The reference delegates index construction entirely to Elasticsearch (the
+single data-plane call is the bulk upsert at
+``/root/reference/handler/handler.go:95``); this module is the Spark-native
+replacement.
+
+Dataflow (designed for 10^12 docs):
+
+  docs --mapInPandas (Arrow)--> (doc_id, term, tf, dl)      # map-side tf: the
+                                                            # shuffle carries
+                                                            # pre-aggregated
+                                                            # pairs, not tokens
+       --groupBy(term) [salted two-phase]--> df per term    # skew-safe
+       --repartitionByRange(term, doc_id)--> sorted runs    # hot terms span
+                                                            # many partitions
+                                                            # by doc_id range:
+                                                            # range partitioning
+                                                            # is the structural
+                                                            # skew fix here
+
+Doc lengths ride inside the (term, tf, dl) tuples so BM25 scoring never joins
+back to the docs table (no second wide shuffle at query time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.functions.tokenize import (
+    code_term_freqs,
+    simple_term_freqs,
+)
+
+
+def term_freqs(docs: DataFrame, *, code_aware: bool, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl) — tf/dl computed map-side in Arrow batches."""
+    fn = code_term_freqs if code_aware else simple_term_freqs
+    return fn(docs, id_col=id_col, text_col=text_col)
+
+
+def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst twin of :func:`term_freqs` (simple tokenizer): explode +
+    two aggs, fully whole-stage-codegen'd. Used as the oracle-parity path —
+    DuckDB can express it 1:1 — and property-tested equal to the Arrow path.
+    """
+    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("toks")
+    )
+    exploded = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term")
+    )
+    return (
+        exploded.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
+    )
+
+
+def corpus_stats(tf: DataFrame) -> DataFrame:
+    """Single-row (n_docs, avgdl). One cheap agg over distinct docs."""
+    per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def doc_freqs(tf: DataFrame, cfg: EngineConfig | None = None,
+              salted: bool = False) -> DataFrame:
+    """(term, df). With ``salted=True``, a two-level aggregation: partial
+    counts per (term, salt) then a final sum — bounds any single reducer's
+    input for heavy-hitter terms ('import' appears in ~every doc at 10^12
+    scale). Spark's hash aggregate already does map-side partials, so salting
+    mainly guards the *final* reducer against a single hot key; AQE skew
+    handling complements it. Property-tested: salted ≡ unsalted.
+    """
+    cfg = cfg or EngineConfig()
+    if not salted:
+        return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)).alias("salt")
+    partial = (
+        tf.select("term", salt)
+        .groupBy("term", "salt")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+    )
+    return partial.groupBy("term").agg(F.sum("pdf").cast("long").alias("df"))
+
+
+def hot_terms(df_table: DataFrame, n_docs: int, cfg: EngineConfig | None = None) -> list[str]:
+    """Measured heavy hitters (df > fraction·N) ∪ static seed list.
+
+    Driven by *measured* df, not just the static stoplist (SURVEY.md §7
+    hard part b). The result is tiny (≤ hundreds) — safe to collect and
+    broadcast into the salting decision.
+    """
+    cfg = cfg or EngineConfig()
+    threshold = max(1, int(n_docs * cfg.hot_term_df_fraction))
+    measured = [
+        r["term"]
+        for r in df_table.filter(F.col("df") > threshold).select("term").collect()
+    ]
+    return sorted(set(measured) | set(cfg.static_hot_terms))
+
+
+def sorted_postings(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(term, doc_id, tf, dl) range-partitioned by (term, doc_id) and sorted
+    within partitions — the physical layout the block compressor consumes.
+
+    Range partitioning on the *pair* is the skew answer for posting-list
+    construction: a term with 10^10 postings simply occupies many contiguous
+    partitions, each holding a doc_id-sorted run that compresses into
+    independent blocks. No collect_list of unbounded size anywhere.
+    """
+    p = tf.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), "term", "doc_id"
+    )
+    return p.sortWithinPartitions("term", "doc_id")
+
+
+def bucket_expr(term: Column | str, n_buckets: int) -> Column:
+    """Stable term → bucket assignment used to partition index shards on disk
+    (query-time partition pruning: scan only buckets of the query's terms)."""
+    t = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.xxhash64(t), F.lit(n_buckets)).cast("int")

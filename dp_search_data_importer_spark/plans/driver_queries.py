@@ -1,0 +1,325 @@
+"""Driver-contract queries + DuckDB oracles (the correctness gate).
+
+Every operator claimed in SURVEY.md §2 gets a ``QUERIES`` entry (PySpark) and,
+where SQL-expressible, an ``ORACLES`` entry (ANSI SQL for DuckDB over the same
+parquet views). Column names and numeric determinism rules:
+
+- every computed column is aliased identically on both sides;
+- count-like values cast to BIGINT on both sides (DuckDB sum(int)→HUGEINT);
+- sums of doubles go through DECIMAL(18,6) (exact, order-independent) and
+  back to DOUBLE, so Spark's partial-agg order can't change the answer;
+- scores (float sums whose addends are already order-sensitive) are rounded
+  to 4 digits *before* any ranking, so ranks are stable across engines.
+
+The flagship is ``bm25_topk`` — the end-to-end slice from SURVEY.md §7 step 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+from dp_search_data_importer_spark.operators import postings as postings_ops
+from dp_search_data_importer_spark.sources.tables import load_table
+
+CFG = EngineConfig()
+
+# Reference query set (FIXTURES.md §2 shape): hot terms, rare terms, repeated
+# terms, stopword-ish single hot term, and an unseen-term edge case.
+QUERY_SET: list[tuple[int, str]] = [
+    (1, "hash join merge"),
+    (2, "window agg sort"),
+    (3, "spark stream batch"),
+    (4, "slow query scan"),
+    (5, "the"),
+    (6, "zzzunseen"),
+    (7, "sort sort sort"),
+    (8, "customer order line value"),
+]
+K = 10
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+
+_SQL_TOKS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+_SQL_TOKS_NONEMPTY = f"SELECT doc_id, term FROM ({_SQL_TOKS}) WHERE term <> ''"
+_SQL_TF = (
+    f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_SQL_TOKS_NONEMPTY}) "
+    "GROUP BY doc_id, term"
+)
+_SQL_DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_SQL_TOKS_NONEMPTY}) GROUP BY doc_id"
+
+_SQL_QUERY_VALUES = ", ".join(f"({qid}, '{qt}')" for qid, qt in QUERY_SET)
+
+
+def _docs_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+
+
+def _query_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "query_id long, query_text string")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_doc_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B2 kernel: per-(doc, term) tf with doc length (map-side tf)."""
+    return _docs_tf(spark, sf_dir).select("doc_id", "term", "tf", "dl")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count + distinct terms (analyzer parity check)."""
+    tf = _docs_tf(spark, sf_dir)
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: document frequency per term (salted two-phase agg)."""
+    tf = _docs_tf(spark, sf_dir)
+    return postings_ops.doc_freqs(tf, CFG, salted=True)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: corpus N + avgdl (exact: integer sums)."""
+    tf = _docs_tf(spark, sf_dir)
+    return postings_ops.corpus_stats(tf)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (B4+B5): exact BM25 top-10 for the reference query set."""
+    tf = _docs_tf(spark, sf_dir)
+    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K)
+
+
+def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+keying on the documents table: non-empty-key filter + stable id +
+    content hash (sha256 invariant, input_hint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("source") != ""))
+        .select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+            F.length("text").cast("long").alias("content_len"),
+        )
+    )
+
+
+# --- general relational coverage (the reference has none of these natively —
+# SURVEY.md §2 "categories with NO reference implementation" — but a complete
+# engine needs them; they also exercise Catalyst joins/windows/aggs) ---------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: dims broadcast, fact shuffles once on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-n with deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rn").cast("long").alias("rnk"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no large order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time hourly rollup — the batch twin of the streaming windowed agg
+    (streaming/ingest_stream.py); reference's micro-batch A2 analogue."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_term_freqs": q_doc_term_freqs,
+    "doc_stats": q_doc_stats,
+    "term_df": q_term_df,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk": q_bm25_topk,
+    "ingest_normalize": q_ingest_normalize,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "customers_without_orders": q_customers_without_orders,
+    "events_hourly": q_events_hourly,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_BM25_SQL = f"""
+WITH q(query_id, query_text) AS (VALUES {_SQL_QUERY_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+  FROM q
+),
+qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+tf AS ({_SQL_TF}),
+dl AS ({_SQL_DL}),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt2.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM qt2
+  JOIN dfs USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt2.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= {K}
+"""
+
+ORACLES: dict[str, str] = {
+    "doc_term_freqs": (
+        f"SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM ({_SQL_TF}) tf "
+        f"JOIN ({_SQL_DL}) dl ON tf.doc_id = dl.doc_id"
+    ),
+    "doc_stats": (
+        f"SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS n_tokens "
+        f"FROM ({_SQL_TF}) GROUP BY doc_id"
+    ),
+    "term_df": (
+        f"SELECT term, count(*)::BIGINT AS df FROM ({_SQL_TF}) GROUP BY term"
+    ),
+    "corpus_stats": (
+        f"SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ({_SQL_DL})"
+    ),
+    "bm25_topk": _BM25_SQL,
+    "ingest_normalize": (
+        "SELECT doc_id, sha256(text) AS content_sha256, "
+        "length(text)::BIGINT AS content_len "
+        "FROM documents WHERE text IS NOT NULL AND source <> ''"
+    ),
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT r_name, n_name, count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "top_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                 )::BIGINT AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+        )
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               count(*)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    """,
+}

@@ -1,0 +1,59 @@
+"""SparkSession builder.
+
+Local-mode defaults tuned for the sandbox (local[N] on a 32-core, 128 GiB
+host); on a real cluster the same code runs under ``spark-submit --py-files``
+with these conf keys supplied externally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "dp-search-data-importer-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE on: runtime coalescing + skew-join splitting complement the engine's
+      explicit salting/sharding at scale.
+    - Arrow on: every Python touchpoint in this engine is a vectorized
+      pandas/Arrow UDF (input_hint: "no per-row Python").
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default (local mode: tiny partitions
+        # just add scheduling overhead; cluster mode: set via spark-submit).
+        try:
+            n = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+        except ValueError:
+            n = os.cpu_count() or 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

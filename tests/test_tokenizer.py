@@ -1,0 +1,84 @@
+"""Tokenizer golden cases + Arrow/Catalyst parity (SURVEY.md §5 test plan).
+
+Mirrors the reference's operator-level golden testing style
+(``/root/reference/transform/transform_test.go:11-101``: full fixture → exact
+expected output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.functions.tokenize import (
+    _code_tokens_py,
+    _simple_tokens_py,
+    simple_term_freqs,
+    tokenize_code_expr,
+    tokenize_expr,
+)
+from dp_search_data_importer_spark.operators.postings import term_freqs_sql
+
+GOLDEN_SIMPLE = [
+    ("Hello, World!", ["hello", "world"]),
+    ("", []),
+    ("  --  ", []),
+    ("a1 b2  c3", ["a1", "b2", "c3"]),
+    ("UPPER lower MiXeD", ["upper", "lower", "mixed"]),
+]
+
+GOLDEN_CODE = [
+    ("getUserName", ["get", "user", "name"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("pkg.mod.Fn", ["pkg", "mod", "fn"]),
+    ("HTTPServer2x", ["http", "server2x"]),
+    ("def parseJSON(x): return x", ["def", "parse", "json", "x", "return", "x"]),
+]
+
+
+def _run_expr(spark, expr_fn, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r[0] for r in df.select(expr_fn("text")).collect()]
+
+
+def test_simple_tokenizer_golden(spark):
+    got = _run_expr(spark, tokenize_expr, [t for t, _ in GOLDEN_SIMPLE])
+    assert got == [e for _, e in GOLDEN_SIMPLE]
+
+
+def test_code_tokenizer_golden(spark):
+    got = _run_expr(spark, tokenize_code_expr, [t for t, _ in GOLDEN_CODE])
+    assert got == [e for _, e in GOLDEN_CODE]
+
+
+def test_python_twin_matches_catalyst(spark):
+    """The Arrow UDF's Python tokenizer must agree with the Catalyst exprs."""
+    texts = [t for t, _ in GOLDEN_SIMPLE + GOLDEN_CODE] + [
+        "embeddedCamel_and_snake.dotted Path99",
+    ]
+    assert _run_expr(spark, tokenize_expr, texts) == [
+        _simple_tokens_py(t) for t in texts
+    ]
+    assert _run_expr(spark, tokenize_code_expr, texts) == [
+        _code_tokens_py(t) for t in texts
+    ]
+
+
+def test_arrow_term_freqs_equals_sql_term_freqs(spark, sf_dir):
+    """Map-side Arrow tf path ≡ pure-Catalyst explode/groupBy path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = simple_term_freqs(docs, id_col="doc_id", text_col="text")
+    b = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    sym_diff = a.exceptAll(b).union(b.exceptAll(a))
+    assert sym_diff.count() == 0
+    assert a.count() > 0
+
+
+def test_tokenizer_no_rowwise_udf():
+    """input_hint: no per-row Python UDFs on the data path — the module must
+    never call pyspark.sql.functions.udf."""
+    import inspect
+
+    import dp_search_data_importer_spark.functions.tokenize as tok
+
+    src = inspect.getsource(tok)
+    assert "F.udf(" not in src and "functions.udf(" not in src
