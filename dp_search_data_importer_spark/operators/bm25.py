@@ -45,11 +45,17 @@ def bm25_term_score(tf: Column, dl: Column, df: Column, n_docs: Column,
     return idf * tf_d * F.lit(cfg.k1 + 1.0) / norm
 
 
-def query_terms(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
-    """(query_id, term) — distinct query terms via the same analyzer as the
-    index (analyzer symmetry, as ES enforces between index and search)."""
+def query_terms(queries: DataFrame, text_col: str = "query_text",
+                code_aware: bool = False) -> DataFrame:
+    """(query_id, term) — distinct query terms via the SAME analyzer as the
+    index (analyzer symmetry, as ES enforces between index and search time:
+    a code-aware index must code-tokenize queries or camelCase queries
+    silently miss)."""
+    from dp_search_data_importer_spark.functions.tokenize import tokenize_code_expr
+
+    tok = tokenize_code_expr if code_aware else tokenize_expr
     return (
-        queries.select("query_id", F.explode(tokenize_expr(text_col)).alias("term"))
+        queries.select("query_id", F.explode(tok(text_col)).alias("term"))
         .distinct()
     )
 
@@ -100,6 +106,7 @@ def bm25_topk(
     queries: DataFrame,
     cfg: EngineConfig | None = None,
     k: int | None = None,
+    code_aware: bool = False,
 ) -> DataFrame:
     """End-to-end exact path: tf table + (query_id, query_text) → top-k.
 
@@ -112,7 +119,7 @@ def bm25_topk(
     )
 
     cfg = cfg or EngineConfig()
-    qt = query_terms(queries)
+    qt = query_terms(queries, code_aware=code_aware)
     dfs = doc_freqs(tf)
     stats = corpus_stats(tf)
     scores = bm25_scores(tf, qt, dfs, stats, cfg)

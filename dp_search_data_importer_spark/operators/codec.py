@@ -1,0 +1,94 @@
+"""Delta-gap + varint posting-list codec (SURVEY.md §2 B3) — numpy-vectorized.
+
+The reference stores postings inside Elasticsearch/Lucene (which uses FOR/
+PackedInts internally); our on-disk format is the classic delta-gap + LEB128
+varint layout with fixed-size blocks carrying block-max metadata for WAND
+(Ding & Suel, SIGIR 2011).
+
+All functions are pure numpy over whole arrays — they run inside Arrow-batched
+pandas UDFs, never per-row Python (input_hint). Golden byte vectors in
+tests/test_codec.py (FIXTURES.md §5: [3, 7, 260] → gaps [3, 4, 253] →
+``03 04 FD 01``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64 bits / 7
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: builds an (n, 10) byte matrix
+    and masks off unused tail bytes — no Python loop over values."""
+    arr = np.asarray(values, dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return b""
+    out = np.zeros((n, _MAX_VARINT_BYTES), dtype=np.uint8)
+    nbytes = np.ones(n, dtype=np.int64)
+    remaining = arr.copy()
+    for i in range(_MAX_VARINT_BYTES):
+        out[:, i] |= (remaining & np.uint64(0x7F)).astype(np.uint8)
+        remaining >>= np.uint64(7)
+        more = remaining > 0
+        if not more.any():
+            break
+        out[more, i] |= 0x80
+        nbytes[more] = i + 2
+    mask = np.arange(_MAX_VARINT_BYTES) < nbytes[:, None]
+    return out[mask].tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to uint64. Vectorized via searchsorted: each
+    byte is assigned to its value group by the positions of terminator bytes
+    (high bit clear)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(len(b))
+    group = np.searchsorted(ends, idx)
+    shift = ((idx - starts[group]) * 7).astype(np.uint64)
+    contrib = (b & np.uint64(0x7F)).astype(np.uint64) << shift
+    values = np.zeros(len(ends), dtype=np.uint64)
+    np.bitwise_or.at(values, group, contrib)
+    return values
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Sorted int64 doc_ids → uint64 gaps. First gap is vs 0 after biasing:
+    doc_ids may be negative (xxhash64), so we bias by int64-min to map the
+    full range onto uint64 order-preservingly."""
+    arr = np.asarray(doc_ids, dtype=np.int64)
+    biased = arr.astype(np.uint64) + np.uint64(1 << 63)
+    gaps = np.empty(len(biased), dtype=np.uint64)
+    if len(biased):
+        gaps[0] = biased[0]
+        np.subtract(biased[1:], biased[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    biased = np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+    return (biased - np.uint64(1 << 63)).astype(np.int64)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+                 ) -> tuple[bytes, bytes, bytes]:
+    """One posting block (≤ BLOCK_SIZE sorted doc_ids) → (gap_bytes, tf_bytes,
+    dl_bytes). tf/dl are positive; encoded as (v-1) to shave a byte at v≤128."""
+    gaps = delta_encode(doc_ids)
+    t = np.asarray(tfs, dtype=np.uint64) - np.uint64(1)
+    d = np.asarray(dls, dtype=np.uint64) - np.uint64(1)
+    return varint_encode(gaps), varint_encode(t), varint_encode(d)
+
+
+def decode_block(gap_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varint_decode(gap_bytes))
+    tfs = (varint_decode(tf_bytes) + np.uint64(1)).astype(np.int64)
+    dls = (varint_decode(dl_bytes) + np.uint64(1)).astype(np.int64)
+    return doc_ids, tfs, dls

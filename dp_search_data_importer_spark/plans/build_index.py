@@ -1,0 +1,247 @@
+"""End-to-end index build (SURVEY.md §3.1 Spark mapping, §7 steps 2-4, 6).
+
+Replaces the reference's entire data path — Kafka batch → Avro decode →
+filter → transform → ES bulk upsert (``/root/reference/handler/handler.go:36-129``)
+— with a Spark-native build whose *output* is the inverted index ES would have
+built internally:
+
+  repo_files ──normalize (A3-A6: key filter, doc_id, sha256)──▶ docs
+    docs ──code tokenizer, map-side (term, tf, dl) [Arrow]──▶ tf pairs
+      tf ──salted agg──▶ term_df dictionary;  docs ──agg──▶ N, avgdl
+      tf ──repartitionByRange(shard, term, doc_id) + sortWithinPartitions──▶
+         sorted runs ──mapInPandas block compressor (delta+varint, block-max
+         metadata)──▶ postings blocks, parquet dir-partitioned by shard
+      + per-shard manifest (lineage/metrics, resume)
+
+Scale design (the part that must survive 10^12 files / 1000 executors):
+
+- the ONLY wide shuffle over postings-sized data is the single
+  repartitionByRange — tf pairs are already pre-aggregated map-side, so
+  shuffle volume is O(distinct (doc,term)) not O(tokens);
+- range partitioning on (shard, term, doc_id) is the structural skew answer:
+  a hot term ('import' ≈ every doc) simply spans many contiguous partitions,
+  each emitting independent bounded blocks — no reducer ever materializes a
+  full hot-term posting list (no collect_list anywhere);
+- the salted two-phase df aggregation bounds the dictionary reducers;
+- shards (doc-space hash partitions, Elasticsearch-style) give query-time
+  fan-out/merge parallelism and are the unit of checkpoint/resume;
+- doc lengths are embedded in the blocks, so query-time scoring never joins
+  the docs table.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.checkpoint import (
+    append_manifest,
+    completed_shards,
+    read_stats_json,
+    shard_metrics,
+    write_stats_json,
+)
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.functions.tokenize import (
+    code_term_freqs,
+    simple_term_freqs,
+)
+from dp_search_data_importer_spark.operators.codec import encode_block
+from dp_search_data_importer_spark.operators.ingest import normalize_repo_files
+from dp_search_data_importer_spark.operators.postings import doc_freqs
+
+BLOCKS_SCHEMA = (
+    "shard int, term string, block_id long, first_doc_id long, n_docs long, "
+    "doc_gaps binary, tfs binary, dls binary, max_tf_norm double"
+)
+
+
+def _compress_runs(
+    batches: Iterator[pd.DataFrame], block_size: int, k1: float, b: float,
+    avgdl: float,
+) -> Iterator[pd.DataFrame]:
+    """Consume doc_id-sorted (shard, term, doc_id, tf, dl) runs; emit
+    compressed blocks. Runs may span Arrow batches within a partition, so a
+    partial tail is carried over until the (shard, term) key changes.
+
+    ``max_tf_norm`` = max over the block of tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    — the idf-independent part of the BM25 bound. Query-time multiplies by
+    idf(term) to get the block-max WAND upper bound, so the build needs no
+    join against the term dictionary.
+    """
+    carry: pd.DataFrame | None = None
+    out_cols = ("shard", "term", "block_id", "first_doc_id", "n_docs",
+                "doc_gaps", "tfs", "dls", "max_tf_norm")
+
+    def flush(group: pd.DataFrame, *, final: bool) -> tuple[list, pd.DataFrame | None]:
+        """Emit full blocks; keep the (< block_size) tail unless final."""
+        rows = []
+        n = len(group)
+        n_full_end = n if final else (n // block_size) * block_size
+        doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
+        tfs = group["tf"].to_numpy(dtype=np.int64)
+        dls = group["dl"].to_numpy(dtype=np.int64)
+        shard = int(group["shard"].iloc[0])
+        term = group["term"].iloc[0]
+        for start in range(0, n_full_end, block_size):
+            end = min(start + block_size, n_full_end)
+            ids_b, tfs_b, dls_b = doc_ids[start:end], tfs[start:end], dls[start:end]
+            g, t, d = encode_block(ids_b, tfs_b, dls_b)
+            tfd = tfs_b.astype(np.float64)
+            norm = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dls_b / avgdl))
+            rows.append(
+                (shard, term, start // block_size, int(ids_b[0]), end - start,
+                 g, t, d, float(norm.max()))
+            )
+        tail = None if final or n_full_end == n else group.iloc[n_full_end:]
+        return rows, tail
+
+    def to_pdf(rows: list) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=out_cols)
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        rows: list = []
+        # contiguous (shard, term) runs within the batch
+        keys = pdf["shard"].astype(str) + "\x00" + pdf["term"]
+        change = np.flatnonzero(keys.to_numpy()[1:] != keys.to_numpy()[:-1]) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        for i in range(len(bounds) - 1):
+            grp = pdf.iloc[bounds[i]:bounds[i + 1]]
+            is_last_run = i == len(bounds) - 2
+            got, tail = flush(grp, final=not is_last_run)
+            rows.extend(got)
+            if is_last_run:
+                carry = tail
+        if rows:
+            yield to_pdf(rows)
+    if carry is not None and len(carry):
+        got, _ = flush(carry, final=True)
+        yield to_pdf(got)
+
+
+def tokenize_docs(docs: DataFrame, *, code_aware: bool = True,
+                  text_col: str = "content") -> DataFrame:
+    fn = code_term_freqs if code_aware else simple_term_freqs
+    return fn(docs, id_col="doc_id", text_col=text_col)
+
+
+def build_index(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    *,
+    code_aware: bool = True,
+    text_col: str = "content",
+    waves: int = 2,
+    resume: bool = True,
+    already_normalized: bool = False,
+) -> dict:
+    """Build (or resume) the sharded compressed index under ``out_dir``.
+
+    Layout:
+      out_dir/docs/        doc map (doc_id, repo, path, commit, lang,
+                           content_sha256, shard) — parquet by shard
+      out_dir/term_df/     global term dictionary (term, df)
+      out_dir/postings/    block rows (BLOCKS_SCHEMA) — parquet by shard
+      out_dir/_manifest/   per-shard lineage + metrics (checkpoint.py)
+      out_dir/stats.json   n_docs, avgdl, config echo
+
+    Returns the stats dict.
+    """
+    cfg = cfg or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    docs = repo_files if already_normalized else normalize_repo_files(repo_files)
+    docs = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
+    )
+
+    done = completed_shards(spark, out_dir) if resume else set()
+    stats_path = os.path.join(out_dir, "stats.json")
+    if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
+        return read_stats_json(out_dir)
+
+    # Cache the tf pairs: reused by the stats pass and every wave. At cluster
+    # scale this would be a persisted intermediate table instead of memory.
+    # shard is a pure function of doc_id → recomputed post-tokenize, no join.
+    tf = tokenize_docs(docs, code_aware=code_aware, text_col=text_col).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
+    )
+    tf.persist()
+    try:
+        if not (resume and os.path.exists(stats_path)):
+            # ---- stats pass (cheap: one agg over docs, one salted agg over terms)
+            per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            row = per_doc.agg(
+                F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            stats = {
+                "n_docs": int(row["n_docs"]),
+                "avgdl": float(row["avgdl"] or 0.0),
+                "k1": cfg.k1, "b": cfg.b,
+                "block_size": cfg.block_size, "n_shards": cfg.n_shards,
+                "code_aware": code_aware,
+            }
+            doc_freqs(tf, cfg, salted=True).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "term_df")
+            )
+            (docs.drop(text_col, "content", "dl")
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(out_dir, "docs")))
+            write_stats_json(out_dir, stats)
+        else:
+            stats = read_stats_json(out_dir)
+
+        # ---- postings waves (unit of resume)
+        shards_per_wave = max(1, -(-cfg.n_shards // waves))
+        for w in range(waves):
+            wave_shards = [
+                s for s in range(w * shards_per_wave,
+                                 min((w + 1) * shards_per_wave, cfg.n_shards))
+                if s not in done
+            ]
+            if not wave_shards:
+                continue
+            subset = tf.filter(F.col("shard").isin(wave_shards))
+            sorted_runs = subset.repartitionByRange(
+                "shard", "term", "doc_id"
+            ).sortWithinPartitions("shard", "term", "doc_id")
+            blocks = sorted_runs.mapInPandas(
+                lambda it: _compress_runs(
+                    it, cfg.block_size, cfg.k1, cfg.b, stats["avgdl"]
+                ),
+                schema=BLOCKS_SCHEMA,
+            )
+            (blocks.write.mode("append").partitionBy("shard")
+             .parquet(os.path.join(out_dir, "postings")))
+            # manifest from read-back: certifies disk state (checkpoint.py)
+            written = spark.read.parquet(
+                os.path.join(out_dir, "postings")
+            ).filter(F.col("shard").isin(wave_shards))
+            docs_per_shard = (
+                docs.filter(F.col("shard").isin(wave_shards))
+                .groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs_shard"))
+            )
+            m = shard_metrics(written).join(docs_per_shard, "shard", "left")
+            append_manifest(
+                m.select(
+                    "shard",
+                    F.coalesce("n_docs_shard", F.lit(0)).cast("long").alias("n_docs"),
+                    "n_postings", "n_blocks", "bytes_compressed",
+                    "content_fingerprint", "n_terms",
+                ),
+                out_dir,
+            )
+        return stats
+    finally:
+        tf.unpersist()

@@ -1,0 +1,141 @@
+"""Query engine over the built index (SURVEY.md §3.1 query lifecycle).
+
+Two paths, rank-identical by construction and by test:
+
+- **exact** — decompress candidate blocks → Catalyst BM25 expressions →
+  windowed top-k. The permanent correctness oracle (SURVEY.md §7 step 5).
+- **wand**  — block-max WAND inside mapInPandas per shard → local top-k →
+  global merge. The fast path: decodes only the blocks it cannot skip.
+
+Both share the same physical reading pattern, which is what scales:
+parquet scan of ``postings/`` with ``term IN (query terms)`` pushed down
+(PushedFilters; blocks are term-sorted within files so row-group min/max
+stats prune), shard-dir layout prunes nothing for queries (all shards hold
+all terms) but gives the fan-out axis; ``docs/`` is touched only to resolve
+the final ≤ k·|queries| winners back to (repo, path, commit) — never joined
+against postings-sized data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.checkpoint import read_stats_json
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.operators.bm25 import (
+    bm25_scores,
+    query_terms,
+    topk,
+)
+from dp_search_data_importer_spark.operators.wand import wand_partition
+
+
+def load_blocks(spark: SparkSession, out_dir: str,
+                terms: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    if terms is not None:
+        df = df.filter(F.col("term").isin(terms))
+    return df
+
+
+def decompress_blocks(blocks: DataFrame) -> DataFrame:
+    """(shard, term, blocks…) → (doc_id, term, tf, dl) rows via the numpy
+    codec in Arrow batches. Used by the exact path and by index-integrity
+    tests (round-trip vs the original tf pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from dp_search_data_importer_spark.operators.codec import decode_block
+
+    def gen(batches):
+        for pdf in batches:
+            ids_all, terms_all, tfs_all, dls_all = [], [], [], []
+            for term, g, t, d in zip(pdf["term"], pdf["doc_gaps"],
+                                     pdf["tfs"], pdf["dls"]):
+                ids, tfs, dls = decode_block(g, t, d)
+                ids_all.append(ids)
+                terms_all.extend([term] * len(ids))
+                tfs_all.append(tfs)
+                dls_all.append(dls)
+            if not ids_all:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids_all),
+                 "term": terms_all,
+                 "tf": np.concatenate(tfs_all),
+                 "dl": np.concatenate(dls_all)}
+            )
+
+    return blocks.mapInPandas(gen, schema="doc_id long, term string, tf long, dl long")
+
+
+def _stats_df(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
+    stats = read_stats_json(out_dir)
+    sdf = spark.createDataFrame(
+        [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
+    )
+    return sdf, stats
+
+
+def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
+               cfg: EngineConfig | None = None, k: int | None = None) -> DataFrame:
+    """Exact path over the compressed index. The query analyzer follows the
+    index's recorded analyzer (stats.json code_aware) — analyzer symmetry."""
+    cfg = cfg or EngineConfig()
+    _, stats = _stats_df(spark, out_dir)
+    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    blocks = load_blocks(spark, out_dir, terms)
+    tf = decompress_blocks(blocks)
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms)
+    )
+    stats_sdf, _ = _stats_df(spark, out_dir)
+    scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
+    return topk(scores, k or cfg.k)
+
+
+def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
+              cfg: EngineConfig | None = None, k: int | None = None) -> DataFrame:
+    """Block-max WAND path over the compressed index."""
+    cfg = cfg or EngineConfig()
+    k = k or cfg.k
+    _, stats = _stats_df(spark, out_dir)
+    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    qmap: dict[int, list[str]] = {}
+    for r in qt.collect():
+        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    terms = sorted({t for ts in qmap.values() for t in ts})
+    if not terms:
+        return spark.createDataFrame([], "query_id long, doc_id long, score double")
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    df_rows = (
+        spark.read.parquet(os.path.join(out_dir, "term_df"))
+        .filter(F.col("term").isin(terms)).collect()
+    )
+    idfs = {
+        r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    blocks = load_blocks(spark, out_dir, terms)
+    # the WAND kernel needs every block of a shard in one task: hash-partition
+    # by shard (shards ≈ parallelism axis; each task runs 1+ whole shards)
+    local = blocks.repartition(stats["n_shards"], "shard").mapInPandas(
+        lambda it: wand_partition(it, qmap, idfs, k, cfg, avgdl),
+        schema="query_id long, doc_id long, score double",
+    )
+    return topk(local, k)
+
+
+def resolve_docs(spark: SparkSession, out_dir: str, results: DataFrame) -> DataFrame:
+    """Map winning doc_ids back to (repo, path, commit, lang) — the engine's
+    analogue of the reference returning ES `_id`-keyed documents. Winner set
+    is tiny → broadcast it against the docs table."""
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    return F.broadcast(results).join(
+        docs.select("doc_id", "repo", "path", "commit", "lang"), "doc_id", "inner"
+    )

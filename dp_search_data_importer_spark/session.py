@@ -25,6 +25,18 @@ def get_spark(
     - Arrow on: every Python touchpoint in this engine is a vectorized
       pandas/Arrow UDF (input_hint: "no per-row Python").
     """
+    # Executors' Python workers must be able to import this package: its UDF
+    # closures are cloudpickled by reference. In local mode the workers
+    # inherit PYTHONPATH from the driver process env (set it BEFORE the JVM
+    # starts); on a real cluster ship the package with
+    # ``spark-submit --py-files dp_search_data_importer_spark.zip`` instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[*]" and cpus:

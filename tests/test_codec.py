@@ -1,0 +1,80 @@
+"""Codec golden bytes + round-trip/property tests (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dp_search_data_importer_spark.operators.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_golden_bytes():
+    # FIXTURES.md §5: gaps [3, 4, 253] → 03 04 FD 01
+    assert varint_encode(np.array([3, 4, 253], dtype=np.uint64)) == bytes.fromhex(
+        "0304fd01"
+    )
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+
+
+def test_varint_max_u64():
+    v = np.array([2**64 - 1, 2**63, 1], dtype=np.uint64)
+    assert (varint_decode(varint_encode(v)) == v).all()
+
+
+def test_delta_golden():
+    ids = np.array([3, 7, 260], dtype=np.int64)
+    gaps = delta_encode(ids)
+    # first gap is biased absolute; subsequent are plain gaps
+    assert gaps[1] == 4 and gaps[2] == 253
+    assert (delta_decode(gaps) == ids).all()
+
+
+def test_delta_negative_ids():
+    """xxhash64 doc_ids span the full signed range."""
+    ids = np.array([-(2**63), -5, 0, 7, 2**63 - 1], dtype=np.int64)
+    assert (delta_decode(delta_encode(ids)) == ids).all()
+
+
+def test_block_roundtrip_golden_sizes():
+    ids = np.arange(0, 128 * 3, 3, dtype=np.int64)  # 128 docs, gap 3
+    tfs = np.ones(128, dtype=np.int64)
+    dls = np.full(128, 100, dtype=np.int64)
+    g, t, d = encode_block(ids, tfs, dls)
+    # 127 single-byte gaps + 10-byte biased first gap
+    assert len(t) == 128  # tf-1 = 0 → 1 byte each
+    rid, rtf, rdl = decode_block(g, t, d)
+    assert (rid == ids).all() and (rtf == tfs).all() and (rdl == dls).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=0, max_size=300, unique=True)
+)
+def test_block_roundtrip_property(ids):
+    ids = np.sort(np.array(ids, dtype=np.int64))
+    n = len(ids)
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 10_000, n).astype(np.int64)
+    dls = rng.integers(1, 100_000, n).astype(np.int64)
+    rid, rtf, rdl = decode_block(*encode_block(ids, tfs, dls))
+    assert (rid == ids).all() and (rtf == tfs).all() and (rdl == dls).all()
+
+
+def test_compression_ratio_dense():
+    """Dense postings must compress well below 8 bytes/doc."""
+    ids = np.sort(np.random.default_rng(1).choice(10**6, 10**5, replace=False)).astype(np.int64)
+    g, t, d = encode_block(ids, np.ones(len(ids), dtype=np.int64),
+                           np.full(len(ids), 50, dtype=np.int64))
+    assert len(g) / len(ids) < 2.0  # avg gap ~10 → 1 byte + bias overhead
