@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's own
+index-build + WAND-query cycle on the deterministic synthetic corpus.
+
+Scaling evidence (north_rule two-cluster-size criterion) is produced by
+``tools/bench_scaling.py`` which runs THIS build at two parallelism levels
+(local[8] vs local[32]) and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs_build = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.plans import driver_queries as dq
+    from dp_search_data_importer_spark.plans import query as qp
+    from dp_search_data_importer_spark.plans.build_index import build_index
+    from dp_search_data_importer_spark.session import get_spark
+    from dp_search_data_importer_spark.sources.repo_files import synthetic_repo_files
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=cpus)
+    # warm the JVM + parquet footers so per-query timings measure the query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+
+    headline = [
+        "doc_term_freqs", "term_df", "bm25_topk", "ingest_normalize",
+        "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
+        "events_hourly",
+    ]
+    for name in headline:
+        fn = dq.QUERIES[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side collect cost
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # engine cycle: build the compressed index on the synthetic corpus, then
+    # query it with both paths
+    cfg = EngineConfig(n_shards=max(8, cpus // 2))
+    corpus = synthetic_repo_files(spark, n_docs=n_docs_build, seed=42)
+    out = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.time()
+        build_index(spark, corpus, out, cfg, resume=False)
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        from dp_search_data_importer_spark.session import local_df
+
+        queries = local_df(spark, dq.QUERY_SET, "query_id long, query_text string")
+        t0 = time.time()
+        qp.exact_topk(spark, out, queries, cfg, 10).count()
+        timings["index_exact_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        qp.wand_topk(spark, out, queries, cfg, 10).count()
+        timings["index_wand_query"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "index_build_docs_per_sec": round(n_docs_build / build_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

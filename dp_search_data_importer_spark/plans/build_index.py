@@ -173,6 +173,10 @@ def build_index(
 
     # Cache the tf pairs: reused by the stats pass and every wave. At cluster
     # scale this would be a persisted intermediate table instead of memory.
+    # Persist the normalized docs: the source may be expensive to recompute
+    # (synthetic generator here; at cluster scale this is an Iceberg scan and
+    # the persist becomes a no-op materialized source table).
+    docs.persist()
     # shard is a pure function of doc_id → recomputed post-tokenize, no join.
     tf = tokenize_docs(docs, code_aware=code_aware, text_col=text_col).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
@@ -202,6 +206,12 @@ def build_index(
         else:
             stats = read_stats_json(out_dir)
 
+        # per-shard doc counts, computed once for every wave's manifest
+        shard_docs = {
+            r["shard"]: r["n"]
+            for r in docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
         # ---- postings waves (unit of resume)
         shards_per_wave = max(1, -(-cfg.n_shards // waves))
         for w in range(waves):
@@ -228,15 +238,15 @@ def build_index(
             written = spark.read.parquet(
                 os.path.join(out_dir, "postings")
             ).filter(F.col("shard").isin(wave_shards))
-            docs_per_shard = (
-                docs.filter(F.col("shard").isin(wave_shards))
-                .groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs_shard"))
+            ndocs_expr = F.coalesce(
+                *[F.when(F.col("shard") == s, F.lit(int(shard_docs.get(s, 0))))
+                  for s in wave_shards],
+                F.lit(0),
             )
-            m = shard_metrics(written).join(docs_per_shard, "shard", "left")
             append_manifest(
-                m.select(
+                shard_metrics(written).select(
                     "shard",
-                    F.coalesce("n_docs_shard", F.lit(0)).cast("long").alias("n_docs"),
+                    ndocs_expr.cast("long").alias("n_docs"),
                     "n_postings", "n_blocks", "bytes_compressed",
                     "content_fingerprint", "n_terms",
                 ),
@@ -245,3 +255,4 @@ def build_index(
         return stats
     finally:
         tf.unpersist()
+        docs.unpersist()

@@ -67,7 +67,9 @@ def _docs_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(QUERY_SET, "query_id long, query_text string")
+    from dp_search_data_importer_spark.session import local_df
+
+    return local_df(spark, QUERY_SET, "query_id long, query_text string")
 
 
 # ---------------------------------------------------------------------------

@@ -74,9 +74,11 @@ def decompress_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def _stats_df(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
+    from dp_search_data_importer_spark.session import local_df
+
     stats = read_stats_json(out_dir)
-    sdf = spark.createDataFrame(
-        [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
+    sdf = local_df(
+        spark, [(stats["n_docs"], stats["avgdl"])], "n_docs long, avgdl double"
     )
     return sdf, stats
 
@@ -111,7 +113,9 @@ def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
         qmap.setdefault(int(r["query_id"]), []).append(r["term"])
     terms = sorted({t for ts in qmap.values() for t in ts})
     if not terms:
-        return spark.createDataFrame([], "query_id long, doc_id long, score double")
+        from dp_search_data_importer_spark.session import local_df
+
+        return local_df(spark, [], "query_id long, doc_id long, score double")
     n, avgdl = stats["n_docs"], stats["avgdl"]
     df_rows = (
         spark.read.parquet(os.path.join(out_dir, "term_df"))

@@ -69,3 +69,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows: list[tuple], schema: str):
+    """Small driver-side table → DataFrame via the pandas/Arrow path.
+
+    ``spark.createDataFrame(list_of_tuples)`` builds a Python-RDD-backed plan
+    with defaultParallelism slices — its first execution forks a Python worker
+    per slice (measured ~20 s of pure worker boot on local[32] right after a
+    heavy job). The pandas route converts once through Arrow into a JVM
+    ``LocalTableScan``: no Python at execution time, one partition.
+    """
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=st)

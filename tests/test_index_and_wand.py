@@ -121,6 +121,7 @@ def test_resume_skips_completed_and_is_identical(spark, corpus, built, tmp_path)
     build_index(spark, corpus, out2, CFG, code_aware=True, waves=2)
     # wipe shards 2,3 postings + full manifest, keep shards 0,1 rows
     m = spark.read.parquet(os.path.join(out2, "_manifest"))
+    schema = m.schema
     keep = m.filter(F.col("shard") < 2).collect()
     shutil.rmtree(os.path.join(out2, "_manifest"))
     for s in (2, 3):
@@ -128,7 +129,9 @@ def test_resume_skips_completed_and_is_identical(spark, corpus, built, tmp_path)
         if os.path.exists(p):
             shutil.rmtree(p)
     if keep:
-        spark.createDataFrame(keep).write.parquet(os.path.join(out2, "_manifest"))
+        spark.createDataFrame(keep, schema=schema).write.parquet(
+            os.path.join(out2, "_manifest")
+        )
 
     build_index(spark, corpus, out2, CFG, code_aware=True, waves=2, resume=True)
     resumed = {r["shard"]: r["content_fingerprint"]
