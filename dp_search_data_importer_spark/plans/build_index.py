@@ -15,13 +15,15 @@ built internally:
 
 Scale design (the part that must survive 10^12 files / 1000 executors):
 
-- the ONLY wide shuffle over postings-sized data is the single
-  repartitionByRange — tf pairs are already pre-aggregated map-side, so
-  shuffle volume is O(distinct (doc,term)) not O(tokens);
-- range partitioning on (shard, term, doc_id) is the structural skew answer:
-  a hot term ('import' ≈ every doc) simply spans many contiguous partitions,
-  each emitting independent bounded blocks — no reducer ever materializes a
-  full hot-term posting list (no collect_list anywhere);
+- the ONLY wide shuffle over postings-sized data is the single shard
+  repartition — tf pairs are already pre-aggregated map-side, so shuffle
+  volume is O(distinct (doc,term)) not O(tokens);
+- sharding on hash(doc_id) is the structural skew answer for block building:
+  tasks are whole shards and shard sizes are uniform by construction, so a
+  hot term ('import' ≈ every doc) cannot skew any task — its postings are
+  striped evenly across all shards, emitted as independent bounded blocks
+  (no collect_list anywhere; within-shard volume is bounded by corpus/n_shards
+  and n_shards scales with the cluster);
 - the salted two-phase df aggregation bounds the dictionary reducers;
 - shards (doc-space hash partitions, Elasticsearch-style) give query-time
   fan-out/merge parallelism and are the unit of checkpoint/resume;
@@ -146,6 +148,7 @@ def build_index(
     waves: int = 2,
     resume: bool = True,
     already_normalized: bool = False,
+    verbose: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index under ``out_dir``.
 
@@ -159,6 +162,19 @@ def build_index(
 
     Returns the stats dict.
     """
+    import time as _time
+
+    _t = _time.time()
+    _phases: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        if verbose:
+            now = _time.time()
+            _phases[name] = round(now - _t, 2)
+            print(f"[build_index] {name}: {_phases[name]}s", flush=True)
+            _t = now
+
     cfg = cfg or EngineConfig()
     os.makedirs(out_dir, exist_ok=True)
     docs = repo_files if already_normalized else normalize_repo_files(repo_files)
@@ -166,7 +182,9 @@ def build_index(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
 
-    done = completed_shards(spark, out_dir) if resume else set()
+    done = completed_shards(spark, out_dir) if (
+        resume and os.path.exists(out_dir)
+    ) else set()
     stats_path = os.path.join(out_dir, "stats.json")
     if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
         return read_stats_json(out_dir)
@@ -184,33 +202,46 @@ def build_index(
     tf.persist()
     try:
         if not (resume and os.path.exists(stats_path)):
-            # ---- stats pass (cheap: one agg over docs, one salted agg over terms)
-            per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-            row = per_doc.agg(
-                F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-            ).collect()[0]
+            # ---- stats pass: ONE job yields global N/avgdl AND the
+            # per-shard doc counts for every wave's manifest (job-count
+            # discipline: each Spark job carries ~0.5-2 s of fixed overhead
+            # that anti-scales small builds)
+            per_shard_rows = (
+                tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+                .withColumn("shard",
+                            F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+                .collect()
+            )
+            _mark("tokenize+stats")
+            n_docs_total = sum(r["n"] for r in per_shard_rows)
+            sum_dl_total = sum(r["sum_dl"] for r in per_shard_rows)
             stats = {
-                "n_docs": int(row["n_docs"]),
-                "avgdl": float(row["avgdl"] or 0.0),
+                "n_docs": int(n_docs_total),
+                "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
                 "k1": cfg.k1, "b": cfg.b,
                 "block_size": cfg.block_size, "n_shards": cfg.n_shards,
                 "code_aware": code_aware,
+                "shard_docs": {int(r["shard"]): int(r["n"]) for r in per_shard_rows},
             }
             doc_freqs(tf, cfg, salted=True).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "term_df")
             )
+            _mark("term_df_write")
+            # repartition to one task per shard before the partitioned write:
+            # writing K shard dirs from T unrelated tasks creates T×K file
+            # fragments and a per-task partition sort (measured 25× slower at
+            # local[32]); post-shuffle each task owns exactly one shard dir.
             (docs.drop(text_col, "content", "dl")
+             .repartition(cfg.n_shards, "shard")
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(out_dir, "docs")))
+            _mark("docs_write")
             write_stats_json(out_dir, stats)
         else:
             stats = read_stats_json(out_dir)
-
-        # per-shard doc counts, computed once for every wave's manifest
-        shard_docs = {
-            r["shard"]: r["n"]
-            for r in docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        shard_docs = {int(k): v for k, v in stats.get("shard_docs", {}).items()}
 
         # ---- postings waves (unit of resume)
         shards_per_wave = max(1, -(-cfg.n_shards // waves))
@@ -223,8 +254,13 @@ def build_index(
             if not wave_shards:
                 continue
             subset = tf.filter(F.col("shard").isin(wave_shards))
-            sorted_runs = subset.repartitionByRange(
-                "shard", "term", "doc_id"
+            # one task per shard: shuffle on the shard key (no sampling pass,
+            # unlike repartitionByRange) and sort (term, doc_id) within. Task
+            # sizes are uniform because shard = hash(doc_id) — hot TERMS
+            # cannot skew a doc-partitioned build. Output files align 1:1
+            # with the partitionBy(shard) dirs.
+            sorted_runs = subset.repartition(
+                len(wave_shards), "shard"
             ).sortWithinPartitions("shard", "term", "doc_id")
             blocks = sorted_runs.mapInPandas(
                 lambda it: _compress_runs(
@@ -234,6 +270,7 @@ def build_index(
             )
             (blocks.write.mode("append").partitionBy("shard")
              .parquet(os.path.join(out_dir, "postings")))
+            _mark(f"wave{w}_compress_write")
             # manifest from read-back: certifies disk state (checkpoint.py)
             written = spark.read.parquet(
                 os.path.join(out_dir, "postings")
@@ -252,6 +289,7 @@ def build_index(
                 ),
                 out_dir,
             )
+            _mark(f"wave{w}_manifest")
         return stats
     finally:
         tf.unpersist()

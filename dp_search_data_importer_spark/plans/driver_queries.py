@@ -207,6 +207,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dp_search_data_importer_spark.plans.driver_queries_ext import (  # noqa: E402
+    EXT_ORACLES,
+    EXT_QUERIES,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_term_freqs": q_doc_term_freqs,
     "doc_stats": q_doc_stats,
@@ -219,6 +224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
+    **EXT_QUERIES,
 }
 
 
@@ -324,4 +330,5 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id, date_trunc('hour', ts)
     """,
+    **EXT_ORACLES,
 }

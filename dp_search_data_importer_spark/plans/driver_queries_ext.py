@@ -1,0 +1,343 @@
+"""Driver-contract queries for the curation operators (dedup, similarity,
+text analysis). Registered into driver_queries.QUERIES/ORACLES.
+
+Near-dup operators need near-dups to find: the corpus queries construct a
+deterministic augmented table — ``documents`` unioned with truncated copies
+(doc_id + 10000, text minus its tail) — in BOTH the Spark query and the SQL
+oracle, so results are non-trivially non-empty and still hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.operators import dedup as dd
+from dp_search_data_importer_spark.operators import similarity as sim
+from dp_search_data_importer_spark.operators import simhash as sh
+from dp_search_data_importer_spark.operators import textstats as ts
+from dp_search_data_importer_spark.sources.tables import load_table
+
+N_HASHES = 16
+BANDS = 4
+ANN_PLANES = 12
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated copies (near-dups) ∪ one exact dup class."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 40, 1))").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(trunc).unionByName(exact)
+
+
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 40, 1)) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+_TOKS_AUG = (
+    "SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr, text "
+    f"FROM ({_AUG_SQL})"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicate_groups(_augmented_docs(spark, sf_dir))
+
+
+def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.dedup_exact(_augmented_docs(spark, sf_dir))
+    return out.select("doc_id", F.length("text").cast("long").alias("text_len"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), n=3, threshold=0.5
+    )
+
+
+def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(aug, n_hashes=N_HASHES, shingle_n=3)
+    pairs = dd.minhash_candidates(sigs, bands=BANDS)
+    return dd.minhash_jaccard_estimate(sigs, pairs).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only check (md5-bit kernel not 1:1 SQL-expressible);
+    pytest covers it against a numpy reference."""
+    fps = sh.simhash_fingerprints(_augmented_docs(spark, sf_dir))
+    return sh.simhash_candidate_pairs(fps, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (xxhash64 has no DuckDB twin); pytest covers vs pure-Python."""
+    return ts.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (hyperplane buckets not SQL-expressible); recall vs brute
+    force measured in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = sim.hyperplanes(64, ANN_PLANES, seed=42)
+    idx = sim.lsh_index(emb, planes)
+    return sim.ann_topk(idx, _query_vec(spark, sf_dir), planes, k=20, multiprobe=2)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only; exact dups injected (vec_id + 10000) so pairs exist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") % 4 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding",
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns)
+    )
+    planes = sim.hyperplanes(64, 8, seed=7)
+    return sim.embedding_near_dup_pairs(aug, planes, threshold=0.99)
+
+
+EXT_QUERIES = {
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_keep_representatives": q_dedup_keep_representatives,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_est_jaccard": q_minhash_est_jaccard,
+    "simhash_near_dups": q_simhash_near_dups,
+    "language_id": q_language_id,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "winnowing_fingerprints": q_winnowing,
+    "embedding_cosine_topk": q_cosine_topk,
+    "embedding_ann_topk": q_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+
+def _langid_sql() -> str:
+    from dp_search_data_importer_spark.operators.textstats import LANG_MARKERS
+
+    hit_cols = []
+    for lang, ws in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        hit_cols.append(
+            f"len(list_filter(arr, x -> x <> '' AND list_contains([{lst}], x))) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN h_{lg} = m AND m > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        FROM documents
+      ), h AS (SELECT doc_id, {', '.join(hit_cols)} FROM t),
+      mm AS (SELECT doc_id, *, {m} AS m FROM h)
+      SELECT doc_id, {case} AS lang_guess FROM mm
+    """
+
+
+EXT_ORACLES = {
+    "dedup_exact_groups": f"""
+        SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
+               min(doc_id) AS keep_doc_id
+        FROM ({_AUG_SQL}) GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "dedup_keep_representatives": f"""
+        WITH aug AS ({_AUG_SQL}),
+        keep AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text))
+        SELECT a.doc_id, length(a.text)::BIGINT AS text_len
+        FROM aug a JOIN keep USING (doc_id)
+    """,
+    "ngram_jaccard": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM ({_AUG_SQL})
+        ),
+        tok2 AS (
+          SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+          FROM toks WHERE term <> ''
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tok2 a
+          JOIN tok2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          JOIN tok2 c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        ),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.5
+    """,
+    "minhash_est_jaccard": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM ({_AUG_SQL})
+        ),
+        tok2 AS (
+          SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+          FROM toks WHERE term <> ''
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tok2 a
+          JOIN tok2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          JOIN tok2 c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        ),
+        seeds AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed),
+        mh AS (
+          SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        ),
+        sig AS (
+          SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, band,
+                 md5(array_to_string(sig[band * {N_HASHES // BANDS} + 1 :
+                                         (band + 1) * {N_HASHES // BANDS}], '|')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {BANDS - 1})) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT doc_a, doc_b,
+                 round(len(list_filter(
+                     list_zip(sa.sig, sb.sig), z -> z[1] = z[2]
+                 ))::DOUBLE / {N_HASHES}, 4) AS est_jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+        )
+        SELECT * FROM est WHERE est_jaccard >= 0.5
+    """,
+    "language_id": _langid_sql(),
+    "token_counts": r"""
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+          len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS analyzer_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS bpeish_tokens
+        FROM documents
+    """,
+    "quality_scores": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), f AS (
+          SELECT doc_id, len(toks)::BIGINT AS n,
+                 CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS mean_len,
+                 CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, x -> list_contains([{SW}], x)))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               round(mean_len, 4) AS mean_token_len,
+               round(stop_ratio, 4) AS stopword_ratio,
+               round(
+                 (CASE WHEN n >= 20 AND n <= 100000 THEN 0.4::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 0.3::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.3::DOUBLE ELSE 0.0 END)
+               , 2) AS quality_score
+        FROM f
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(text) AS exact_md5,
+               md5(array_to_string(
+                 list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))), ' ')) AS termset_md5
+        FROM documents
+    """,
+    "embedding_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_dot_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+          FROM embeddings CROSS JOIN q
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """,
+}
+
+# inject stopword list into the quality oracle
+from dp_search_data_importer_spark.config import ENGLISH_STOPWORDS as _SW  # noqa: E402
+
+EXT_ORACLES["quality_scores"] = EXT_ORACLES["quality_scores"].replace(
+    "{SW}", ", ".join(f"'{w}'" for w in sorted(_SW))
+)

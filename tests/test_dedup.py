@@ -1,0 +1,90 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.operators import dedup as dd
+from dp_search_data_importer_spark.operators import simhash as sh
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),    # near dup
+    (4, "completely different content about spark indexes"),
+    (5, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark):
+    rows = dd.exact_duplicate_groups(_docs(spark)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dups"] == 3
+    assert rows[0]["keep_doc_id"] == 1
+
+
+def test_dedup_exact_keeps_representative(spark):
+    out = dd.dedup_exact(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh_set(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh_set(a), sh_set(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    expected_13 = round(_py_jaccard(DOCS[0][1], DOCS[2][1]), 4)
+    assert abs(pairs[(1, 3)] - expected_13) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = dd.minhash_signatures(_docs(spark), n_hashes=64, shingle_n=3)
+    pairs = dd.minhash_candidates(sigs, bands=8)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dd.minhash_jaccard_estimate(sigs, pairs).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical docs: identical signatures
+    true_13 = _py_jaccard(DOCS[0][1], DOCS[2][1])
+    if (1, 3) in est:  # candidate found (probabilistic but seeded → stable)
+        assert abs(est[(1, 3)] - true_13) < 0.35  # 64 hashes → coarse estimate
+    # dissimilar docs must not be confidently similar
+    assert est.get((1, 4), 0.0) < 0.3
+
+
+def test_simhash_identical_and_near(spark):
+    fps = sh.simhash_fingerprints(_docs(spark))
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert rows[1] == rows[2] == rows[5]
+    assert rows[1] == sh.simhash64_py(DOCS[0][1])  # engine == reference kernel
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in sh.simhash_candidate_pairs(fps, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs  # different content: far fingerprint
+
+
+def test_shingles_expr_matches_python(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r["shingle"] for r in dd.shingle_sets(df, n=2).collect())
+    assert got == ["a b", "b c", "c d"]
+    # doc shorter than n → no rows
+    tiny = spark.createDataFrame([(2, "a")], "doc_id long, text string")
+    assert dd.shingle_sets(tiny, n=3).count() == 0

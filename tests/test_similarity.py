@@ -1,0 +1,63 @@
+"""Similarity search: brute cosine vs numpy, ANN recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.operators import similarity as sim
+
+DIM = 16
+N = 300
+
+
+def _vectors():
+    rng = np.random.default_rng(123)
+    return rng.standard_normal((N, DIM)).astype(np.float32)
+
+
+def _emb_df(spark, vecs):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark):
+    vecs = _vectors()
+    df = _emb_df(spark, vecs)
+    q = vecs[7].astype(np.float64)
+    v64 = vecs.astype(np.float64)
+    cos = (v64 @ q) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(q))
+    order = sorted(range(N), key=lambda i: (-round(cos[i], 4), i))[:10]
+    got = sim.cosine_topk(df, [float(x) for x in vecs[7]], k=10).collect()
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert abs(r["cosine"] - round(cos[r["vec_id"]], 4)) <= 1e-4
+
+
+def test_ann_recall_against_brute_force(spark):
+    vecs = _vectors()
+    df = _emb_df(spark, vecs)
+    planes = sim.hyperplanes(DIM, 8, seed=42)
+    idx = sim.lsh_index(df, planes)
+    q = [float(x) for x in vecs[3]]
+    brute = {r["vec_id"] for r in sim.cosine_topk(df, q, k=10).collect()}
+    ann = {r["vec_id"] for r in sim.ann_topk(idx, q, planes, k=10, multiprobe=2).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5  # seeded; multiprobe=2 over 8 planes
+    assert 3 in ann  # the query vector itself is always in its own bucket
+
+
+def test_embedding_near_dup_pairs_finds_exact_dups(spark):
+    vecs = _vectors()[:50]
+    dup = np.vstack([vecs, vecs[:10]])  # ids 50..59 duplicate 0..9
+    df = _emb_df(spark, dup)
+    planes = sim.hyperplanes(DIM, 6, seed=7)
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs(df, planes, threshold=0.999).collect()
+    }
+    for i in range(10):
+        assert pairs.get((i, 50 + i)) == 1.0, i
