@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
+signatures — is real and tested; the actual media DECODE is stubbed behind
+guarded imports (PIL/librosa/av are not in this container): with no decoder
+available, ``decode_features`` either raises ``NotImplementedError``
+(``strict=True``) or produces a deterministic fake feature vector derived
+from the payload bytes (default; stable for tests/benchmarks).
+
+Scale shape: media payloads are the widest column by far — every operator
+here projects payload-free outputs so Parquet column pruning keeps the bytes
+out of any downstream shuffle; feature extraction is one narrow Arrow pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),      # image | audio | video
+    T.StructField("payload", T.BinaryType()),   # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURE_DIM = 8
+
+_KINDS = ("image", "audio", "video")
+_MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = _KINDS[i % 3]
+                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 8)
+                rows.append({
+                    "media_id": i, "doc_id": i // 3, "kind": kind,
+                    "payload": payload,
+                    "meta": {"mime": _MIME[kind],
+                             "width": 64 + (i % 16) * 16 if kind == "image" else 0,
+                             "height": 64 + (i % 9) * 16 if kind == "image" else 0,
+                             "duration_ms": (i % 40) * 500 if kind != "image" else 0},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _real_decoder_available() -> bool:
+    try:  # pragma: no cover - decoder libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in: md5(payload) → dim floats in [0, 1)."""
+    h = hashlib.md5(payload or b"").digest()
+    arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (arr.astype(np.float64) / 2**32).tolist()
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, kind, features array<double>) via one Arrow pass.
+
+    ``strict=True`` demands a real decoder (raises NotImplementedError when
+    the media libs are absent — clearly marking the stub boundary);
+    otherwise the deterministic fake keeps the pipeline testable end-to-end.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict and not _real_decoder_available():
+            raise NotImplementedError(
+                "real media decode requires PIL/librosa/av — not installed; "
+                "run with strict=False for the deterministic stub"
+            )
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "features": [_fake_features(p) for p in pdf["payload"]],
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema="media_id long, kind string, features array<double>"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per frame timestamp to decode —
+    pure Catalyst (sequence + explode over meta.duration_ms), no payload
+    touched (column pruning keeps the binary out of the shuffle)."""
+    dur = F.col("meta.duration_ms")
+    return (
+        media.filter((F.col("kind") == "video") & (dur > 0))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind payload accounting — note .explain shows ReadSchema without
+    re-reading payload bytes for the meta-only aggregates."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
+    )

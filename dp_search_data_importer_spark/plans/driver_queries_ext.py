@@ -148,7 +148,43 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(aug, planes, threshold=0.99)
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed-rollup operator, batch twin (same expression runs
+    under readStream + watermark — tests/test_streaming.py)."""
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        windowed_event_counts,
+    )
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"),
+                                 window_dur="1 hour")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: synthetic media, stub decoder)."""
+    from dp_search_data_importer_spark.operators.multimodal import (
+        decode_features,
+        synthetic_media,
+    )
+
+    return decode_features(synthetic_media(spark, n=120)).select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (rows-only)."""
+    from dp_search_data_importer_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    return frame_sample_plan(synthetic_media(spark, n=120), every_ms=1000)
+
+
 EXT_QUERIES = {
+    "windowed_event_counts": q_windowed_event_counts,
+    "media_features": q_media_features,
+    "frame_sample_plan": q_frame_sample_plan,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_keep_representatives": q_dedup_keep_representatives,
     "ngram_jaccard": q_ngram_jaccard,
@@ -191,6 +227,15 @@ def _langid_sql() -> str:
 
 
 EXT_ORACLES = {
+    "windowed_event_counts": """
+        SELECT date_trunc('hour', ts) AS win_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
     "dedup_exact_groups": f"""
         SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_dups,
                min(doc_id) AS keep_doc_id
