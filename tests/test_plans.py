@@ -1,0 +1,66 @@
+"""Physical-plan shape regression (SURVEY.md §4): pushdown, broadcast,
+map-side partial aggregation. Lenient string asserts — the exact operator
+tree may evolve, the *properties* must not."""
+
+from __future__ import annotations
+
+import pytest
+
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.plans import query as qp
+from dp_search_data_importer_spark.plans.build_index import build_index
+from dp_search_data_importer_spark.session import local_df
+from dp_search_data_importer_spark.sources.repo_files import synthetic_repo_files
+
+CFG = EngineConfig(n_shards=4)
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx"))
+    build_index(spark, synthetic_repo_files(spark, 200, seed=1), out, CFG,
+                resume=False)
+    return out
+
+
+def test_postings_scan_pushes_term_filter(spark, idx):
+    plan = _explain(qp.load_blocks(spark, idx, ["import", "def"]))
+    assert "PushedFilters: [In(term," in plan
+
+
+def test_exact_bm25_broadcasts_small_sides(spark, idx):
+    queries = local_df(spark, [(1, "import def")],
+                       "query_id long, query_text string")
+    plan = _explain(qp.exact_topk(spark, idx, queries, CFG, 10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # postings side must never sort-merge
+    assert "PushedFilters: [In(term," in plan
+
+
+def test_resolution_reads_pruned_docs(spark, idx):
+    queries = local_df(spark, [(1, "import")],
+                       "query_id long, query_text string")
+    res = qp.wand_topk(spark, idx, queries, CFG, 5)
+    plan = _explain(qp.resolve_docs(spark, idx, res))
+    assert "BroadcastHashJoin" in plan
+    # content columns never read at query time (column pruning)
+    assert "content" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_df_agg_is_two_phase(spark, sf_dir):
+    from dp_search_data_importer_spark.operators.postings import (
+        doc_freqs,
+        term_freqs_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _explain(doc_freqs(term_freqs_sql(docs), CFG, salted=True))
+    # partial (map-side) aggregate before each exchange
+    assert plan.count("HashAggregate") >= 4
+    assert "Exchange" in plan
