@@ -189,17 +189,25 @@ def build_index(
     if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
         return read_stats_json(out_dir)
 
-    # Cache the tf pairs: reused by the stats pass and every wave. At cluster
-    # scale this would be a persisted intermediate table instead of memory.
-    # Persist the normalized docs: the source may be expensive to recompute
-    # (synthetic generator here; at cluster scale this is an Iceberg scan and
-    # the persist becomes a no-op materialized source table).
-    docs.persist()
-    # shard is a pure function of doc_id → recomputed post-tokenize, no join.
-    tf = tokenize_docs(docs, code_aware=code_aware, text_col=text_col).withColumn(
+    # Materialize the tf pairs ONCE as a compact parquet intermediate (the
+    # tokenizer is the expensive pass; three consumers read the result).
+    # A .persist() memory cache here anti-scales: materializing tens of
+    # millions of cached rows while every core also runs a Python tokenizer
+    # worker thrashes the JVM memory store (measured: 32-core tokenize+stats
+    # 156 s vs 88 s at 8 cores on 120k docs; parquet spill removes it).
+    # This is also the 10^12-scale design — the intermediate is a table,
+    # not executor memory.
+    import shutil as _shutil
+
+    tf_tmp = os.path.join(out_dir, "_tf_tmp")
+    tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col
+                           ).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
-    tf.persist()
+    if not (resume and os.path.exists(os.path.join(tf_tmp, "_SUCCESS"))):
+        tf_src.write.mode("overwrite").parquet(tf_tmp)
+    tf = spark.read.parquet(tf_tmp)
+    _mark("tokenize_spill")
     try:
         if not (resume and os.path.exists(stats_path)):
             # ---- stats pass: ONE job yields global N/avgdl AND the
@@ -292,5 +300,4 @@ def build_index(
             _mark(f"wave{w}_manifest")
         return stats
     finally:
-        tf.unpersist()
-        docs.unpersist()
+        _shutil.rmtree(tf_tmp, ignore_errors=True)

@@ -29,20 +29,16 @@ from dp_search_data_importer_spark.plans import query as qp
 from dp_search_data_importer_spark.config import EngineConfig
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+src_dir = sys.argv[3]
 spark = get_spark(master=f"local[{{cores}}]", app_name=f"scale{{cores}}",
                   shuffle_partitions=cores,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}})
 # shards scale with the cluster (exactly as a real N->4N deployment would
 # configure them); same input, same code, rank-identical query results
 cfg = EngineConfig(n_shards=2 * cores)
-# Materialize the corpus to parquet first: the engine's real source is an
-# Iceberg/parquet scan (JVM-side), not a chained Python generator stage —
-# chaining the generator doubled the per-task Python worker count and
-# polluted the build measurement with generation cost.
-src_dir = tempfile.mkdtemp(prefix=f"scale_src_{{cores}}_")
-synthetic_repo_files(spark, n_docs=n_docs, seed=42,
-                     num_partitions=cores * 2).write.mode(
-    "overwrite").parquet(src_dir)
+# The corpus parquet is materialized once by the parent (the engine's real
+# source is an Iceberg/parquet scan, JVM-side; generating via a chained
+# Python stage would double per-task workers and pollute the measurement).
 corpus = spark.read.parquet(src_dir)
 
 # Pre-warm the Python worker pool to full concurrency (cluster executors are
@@ -57,7 +53,7 @@ spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_noop, "id long").count()
 out = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
 try:
     t0 = time.time()
-    stats = build_index(spark, corpus, out, cfg, resume=False, verbose=True)
+    stats = build_index(spark, corpus, out, cfg, resume=False, verbose=True, waves=1)
     build_sec = time.time() - t0
     from dp_search_data_importer_spark.session import local_df
     queries = local_df(spark,
@@ -82,11 +78,30 @@ try:
     }}))
 finally:
     shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
 """
 
 
-def run_once(cores: int, n_docs: int) -> dict:
+def make_corpus(n_docs: int) -> str:
+    """Materialize the shared corpus parquet once (full host, unpinned)."""
+    import tempfile
+
+    src = os.path.join(tempfile.gettempdir(), f"scale_corpus_{n_docs}")
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    gen = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from dp_search_data_importer_spark.session import get_spark\n"
+        "from dp_search_data_importer_spark.sources.repo_files import synthetic_repo_files\n"
+        "spark = get_spark(master='local[*]')\n"
+        f"synthetic_repo_files(spark, n_docs={n_docs}, seed=42, num_partitions=128)"
+        f".write.mode('overwrite').parquet({src!r})\n"
+    ).format(repo=REPO)
+    subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800,
+                   capture_output=True)
+    return src
+
+
+def run_once(cores: int, n_docs: int, src_dir: str) -> dict:
     """One fresh-JVM run, CPU-affinity-pinned to ``cores`` cores.
 
     The taskset pin is what makes local[N] an honest proxy for an N-core
@@ -98,7 +113,7 @@ def run_once(cores: int, n_docs: int) -> dict:
     t0 = time.time()
     p = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code,
-         str(cores), str(n_docs)],
+         str(cores), str(n_docs), src_dir],
         capture_output=True, text=True, timeout=1800,
     )
     phases = {}
@@ -115,10 +130,10 @@ def run_once(cores: int, n_docs: int) -> dict:
     raise RuntimeError(f"no RESULT from local[{cores}] run")
 
 
-def run(cores: int, n_docs: int, repeats: int = 2) -> dict:
+def run(cores: int, n_docs: int, src_dir: str, repeats: int = 2) -> dict:
     """Best-of-N (min build time): the sandbox host has noisy neighbors;
     min is the standard contention-resistant estimator."""
-    results = [run_once(cores, n_docs) for _ in range(repeats)]
+    results = [run_once(cores, n_docs, src_dir) for _ in range(repeats)]
     best = min(results, key=lambda r: r["build_sec"])
     best["runs_build_sec"] = [r["build_sec"] for r in results]
     return best
@@ -128,8 +143,9 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     lo, hi = 8, 32
-    r_lo = run(lo, n_docs, repeats)
-    r_hi = run(hi, n_docs, repeats)
+    src_dir = make_corpus(n_docs)
+    r_lo = run(lo, n_docs, src_dir, repeats)
+    r_hi = run(hi, n_docs, src_dir, repeats)
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
     out = {
         "n_docs": n_docs,
@@ -164,6 +180,10 @@ Reference baseline: the reference repo publishes no throughput numbers
 of 500 docs / 5 s — i.e. an upper bound of ~100 docs/sec per instance if the
 pipeline were saturated. The numbers above are the Spark-native replacement's
 measured figures on this host.
+
+See BENCH/ANALYSIS.md for the phase-level scaling decomposition and the
+single-host ceiling analysis (shared virtio disk + memory bandwidth bound
+the shuffle/write phases; per-phase and kernel-level scaling evidence there).
 """)
     print(f"wrote {md}")
 
