@@ -79,6 +79,11 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the md5-bit SimHash kernel reproduced in SQL."""
+    return sh.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only check (md5-bit kernel not 1:1 SQL-expressible);
     pytest covers it against a numpy reference."""
@@ -106,7 +111,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (xxhash64 has no DuckDB twin); pytest covers vs pure-Python."""
+    """Oracle-checked: the md5-derived k-gram hashes reproduce exactly in
+    DuckDB via hex-string casts; sliding-window min via a window frame."""
     return ts.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
@@ -189,6 +195,7 @@ EXT_QUERIES = {
     "dedup_keep_representatives": q_dedup_keep_representatives,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_est_jaccard": q_minhash_est_jaccard,
+    "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dups": q_simhash_near_dups,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -227,6 +234,78 @@ def _langid_sql() -> str:
 
 
 EXT_ORACLES = {
+    "simhash_fingerprints": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+          WHERE term <> '' GROUP BY doc_id, term
+        ),
+        h AS (
+          SELECT doc_id, tf,
+                 ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv
+          FROM tf
+        ),
+        bits AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS acc
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ),
+        fp0 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS fp
+          FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN fp >= 9223372036854775808::UBIGINT
+                    THEN (fp::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                    ELSE fp::BIGINT END AS simhash
+        FROM fp0
+    """,
+    "winnowing_fingerprints": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tok2 AS (
+          SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+          FROM toks WHERE term <> ''
+        ),
+        grams AS (
+          SELECT a.doc_id, a.p,
+                 a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term
+                        || ' ' || e.term AS g
+          FROM tok2 a
+          JOIN tok2 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          JOIN tok2 c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+          JOIN tok2 d ON d.doc_id = a.doc_id AND d.p = a.p + 3
+          JOIN tok2 e ON e.doc_id = a.doc_id AND e.p = a.p + 4
+        ),
+        h AS (
+          SELECT doc_id, p,
+                 ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hv,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM grams
+        ),
+        wins AS (
+          SELECT doc_id,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+          FROM h WHERE TRUE QUALIFY p <= greatest(n - 3, 1)
+        )
+        SELECT DISTINCT doc_id,
+               CASE WHEN mh >= 9223372036854775808::UBIGINT
+                    THEN (mh::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                    ELSE mh::BIGINT END AS fp
+        FROM wins
+    """,
     "windowed_event_counts": """
         SELECT date_trunc('hour', ts) AS win_start,
                date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
