@@ -65,6 +65,10 @@ def get_spark(
         # result lines (observed twice while verifying scripts/query.py)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # note: zstd for parquet/shuffle was measured on this host and was
+        # noise-neutral vs snappy/lz4 (varint-compressed blocks + short-string
+        # columns don't gain enough to beat the extra CPU in python-contended
+        # stages); defaults kept. On cluster object stores revisit zstd.
     )
     if extra_conf:
         for k, v in extra_conf.items():
