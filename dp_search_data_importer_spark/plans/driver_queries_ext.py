@@ -187,7 +187,62 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(synthetic_media(spark, n=120), every_ms=1000)
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids — the batch twin of a session_window streaming agg."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sid = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1)
+                      .otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long").alias("session_seconds"),
+    )
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics BM25 top-k: only docs containing EVERY query term
+    (ES bool/must twin). Same scorer, plus a per-doc matched-term count
+    filter before ranking."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    queries = local_df(
+        spark,
+        [(1, "hash join merge"), (2, "window agg"), (3, "the zzznope")],
+        "query_id long, query_text string",
+    )
+    qt = bm25_ops.query_terms(queries)
+    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nt"))
+    dfs = postings_ops.doc_freqs(tf)
+    stats = postings_ops.corpus_stats(tf)
+    scores = bm25_ops.bm25_scores(tf, qt, dfs, stats)
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("nm") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    return bm25_ops.topk(scores.join(matched, ["query_id", "doc_id"]), 10)
+
+
 EXT_QUERIES = {
+    "sessionize_events": q_sessionize_events,
+    "bm25_conjunctive": q_bm25_conjunctive,
     "windowed_event_counts": q_windowed_event_counts,
     "media_features": q_media_features,
     "frame_sample_plan": q_frame_sample_plan,
@@ -234,6 +289,79 @@ def _langid_sql() -> str:
 
 
 EXT_ORACLES = {
+    "sessionize_events": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+               (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS session_seconds
+        FROM s GROUP BY user_id, session_id
+    """,
+    "bm25_conjunctive": """
+        WITH q(query_id, query_text) AS (
+          VALUES (1, 'hash join merge'), (2, 'window agg'), (3, 'the zzznope')
+        ),
+        qt AS (
+          SELECT DISTINCT query_id,
+                 unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+          FROM q
+        ),
+        qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+        nt AS (SELECT query_id, count(*)::BIGINT AS n FROM qt2 GROUP BY query_id),
+        toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+               WHERE term <> '' GROUP BY doc_id),
+        stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        matched AS (
+          SELECT qt2.query_id, tf.doc_id
+          FROM qt2 JOIN tf USING (term)
+          GROUP BY qt2.query_id, tf.doc_id
+          HAVING count(*) = (SELECT n FROM nt WHERE nt.query_id = qt2.query_id)
+        ),
+        scored AS (
+          SELECT qt2.query_id, tf.doc_id,
+                 sum(
+                   ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM qt2
+          JOIN dfs USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats s
+          GROUP BY qt2.query_id, tf.doc_id
+        ),
+        ranked AS (
+          SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+                 row_number() OVER (
+                   PARTITION BY sc.query_id
+                   ORDER BY round(sc.score, 4) DESC, sc.doc_id ASC
+                 ) AS rn
+          FROM scored sc JOIN matched m
+            ON m.query_id = sc.query_id AND m.doc_id = sc.doc_id
+        )
+        SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """,
     "simhash_fingerprints": r"""
         WITH toks AS (
           SELECT doc_id,
