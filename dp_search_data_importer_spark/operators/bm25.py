@@ -107,11 +107,14 @@ def bm25_topk(
     cfg: EngineConfig | None = None,
     k: int | None = None,
     code_aware: bool = False,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end exact path: tf table + (query_id, query_text) → top-k.
 
     Computes df/stats from the tf table itself (one pass each; in the sharded
-    production plan these come precomputed from the index manifest).
+    production plan these come precomputed from the index manifest). Pass
+    ``stats`` explicitly (e.g. ``corpus_stats_from_docs``) for
+    Lucene-consistent N/avgdl on corpora containing zero-token docs.
     """
     from dp_search_data_importer_spark.operators.postings import (
         corpus_stats,
@@ -121,6 +124,6 @@ def bm25_topk(
     cfg = cfg or EngineConfig()
     qt = query_terms(queries, code_aware=code_aware)
     dfs = doc_freqs(tf)
-    stats = corpus_stats(tf)
+    stats = corpus_stats(tf) if stats is None else stats
     scores = bm25_scores(tf, qt, dfs, stats, cfg)
     return topk(scores, k or cfg.k)

@@ -35,6 +35,34 @@ def normalize_repo_files(df: DataFrame) -> DataFrame:
     )
 
 
+def doc_id_collisions(docs: DataFrame) -> DataFrame:
+    """doc_ids claimed by more than one distinct natural key.
+
+    ``doc_id = xxhash64(repo, path, commit)`` is 64-bit; at the 10^12-doc
+    design point birthday collisions are expected (~n²/2⁶⁵ pairs) and would
+    silently merge distinct documents' postings and dedup groups. The
+    reference keys by the raw uid string (no lossy hash), so it cannot
+    collide — this check restores that guarantee at build time. Returns the
+    offending (doc_id, n_keys) rows; empty ⇒ safe."""
+    return (
+        docs.groupBy("doc_id")
+        .agg(F.count_distinct(*[F.col(c) for c in KEY_COLS]).alias("n_keys"))
+        .filter(F.col("n_keys") > 1)
+    )
+
+
+def assert_no_doc_id_collisions(docs: DataFrame) -> None:
+    """Fail the build loudly on any 64-bit doc_id collision (the scale-path
+    alternative is widening to 128 bits via a second hash column)."""
+    hits = doc_id_collisions(docs).limit(5).collect()
+    if hits:
+        raise ValueError(
+            f"doc_id collisions detected (first {len(hits)}): "
+            + ", ".join(str(r["doc_id"]) for r in hits)
+            + " — widen the key (two-hash 128-bit) or re-salt"
+        )
+
+
 def verify_sha_invariant(source: DataFrame, docs: DataFrame) -> int:
     """Count rows whose ``sha256(content)`` differs between source and docs —
     must be 0 (input_hint per-row invariant). Join on the natural key."""

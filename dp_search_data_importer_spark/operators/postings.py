@@ -25,7 +25,7 @@ back to the docs table (no second wide shuffle at query time).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dp_search_data_importer_spark.config import EngineConfig
@@ -65,7 +65,9 @@ def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
 
 
 def corpus_stats(tf: DataFrame) -> DataFrame:
-    """Single-row (n_docs, avgdl). One cheap agg over distinct docs."""
+    """Single-row (n_docs, avgdl) from the tf table. NOTE: excludes docs that
+    tokenize to zero terms (they have no tf rows); use
+    :func:`corpus_stats_from_docs` for Lucene-consistent docCount semantics."""
     per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -73,25 +75,63 @@ def corpus_stats(tf: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_from_docs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           code_aware: bool = False) -> DataFrame:
+    """Single-row (n_docs, avgdl) computed from the documents table itself:
+    docs with zero tokens count toward N with dl=0, matching Lucene's
+    ``BM25Similarity`` docCount/avgdl (an ES-built index includes empty docs
+    in its stats). Pure Catalyst — one projection + one agg."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_expr,
+    )
+
+    tok = tokenize_code_expr if code_aware else tokenize_expr
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tok(text_col)).cast("long").alias("dl"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
 def doc_freqs(tf: DataFrame, cfg: EngineConfig | None = None,
-              salted: bool = False) -> DataFrame:
+              salted: bool = False,
+              hot: list[str] | None = None) -> DataFrame:
     """(term, df). With ``salted=True``, a two-level aggregation: partial
     counts per (term, salt) then a final sum — bounds any single reducer's
     input for heavy-hitter terms ('import' appears in ~every doc at 10^12
     scale). Spark's hash aggregate already does map-side partials, so salting
     mainly guards the *final* reducer against a single hot key; AQE skew
     handling complements it. Property-tested: salted ≡ unsalted.
+
+    With ``hot`` (a measured heavy-hitter list from :func:`hot_terms`, fed
+    back from the previous build's stats — SURVEY.md §7 hard part b), only
+    the hot slice pays the two-phase cost; the long tail aggregates directly.
     """
     cfg = cfg or EngineConfig()
+    direct = lambda d: d.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def two_phase(d: DataFrame) -> DataFrame:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)).alias("salt")
+        partial = (
+            d.select("term", salt)
+            .groupBy("term", "salt")
+            .agg(F.count(F.lit(1)).alias("pdf"))
+        )
+        return partial.groupBy("term").agg(
+            F.sum("pdf").cast("long").alias("df"))
+
+    if hot:
+        is_hot = F.col("term").isin(list(hot))
+        return two_phase(tf.filter(is_hot)).unionByName(
+            direct(tf.filter(~is_hot)))
     if not salted:
-        return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)).alias("salt")
-    partial = (
-        tf.select("term", salt)
-        .groupBy("term", "salt")
-        .agg(F.count(F.lit(1)).alias("pdf"))
-    )
-    return partial.groupBy("term").agg(F.sum("pdf").cast("long").alias("df"))
+        return direct(tf)
+    return two_phase(tf)
 
 
 def hot_terms(df_table: DataFrame, n_docs: int, cfg: EngineConfig | None = None) -> list[str]:
@@ -110,23 +150,3 @@ def hot_terms(df_table: DataFrame, n_docs: int, cfg: EngineConfig | None = None)
     return sorted(set(measured) | set(cfg.static_hot_terms))
 
 
-def sorted_postings(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """(term, doc_id, tf, dl) range-partitioned by (term, doc_id) and sorted
-    within partitions — the physical layout the block compressor consumes.
-
-    Range partitioning on the *pair* is the skew answer for posting-list
-    construction: a term with 10^10 postings simply occupies many contiguous
-    partitions, each holding a doc_id-sorted run that compresses into
-    independent blocks. No collect_list of unbounded size anywhere.
-    """
-    p = tf.repartitionByRange(
-        *( [num_partitions] if num_partitions else [] ), "term", "doc_id"
-    )
-    return p.sortWithinPartitions("term", "doc_id")
-
-
-def bucket_expr(term: Column | str, n_buckets: int) -> Column:
-    """Stable term → bucket assignment used to partition index shards on disk
-    (query-time partition pruning: scan only buckets of the query's terms)."""
-    t = F.col(term) if isinstance(term, str) else term
-    return F.pmod(F.xxhash64(t), F.lit(n_buckets)).cast("int")

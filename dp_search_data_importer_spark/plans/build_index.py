@@ -55,7 +55,7 @@ from dp_search_data_importer_spark.functions.tokenize import (
 )
 from dp_search_data_importer_spark.operators.codec import encode_block
 from dp_search_data_importer_spark.operators.ingest import normalize_repo_files
-from dp_search_data_importer_spark.operators.postings import doc_freqs
+from dp_search_data_importer_spark.operators.postings import doc_freqs, hot_terms
 
 BLOCKS_SCHEMA = (
     "shard int, term string, block_id long, first_doc_id long, n_docs long, "
@@ -148,6 +148,7 @@ def build_index(
     waves: int = 2,
     resume: bool = True,
     already_normalized: bool = False,
+    check_collisions: bool = False,
     verbose: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index under ``out_dir``.
@@ -175,9 +176,28 @@ def build_index(
             print(f"[build_index] {name}: {_phases[name]}s", flush=True)
             _t = now
 
+    import shutil as _shutil
+
     cfg = cfg or EngineConfig()
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        # a fresh build into an existing out_dir must not inherit stale
+        # postings/manifest rows (re-run with resume=False used to APPEND
+        # postings on top of committed blocks — duplicated scores)
+        for sub in ("postings", "_manifest", "docs", "term_df"):
+            _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        for fn in ("stats.json",):
+            try:
+                os.remove(os.path.join(out_dir, fn))
+            except FileNotFoundError:
+                pass
     docs = repo_files if already_normalized else normalize_repo_files(repo_files)
+    if check_collisions and not already_normalized:
+        from dp_search_data_importer_spark.operators.ingest import (
+            assert_no_doc_id_collisions,
+        )
+
+        assert_no_doc_id_collisions(docs)
     docs = docs.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
@@ -197,8 +217,6 @@ def build_index(
     # 156 s vs 88 s at 8 cores on 120k docs; parquet spill removes it).
     # This is also the 10^12-scale design — the intermediate is a table,
     # not executor memory.
-    import shutil as _shutil
-
     tf_tmp = os.path.join(out_dir, "_tf_tmp")
     tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col
                            ).withColumn(
@@ -210,21 +228,22 @@ def build_index(
     _mark("tokenize_spill")
     try:
         if not (resume and os.path.exists(stats_path)):
-            # ---- stats pass: ONE job yields global N/avgdl AND the
-            # per-shard doc counts for every wave's manifest (job-count
-            # discipline: each Spark job carries ~0.5-2 s of fixed overhead
-            # that anti-scales small builds)
+            # ---- stats pass. N and per-shard doc counts come from the
+            # normalized DOCS table, not from tf: a doc whose content
+            # tokenizes to zero terms (empty/symbol-only file) is still a
+            # document — Lucene's BM25 docCount includes it, so idf/avgdl
+            # must divide by it too, and the manifest must agree with docs/.
+            # Σ_doc dl = Σ_doc Σ_term tf = sum(tf): one cheap agg over the
+            # compact parquet intermediate, no re-tokenize; zero-term docs
+            # contribute 0 to the sum and are counted in N via docs.
             per_shard_rows = (
-                tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-                .withColumn("shard",
-                            F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
-                .groupBy("shard")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
-                .collect()
+                docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            sum_dl_total = (
+                tf.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
             )
             _mark("tokenize+stats")
             n_docs_total = sum(r["n"] for r in per_shard_rows)
-            sum_dl_total = sum(r["sum_dl"] for r in per_shard_rows)
             stats = {
                 "n_docs": int(n_docs_total),
                 "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
@@ -233,8 +252,19 @@ def build_index(
                 "code_aware": code_aware,
                 "shard_docs": {int(r["shard"]): int(r["n"]) for r in per_shard_rows},
             }
-            doc_freqs(tf, cfg, salted=True).write.mode("overwrite").parquet(
+            # measured-df-driven salting (SURVEY.md §7 hard part b): bootstrap
+            # with the static hot list; the measured heavy hitters are
+            # recorded in stats.json below and drive the NEXT build/resume.
+            prior_hot = []
+            if resume and os.path.exists(stats_path):
+                prior_hot = read_stats_json(out_dir).get("hot_terms", [])
+            hot = sorted(set(cfg.static_hot_terms) | set(prior_hot))
+            doc_freqs(tf, cfg, hot=hot).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "term_df")
+            )
+            stats["hot_terms"] = hot_terms(
+                spark.read.parquet(os.path.join(out_dir, "term_df")),
+                n_docs_total, cfg,
             )
             _mark("term_df_write")
             # repartition to one task per shard before the partitioned write:
@@ -276,7 +306,13 @@ def build_index(
                 ),
                 schema=BLOCKS_SCHEMA,
             )
-            (blocks.write.mode("append").partitionBy("shard")
+            # dynamic partition overwrite, NOT append: a crash in the window
+            # between the postings commit and append_manifest leaves the wave
+            # un-manifested; the resume rebuilds it, and overwrite replaces
+            # the stale shard=s dirs instead of appending duplicate blocks
+            # (duplicated postings would double exact scores and inflate WAND).
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (blocks.write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(out_dir, "postings")))
             _mark(f"wave{w}_compress_write")
             # manifest from read-back: certifies disk state (checkpoint.py)

@@ -57,6 +57,12 @@ _SQL_TF = (
     "GROUP BY doc_id, term"
 )
 _SQL_DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_SQL_TOKS_NONEMPTY}) GROUP BY doc_id"
+# document-level dl (zero-token docs kept with dl=0): Lucene's BM25 docCount
+# includes empty docs, so N/avgdl must be computed over ALL documents
+_SQL_DL_DOCS = (
+    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents"
+)
 
 _SQL_QUERY_VALUES = ", ".join(f"({qid}, '{qt}')" for qid, qt in QUERY_SET)
 
@@ -96,15 +102,19 @@ def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2: corpus N + avgdl (exact: integer sums)."""
-    tf = _docs_tf(spark, sf_dir)
-    return postings_ops.corpus_stats(tf)
+    """B2: corpus N + avgdl, Lucene docCount semantics (zero-token docs count
+    toward N with dl=0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return postings_ops.corpus_stats_from_docs(docs)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (B4+B5): exact BM25 top-10 for the reference query set."""
-    tf = _docs_tf(spark, sf_dir)
-    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K)
+    """Flagship (B4+B5): exact BM25 top-10 for the reference query set.
+    N/avgdl come from the documents table (Lucene docCount semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    stats = postings_ops.corpus_stats_from_docs(docs)
+    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats)
 
 
 def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +250,8 @@ qt AS (
 qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
 tf AS ({_SQL_TF}),
 dl AS ({_SQL_DL}),
-stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dl_docs AS ({_SQL_DL_DOCS}),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 scored AS (
   SELECT qt2.query_id, tf.doc_id,
@@ -279,7 +290,7 @@ ORACLES: dict[str, str] = {
         f"SELECT term, count(*)::BIGINT AS df FROM ({_SQL_TF}) GROUP BY term"
     ),
     "corpus_stats": (
-        f"SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ({_SQL_DL})"
+        f"SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ({_SQL_DL_DOCS})"
     ),
     "bm25_topk": _BM25_SQL,
     "ingest_normalize": (

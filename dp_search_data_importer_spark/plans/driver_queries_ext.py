@@ -227,7 +227,7 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = bm25_ops.query_terms(queries)
     n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nt"))
     dfs = postings_ops.doc_freqs(tf)
-    stats = postings_ops.corpus_stats(tf)
+    stats = postings_ops.corpus_stats_from_docs(docs)
     scores = bm25_ops.bm25_scores(tf, qt, dfs, stats)
     matched = (
         tf.join(F.broadcast(qt), "term")
@@ -329,7 +329,10 @@ EXT_ORACLES = {
                WHERE term <> '' GROUP BY doc_id, term),
         dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
                WHERE term <> '' GROUP BY doc_id),
-        stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        dl_docs AS (
+          SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+        stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
         dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
         matched AS (
           SELECT qt2.query_id, tf.doc_id

@@ -137,3 +137,100 @@ def test_resume_skips_completed_and_is_identical(spark, corpus, built, tmp_path)
     resumed = {r["shard"]: r["content_fingerprint"]
                for r in read_manifest(spark, out2).collect()}
     assert resumed == full
+
+
+def test_resume_after_postings_commit_no_duplicates(spark, corpus, built, tmp_path):
+    """The ADVICE-flagged window: crash BETWEEN the postings write commit and
+    append_manifest. The wave's shard dirs are on disk but un-manifested; the
+    resume rebuilds them and must REPLACE (dynamic overwrite), not append —
+    appending would double postings and inflate every score."""
+    import os
+
+    from dp_search_data_importer_spark.checkpoint import read_manifest
+
+    out_full, _ = built
+    full = {r["shard"]: r["content_fingerprint"]
+            for r in read_manifest(spark, out_full).collect()}
+    full_blocks = spark.read.parquet(os.path.join(out_full, "postings")).count()
+
+    out2 = str(tmp_path / "idx3")
+    build_index(spark, corpus, out2, CFG, code_aware=True, waves=2)
+    # simulate the crash: drop manifest rows for shards 2,3 but KEEP their
+    # committed postings dirs on disk
+    m = spark.read.parquet(os.path.join(out2, "_manifest"))
+    schema = m.schema
+    keep = m.filter(F.col("shard") < 2).collect()
+    shutil.rmtree(os.path.join(out2, "_manifest"))
+    spark.createDataFrame(keep, schema=schema).write.parquet(
+        os.path.join(out2, "_manifest")
+    )
+
+    build_index(spark, corpus, out2, CFG, code_aware=True, waves=2, resume=True)
+    resumed = {r["shard"]: r["content_fingerprint"]
+               for r in read_manifest(spark, out2).collect()}
+    assert resumed == full
+    assert spark.read.parquet(
+        os.path.join(out2, "postings")).count() == full_blocks
+
+
+def test_rebuild_with_resume_false_replaces(spark, corpus, built, tmp_path):
+    """resume=False into an existing out_dir must produce the same index as a
+    fresh build (no stale postings/manifest inherited)."""
+    import os
+
+    from dp_search_data_importer_spark.checkpoint import read_manifest
+
+    out_full, _ = built
+    full = {r["shard"]: r["content_fingerprint"]
+            for r in read_manifest(spark, out_full).collect()}
+
+    out2 = str(tmp_path / "idx4")
+    build_index(spark, corpus, out2, CFG, code_aware=True, waves=2)
+    build_index(spark, corpus, out2, CFG, code_aware=True, waves=2, resume=False)
+    m = read_manifest(spark, out2)
+    rows = m.collect()
+    assert len(rows) == CFG.n_shards  # exactly one manifest row per shard
+    assert {r["shard"]: r["content_fingerprint"] for r in rows} == full
+    assert spark.read.parquet(
+        os.path.join(out2, "postings")).count() == spark.read.parquet(
+        os.path.join(out_full, "postings")).count()
+
+
+def test_zero_token_docs_counted_in_stats(spark, tmp_path):
+    """Lucene docCount semantics: a doc that tokenizes to zero terms still
+    counts toward N (and contributes dl=0 to avgdl), and lands in docs/."""
+    import os
+
+    rows = [
+        ("r", "a.py", "c1", "def foo(): pass"),
+        ("r", "b.py", "c1", "!!! ???"),  # symbol-only → zero tokens
+        ("r", "c.py", "c1", "import os import sys"),
+    ]
+    src = spark.createDataFrame(rows, "repo string, path string, commit string, content string")
+    out = str(tmp_path / "idx_empty")
+    cfg = EngineConfig(n_shards=2, block_size=16)
+    stats = build_index(spark, src, out, cfg, code_aware=True, waves=1)
+    assert stats["n_docs"] == 3
+    # avgdl divides the total token count by ALL 3 docs
+    tok_total = (3 + 0 + 4)  # [def, foo, pass], [], [import, os, import, sys]
+    assert abs(stats["avgdl"] - tok_total / 3) < 1e-9
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == 3
+    from dp_search_data_importer_spark.checkpoint import read_manifest
+
+    assert sum(r["n_docs"] for r in read_manifest(spark, out).collect()) == 3
+
+
+def test_doc_id_collision_check(spark):
+    from dp_search_data_importer_spark.operators.ingest import (
+        doc_id_collisions,
+        normalize_repo_files,
+    )
+
+    rows = [("r", "a.py", "c1", "x"), ("r", "b.py", "c1", "y")]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string")
+    docs = normalize_repo_files(src)
+    assert doc_id_collisions(docs).count() == 0
+    # forced collision: same doc_id claimed by two distinct keys
+    forged = docs.withColumn("doc_id", F.lit(42).cast("long"))
+    assert doc_id_collisions(forged).count() == 1
