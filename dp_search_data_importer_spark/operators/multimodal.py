@@ -75,8 +75,11 @@ def _real_decoder_available() -> bool:
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in: md5(payload) → dim floats in [0, 1)."""
-    h = hashlib.md5(payload or b"").digest()
+    """Deterministic stand-in: md5 over the payload's lowercase hex encoding
+    → dim floats in [0, 1). Hashing the hex string (not raw bytes) keeps the
+    kernel reproducible in engines whose md5 is VARCHAR-only (DuckDB) — the
+    oracle for ``media_features`` replays it exactly in SQL."""
+    h = hashlib.md5((payload or b"").hex().encode()).digest()
     arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (arr.astype(np.float64) / 2**32).tolist()
 

@@ -65,8 +65,19 @@ def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global all-pairs exact Jaccard — tiny-corpus diagnostic form; the
+    scale-safe contract form is ``ngram_jaccard_lsh`` below."""
     return dd.ngram_jaccard_pairs(
         _augmented_docs(spark, sf_dir), n=3, threshold=0.5
+    )
+
+
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: exact Jaccard restricted to MinHash-LSH candidate pairs
+    (no global shingle self-join anywhere in the plan)."""
+    return dd.ngram_jaccard_lsh(
+        _augmented_docs(spark, sf_dir), n=3, threshold=0.5,
+        n_hashes=N_HASHES, bands=BANDS,
     )
 
 
@@ -85,8 +96,8 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only check (md5-bit kernel not 1:1 SQL-expressible);
-    pytest covers it against a numpy reference."""
+    """Oracle-checked: md5-bit fingerprints + 16-bit band join + bit_count
+    hamming verify, all replayed in SQL."""
     fps = sh.simhash_fingerprints(_augmented_docs(spark, sf_dir))
     return sh.simhash_candidate_pairs(fps, max_hamming=3)
 
@@ -133,8 +144,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (hyperplane buckets not SQL-expressible); recall vs brute
-    force measured in pytest."""
+    """Oracle-checked: the seeded hyperplane literals are injected into the
+    SQL twin, which probes hamming(bucket, query_bucket) ≤ 2 — exactly the
+    multiprobe-2 flip set."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = sim.hyperplanes(64, ANN_PLANES, seed=42)
     idx = sim.lsh_index(emb, planes)
@@ -142,7 +154,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only; exact dups injected (vec_id + 10000) so pairs exist."""
+    """Oracle-checked (plane literals injected into SQL); exact dups
+    injected (vec_id + 10000) so pairs exist."""
     emb = load_table(spark, sf_dir, "embeddings")
     aug = emb.unionByName(
         emb.filter(F.col("vec_id") % 4 == 0).select(
@@ -166,7 +179,9 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: synthetic media, stub decoder)."""
+    """Multimodal plumbing; oracle-checked — the deterministic payload
+    generation AND the fake-feature kernel replay exactly in SQL
+    (sha256/md5 over hex strings)."""
     from dp_search_data_importer_spark.operators.multimodal import (
         decode_features,
         synthetic_media,
@@ -178,7 +193,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan (rows-only)."""
+    """Video frame-sampling plan; oracle-checked (generate_series twin)."""
     from dp_search_data_importer_spark.operators.multimodal import (
         frame_sample_plan,
         synthetic_media,
@@ -249,6 +264,7 @@ EXT_QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_keep_representatives": q_dedup_keep_representatives,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "minhash_est_jaccard": q_minhash_est_jaccard,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dups": q_simhash_near_dups,
@@ -487,53 +503,8 @@ EXT_ORACLES = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.5
     """,
-    "minhash_est_jaccard": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
-                 generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
-          FROM ({_AUG_SQL})
-        ),
-        tok2 AS (
-          SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
-          FROM toks WHERE term <> ''
-        ),
-        sh AS (
-          SELECT DISTINCT a.doc_id,
-                 a.term || ' ' || b.term || ' ' || c.term AS shingle
-          FROM tok2 a
-          JOIN tok2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-          JOIN tok2 c ON a.doc_id = c.doc_id AND c.p = a.p + 2
-        ),
-        seeds AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed),
-        mh AS (
-          SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
-          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
-        ),
-        sig AS (
-          SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
-        ),
-        banded AS (
-          SELECT doc_id, band,
-                 md5(array_to_string(sig[band * {N_HASHES // BANDS} + 1 :
-                                         (band + 1) * {N_HASHES // BANDS}], '|')) AS bh
-          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {BANDS - 1})) AS band)
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ),
-        est AS (
-          SELECT doc_a, doc_b,
-                 round(len(list_filter(
-                     list_zip(sa.sig, sb.sig), z -> z[1] = z[2]
-                 ))::DOUBLE / {N_HASHES}, 4) AS est_jaccard
-          FROM cand
-          JOIN sig sa ON sa.doc_id = doc_a
-          JOIN sig sb ON sb.doc_id = doc_b
-        )
-        SELECT * FROM est WHERE est_jaccard >= 0.5
-    """,
+    "minhash_est_jaccard": None,  # assigned below from _MINHASH_CTES
+    "ngram_jaccard_lsh": None,    # assigned below from _MINHASH_CTES
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,
@@ -596,3 +567,225 @@ from dp_search_data_importer_spark.config import ENGLISH_STOPWORDS as _SW  # noq
 EXT_ORACLES["quality_scores"] = EXT_ORACLES["quality_scores"].replace(
     "{SW}", ", ".join(f"'{w}'" for w in sorted(_SW))
 )
+
+# ---------------------------------------------------------------------------
+# shared MinHash-LSH CTE chain over the augmented corpus — mirrors
+# dd.minhash_signatures / dd.minhash_candidates exactly (deterministic md5
+# "permutations", so the candidate set is bit-identical across engines)
+
+_MINHASH_CTES = f"""
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM ({_AUG_SQL})
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS shingle
+      FROM tok2 a
+      JOIN tok2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      JOIN tok2 c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sig[band * {N_HASHES // BANDS} + 1 :
+                                     (band + 1) * {N_HASHES // BANDS}], '|')) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {BANDS - 1})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+"""
+
+EXT_ORACLES["minhash_est_jaccard"] = f"""
+    WITH {_MINHASH_CTES},
+    est AS (
+      SELECT doc_a, doc_b,
+             round(len(list_filter(
+                 list_zip(sa.sig, sb.sig), z -> z[1] = z[2]
+             ))::DOUBLE / {N_HASHES}, 4) AS est_jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT * FROM est WHERE est_jaccard >= 0.5
+"""
+
+EXT_ORACLES["ngram_jaccard_lsh"] = f"""
+    WITH {_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.5
+"""
+
+# ---------------------------------------------------------------------------
+# SimHash near-dups: fingerprint kernel (already oracled) + 16-bit band
+# blocking + bit_count hamming verify — all in SQL over the augmented corpus
+
+EXT_ORACLES["simhash_near_dups"] = rf"""
+    WITH aug AS ({_AUG_SQL}),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM aug
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    h AS (
+      SELECT doc_id, tf,
+             ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv
+      FROM tf
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS acc
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    fp0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS fp
+      FROM bits GROUP BY doc_id
+      UNION ALL
+      -- zero-token docs: the engine emits fp=0 for every doc
+      SELECT doc_id, 0::UBIGINT AS fp FROM aug
+      WHERE doc_id NOT IN (SELECT doc_id FROM tf)
+    ),
+    bandedf AS (
+      SELECT doc_id, fp, b.band, (fp >> (b.band * 16)) & 65535 AS bh
+      FROM fp0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    candf AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                      b.doc_id AS doc_b, b.fp AS fp_b
+      FROM bandedf a JOIN bandedf b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+    FROM candf WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal: the synthetic payload (repeat(sha256 digest)) and the fake
+# feature kernel (md5 over the payload hex) replay exactly in SQL
+
+_MEDIA_GEN = """
+    SELECT i AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           repeat(sha256('42:' || i), (4 + i % 8)::INT) AS payload_hex,
+           CASE WHEN i % 3 = 2 THEN (i % 40) * 500 ELSE 0 END AS duration_ms
+    FROM range(120) t(i)
+"""
+
+EXT_ORACLES["media_features"] = f"""
+    WITH m AS ({_MEDIA_GEN}),
+    h AS (SELECT media_id, kind, md5(payload_hex) AS mh FROM m)
+    SELECT media_id, kind,
+           round((('0x' || substr(mh, 7, 2) || substr(mh, 5, 2)
+                        || substr(mh, 3, 2) || substr(mh, 1, 2))::UINTEGER)::DOUBLE
+                 / 4294967296.0, 6) AS f0
+    FROM h
+"""
+
+EXT_ORACLES["frame_sample_plan"] = f"""
+    WITH m AS ({_MEDIA_GEN})
+    SELECT media_id,
+           unnest(generate_series(0, duration_ms - 1, 1000))::BIGINT AS frame_ts_ms
+    FROM m WHERE kind = 'video' AND duration_ms > 0
+"""
+
+# ---------------------------------------------------------------------------
+# embedding LSH oracles: the seeded hyperplanes are plan-time constants, so
+# they inject into SQL as literals (same trick as embedding_cosine_topk's
+# query vector); multiprobe-2 ≡ hamming(bucket, query_bucket) ≤ 2
+
+
+def _plane_sql(p) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_sql(planes, vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + "\n + ".join(terms) + ")::BIGINT"
+
+
+def _embedding_near_dups_sql() -> str:
+    planes = sim.hyperplanes(64, 8, seed=7)
+    bucket = _bucket_sql(planes, "embedding::DOUBLE[]")
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 4 = 0
+    ),
+    b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM aug
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+             round(list_dot_product(a.e, bb.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(bb.e, bb.e))), 4) AS cosine
+      FROM b a JOIN b bb
+        ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.99
+    """
+
+
+def _embedding_ann_topk_sql() -> str:
+    planes = sim.hyperplanes(64, ANN_PLANES, seed=42)
+    bucket = _bucket_sql(planes, "embedding::DOUBLE[]")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    probed AS (
+      SELECT vec_id,
+             round(list_dot_product(e, qe)
+                   / (sqrt(list_dot_product(e, e))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+      FROM b CROSS JOIN q
+      WHERE bit_count(xor(bucket, qb)) <= 2
+    )
+    SELECT vec_id, cosine FROM probed
+    ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """
+
+
+EXT_ORACLES["embedding_near_dups"] = _embedding_near_dups_sql()
+EXT_ORACLES["embedding_ann_topk"] = _embedding_ann_topk_sql()

@@ -88,3 +88,42 @@ def test_shingles_expr_matches_python(spark):
     # doc shorter than n → no rows
     tiny = spark.createDataFrame([(2, "a")], "doc_id long, text string")
     assert dd.shingle_sets(tiny, n=3).count() == 0
+
+
+def test_ngram_jaccard_lsh_subset_and_recall(spark):
+    """The LSH-restricted exact Jaccard returns a subset of the global
+    all-pairs result (identical values where present); raising n_hashes/bands
+    recovers the full set on this corpus."""
+    docs = _docs(spark)
+    glob = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_lsh(
+            docs, n=3, threshold=0.5, n_hashes=16, bands=4).collect()
+    }
+    assert set(lsh) <= set(glob)
+    for k, v in lsh.items():
+        assert v == glob[k]  # exact Jaccard, not an estimate
+    hi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_lsh(
+            docs, n=3, threshold=0.5, n_hashes=32, bands=16).collect()
+    }
+    assert hi == glob  # r=2 rows/band: P(candidate | J>=0.5) > 0.99
+
+
+def test_ngram_jaccard_lsh_no_global_shingle_self_join(spark):
+    """Plan regression: every join touching the shingle relation must be
+    keyed on a doc column too — the global shingle-only equi-join (the d²/2
+    explosion) must not appear anywhere in the optimized plan."""
+    docs = _docs(spark)
+    plan = dd.ngram_jaccard_lsh(docs, n=3, threshold=0.5)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    import re
+
+    for cond in re.findall(r"Join [a-zA-Z]+, (\(.*\))", plan):
+        if "shingle" in cond:
+            assert "doc_" in cond, f"shingle-only join found: {cond}"
