@@ -1,23 +1,21 @@
 """SimHash near-dup fingerprints (Charikar 2002; used by Manku et al.,
-WWW 2007 for web-scale dedup) — Arrow-vectorized.
+WWW 2007 for web-scale dedup) — pure Catalyst.
 
 Per doc: every term contributes its tf as weight to the 64 bit positions of
 its md5-derived hash (+w where the bit is 1, −w where 0); the fingerprint's
 bit i is the sign of the accumulated weight. Near-dups differ in few bits.
 
-Hot path is numpy over Arrow batches (no per-row Python at the Spark
-boundary); candidate pairing uses 16-bit band equality (any of 4 bands equal
-⇒ hamming distance ≤ 3 guaranteed found — pigeonhole), a plain Catalyst
-join on uniform keys.
+The whole pipeline is JVM-side (built-in md5 + bit-explode + two hash aggs
+with map-side partials, all whole-stage-codegen'd); candidate pairing uses
+16-bit band equality (any of 4 bands equal ⇒ hamming distance ≤ 3 guaranteed
+found — pigeonhole), a plain Catalyst join on uniform keys.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,19 +43,51 @@ def simhash64_py(text: str) -> int:
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash long) via mapInPandas."""
+    """(doc_id, simhash long) — pure Catalyst, zero Python on the data path.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                "simhash": pd.Series(
-                    [simhash64_py(t) for t in pdf[text_col]], dtype="int64"
-                ),
-            })
+    Each distinct (doc, term) row is hashed ONCE with the built-in ``md5``
+    (JVM-side, whole-stage-codegen'd; a previous kernel called hashlib.md5
+    per term inside an Arrow batch loop — per-token Python on the hot path).
+    The 64 bit positions explode from the tf table, accumulate ±tf per
+    (doc, bit) with map-side partial aggregation, and the fingerprint
+    reassembles as Σ 1<<bit over positive accumulators. Docs that tokenize
+    to zero terms keep fingerprint 0 (left join back to the doc set).
+    ``simhash64_py`` remains as the independent numpy test kernel."""
+    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+    from dp_search_data_importer_spark.operators.textstats import hex16_to_long
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema="doc_id long, simhash long"
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    tf = (
+        base.select("doc_id", F.explode(tokenize_expr(F.col("_t"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hashed = tf.select(
+        "doc_id", "tf",
+        hex16_to_long(F.substring(F.md5("term"), 1, 16)).alias("hv"),
+    )
+    bits = hashed.select(
+        "doc_id", "tf", "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        "doc_id", "bit",
+        # column-valued shift amounts need the SQL form (the python wrapper
+        # only takes int literals)
+        F.when(
+            F.expr("shiftrightunsigned(hv, bit) & 1") == 1, F.col("tf")
+        ).otherwise(-F.col("tf")).alias("w"),
+    )
+    acc = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("acc"))
+    fp = acc.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("acc") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return (
+        base.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
 
 

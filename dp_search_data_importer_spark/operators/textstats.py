@@ -129,29 +129,67 @@ def winnowing_py(text: str, k: int = 5, window: int = 4) -> list[int]:
     return sorted({int(x.astype(np.int64)) for x in mins})
 
 
+def hex16_to_long(hex_col: Column) -> Column:
+    """16 hex chars → the same 64 bits as a SIGNED long, pure Catalyst:
+    conv() each 8-hex half (fits in 32 bits, no unsigned overflow), then
+    shiftleft|or reassembles the word — shiftleft is a bit op, so the sign
+    bit lands naturally without ANSI overflow errors."""
+    hi = F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_col, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
                            window: int = 4) -> DataFrame:
-    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram rolling
-    hashes, min per sliding window of w, distinct mins = the doc's
-    fingerprint set. Arrow mapInPandas + numpy sliding_window_view (the
-    equivalent nested higher-order Catalyst expression falls off the codegen
-    fast path — measured 400 ms/row interpreted vs ~0.2 ms/row here).
-    Returns exploded (doc_id, fp) rows for fingerprint-level joins."""
-    import pandas as pd
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram hashes,
+    min per sliding window of w, distinct mins = the doc's fingerprint set.
+    Returns exploded (doc_id, fp) rows for fingerprint-level joins.
 
-    def gen(batches):
-        for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                mins = winnowing_py(text, k, window)
-                ids.extend([doc_id] * len(mins))
-                fps.extend(mins)
-            yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "fp": pd.Series(fps, dtype="int64"),
-            })
+    Zero Python and zero shuffle on the data path (a previous Arrow/numpy
+    kernel hashed every k-gram with hashlib.md5 in a Python loop — per-token
+    Python on the hot path). The whole computation is per-doc array algebra
+    in one NARROW projection: k-gram hashes via ``transform`` over start
+    offsets (built-in JVM ``md5``, first 16 hex chars — fixed-width lowercase
+    hex order ≡ unsigned numeric order, so mins compare as strings), sliding
+    min via ``array_min`` over window slices, then distinct + explode. Only
+    the distinct winners convert to signed longs. No window functions, so no
+    doc_id exchange — the operator pipelines inside the scan stage, which is
+    the shape that survives 100 TB (shuffle volume: zero). Single-level
+    higher-order functions only (nested HOFs fall back to interpreted eval —
+    measured pathological in round 1; this formulation doesn't).
+    ``winnowing_py`` remains as the independent test kernel."""
+    toks = tokenize_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"),
+        F.size(toks).alias("n"),
+    ).filter(F.col("n") >= k)
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema="doc_id long, fp long"
+    # element_at + concat/least instead of slice + concat_ws/array_min:
+    # O(1) reads with no per-element array allocation — measured 1.9× faster
+    # in interpreted HOF eval (tools/bench_kernels.py)
+    def _gram_hx(i):
+        parts = []
+        for j in range(k):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(F.col("toks"), i + j))
+        return F.substring(F.md5(F.concat(*parts)), 1, 16)
+
+    hx = F.transform(F.sequence(F.lit(1), F.col("n") - (k - 1)), _gram_hx)
+    grams = base.select(
+        "doc_id", hx.alias("hx"), (F.col("n") - (k - 1)).alias("ng")
     )
+    # full windows when ng >= window; a single truncated window (= the global
+    # min) when the doc has fewer grams than the window — kernel parity
+    mins_full = F.transform(
+        F.sequence(F.lit(1), F.col("ng") - (window - 1)),
+        lambda i: F.least(*[F.element_at(F.col("hx"), i + j)
+                            for j in range(window)]),
+    )
+    mins = F.when(F.col("ng") >= window, mins_full).otherwise(
+        F.array(F.array_min(F.col("hx"))))
+    out = grams.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("min_hx")
+    )
+    return out.select("doc_id", hex16_to_long(F.col("min_hx")).alias("fp"))
