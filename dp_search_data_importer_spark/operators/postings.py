@@ -43,15 +43,22 @@ def term_freqs(docs: DataFrame, *, code_aware: bool, id_col: str = "doc_id",
 
 
 def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Pure-Catalyst twin of :func:`term_freqs` (simple tokenizer): explode +
-    two aggs, fully whole-stage-codegen'd. Used as the oracle-parity path —
-    DuckDB can express it 1:1 — and property-tested equal to the Arrow path.
+                   text_col: str = "text",
+                   code_aware: bool = False) -> DataFrame:
+    """Pure-Catalyst twin of :func:`term_freqs`: explode + two aggs, fully
+    whole-stage-codegen'd. Used as the oracle-parity path — DuckDB can
+    express it 1:1 — and property-tested equal to the Arrow path. With
+    ``code_aware=True`` the camelCase/snake_case-splitting analyzer runs as
+    regexp_replace + split, still JVM-side (see tokenize_code_expr).
     """
-    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_expr,
+    )
 
+    tok = tokenize_code_expr if code_aware else tokenize_expr
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("toks")
+        F.col(id_col).alias("doc_id"), tok(text_col).alias("toks")
     )
     exploded = toks.select(
         "doc_id", F.size("toks").cast("long").alias("dl"),

@@ -132,7 +132,19 @@ def _compress_runs(
 
 
 def tokenize_docs(docs: DataFrame, *, code_aware: bool = True,
-                  text_col: str = "content") -> DataFrame:
+                  text_col: str = "content",
+                  tokenizer: str = "arrow") -> DataFrame:
+    """Map-side (doc_id, term, tf, dl) extraction. ``tokenizer="arrow"``
+    (default) is the Python/Arrow Counter path; ``"sql"`` is the pure
+    Catalyst twin — row-identical (property-tested), preferable on JVM-only
+    executors. Measured trade-off in BENCH/ANALYSIS.md (round 2)."""
+    if tokenizer == "sql":
+        from dp_search_data_importer_spark.operators.postings import (
+            term_freqs_sql,
+        )
+
+        return term_freqs_sql(docs, id_col="doc_id", text_col=text_col,
+                              code_aware=code_aware)
     fn = code_term_freqs if code_aware else simple_term_freqs
     return fn(docs, id_col="doc_id", text_col=text_col)
 
@@ -145,6 +157,7 @@ def build_index(
     *,
     code_aware: bool = True,
     text_col: str = "content",
+    tokenizer: str = "arrow",
     waves: int = 2,
     resume: bool = True,
     already_normalized: bool = False,
@@ -218,8 +231,8 @@ def build_index(
     # This is also the 10^12-scale design — the intermediate is a table,
     # not executor memory.
     tf_tmp = os.path.join(out_dir, "_tf_tmp")
-    tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col
-                           ).withColumn(
+    tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col,
+                           tokenizer=tokenizer).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
     if not (resume and os.path.exists(os.path.join(tf_tmp, "_SUCCESS"))):

@@ -28,28 +28,78 @@ and the Avro payload decodes with ``from_avro(col("value"), schema_json)``
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 N_BUCKETS = 16
+_STAGING = "_staging"
+_BACKUP_PREFIX = "_old_bucket="
 
 
 def _bucket(uid_col):
     return F.pmod(F.xxhash64(uid_col), F.lit(N_BUCKETS)).cast("int")
 
 
-def upsert_batch(batch: DataFrame, store_dir: str, key: str = "uid") -> None:
-    """Idempotent keyed upsert of one micro-batch into the bucketed store.
+def recover_store(store_dir: str) -> int:
+    """Roll forward/back an upsert interrupted mid-swap. For every backup
+    dir ``_old_bucket=k``: if ``bucket=k`` is missing the swap died between
+    the two renames — restore the backup; otherwise the new data landed —
+    drop the backup. Returns the number of repaired buckets. Idempotent;
+    called on entry to every upsert."""
+    if not os.path.exists(store_dir):
+        return 0
+    repaired = 0
+    for name in sorted(os.listdir(store_dir)):
+        if not name.startswith(_BACKUP_PREFIX):
+            continue
+        k = name[len(_BACKUP_PREFIX):]
+        live = os.path.join(store_dir, f"bucket={k}")
+        backup = os.path.join(store_dir, name)
+        if not os.path.exists(live):
+            os.rename(backup, live)
+            repaired += 1
+        else:
+            shutil.rmtree(backup)
+    staging = os.path.join(store_dir, _STAGING)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    return repaired
+
+
+def upsert_batch(batch: DataFrame, store_dir: str, key: str = "uid") -> dict:
+    """Idempotent keyed upsert of one micro-batch into the bucketed store;
+    returns per-batch accounting (A9 twin of handler.go:96-128's
+    documents_received / documents_inserted).
 
     Last-writer-wins within the batch (highest ``seq`` if present), then the
     batch overrides the store. Only buckets touched by the batch are
-    rewritten (dynamic partition overwrite) — the Iceberg MERGE INTO
-    analogue at parquet level.
+    rewritten — the Iceberg MERGE INTO analogue at parquet level, made
+    crash-safe in two steps:
+
+    1. the combined (existing ∖ batch keys) ∪ batch rows are STAGED to a
+       sibling parquet dir and read back, so the store is never overwritten
+       from a plan that still reads it (an executor loss mid-write cannot
+       trigger a lineage recompute against half-overwritten input);
+    2. each touched ``bucket=k`` dir is swapped via rename (live → backup,
+       staged → live, drop backup). A crash between renames leaves a backup
+       dir that :func:`recover_store` repairs on the next call — no window
+       loses committed rows.
+
+    On a real deployment this whole dance is one transactional
+    ``MERGE INTO`` on an Iceberg/Delta table; the staging+swap here gives
+    the same effectively-once contract on plain parquet, for a
+    single-writer stream (Structured Streaming serializes foreachBatch).
     """
     spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    os.makedirs(store_dir, exist_ok=True)
+    recover_store(store_dir)
+
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("received"))
     batch = batch.withColumn("bucket", _bucket(F.col(key)))
     if "seq" in batch.columns:
         from pyspark.sql.window import Window
@@ -60,31 +110,54 @@ def upsert_batch(batch: DataFrame, store_dir: str, key: str = "uid") -> None:
     else:
         batch = batch.dropDuplicates([key])
 
-    exists = os.path.exists(store_dir) and any(
-        f.startswith("bucket=") for f in os.listdir(store_dir)
-    )
+    exists = any(f.startswith("bucket=") for f in os.listdir(store_dir))
+    staging = os.path.join(store_dir, _STAGING)
+    ups_obs = Observation()
     if exists:
         touched = [r["bucket"] for r in
                    batch.select("bucket").distinct().collect()]
+        if not touched:  # empty micro-batch: nothing to stage or swap
+            return {"documents_received": 0, "documents_upserted": 0,
+                    "buckets_touched": 0}
         existing = (
             spark.read.parquet(store_dir)
             .filter(F.col("bucket").isin(touched))
             .join(batch.select(key), key, "left_anti")  # batch wins
         )
-        from pyspark import StorageLevel
-
-        combined = existing.unionByName(batch)
-        # materialize fully (memory+disk: survives eviction) BEFORE
-        # overwriting the very partitions being read — with Iceberg this
-        # whole dance is a single transactional MERGE INTO
-        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
-        combined.count()
+        combined = existing.unionByName(
+            batch.observe(ups_obs, F.count(F.lit(1)).alias("upserted"))
+        )
         (combined.repartition(len(touched), "bucket")
-         .write.mode("overwrite").partitionBy("bucket").parquet(store_dir))
-        combined.unpersist()
+         .write.mode("overwrite").partitionBy("bucket").parquet(staging))
     else:
-        (batch.repartition(N_BUCKETS, "bucket")
-         .write.mode("overwrite").partitionBy("bucket").parquet(store_dir))
+        (batch.observe(ups_obs, F.count(F.lit(1)).alias("upserted"))
+         .repartition(N_BUCKETS, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(staging))
+        touched = [
+            int(d.split("=", 1)[1]) for d in os.listdir(staging)
+            if d.startswith("bucket=")
+        ]
+
+    # atomic-per-bucket swap: staged dirs replace live dirs via rename
+    for k in sorted(touched):
+        live = os.path.join(store_dir, f"bucket={k}")
+        staged = os.path.join(staging, f"bucket={k}")
+        backup = os.path.join(store_dir, f"{_BACKUP_PREFIX}{k}")
+        if not os.path.exists(staged):
+            continue  # batch named the bucket but staged no rows (no-op)
+        if os.path.exists(live):
+            os.rename(live, backup)
+        os.rename(staged, live)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    metrics = {
+        "documents_received": int(obs.get["received"]),
+        "documents_upserted": int(ups_obs.get["upserted"]),
+        "buckets_touched": len(touched),
+    }
+    return metrics
 
 
 def run_ingest_stream(
@@ -97,10 +170,21 @@ def run_ingest_stream(
 ):
     """events (streaming DF) → foreachBatch idempotent upsert. Returns the
     StreamingQuery. ``available_now`` drains bounded input then stops (test
-    mode); otherwise the reference's 5 s micro-batch cadence applies."""
+    mode); otherwise the reference's 5 s micro-batch cadence applies.
+
+    Per-batch accounting (A9: handler.go:96-128 logs documents_received /
+    documents_inserted per batch) is appended to ``<store>/_metrics.jsonl``
+    — one JSON line per micro-batch."""
+
+    def _handle(df: DataFrame, batch_id: int) -> None:
+        m = upsert_batch(df, store_dir, key)
+        m["batch_id"] = int(batch_id)
+        with open(os.path.join(store_dir, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m, sort_keys=True) + "\n")
+
     writer = (
         events.writeStream
-        .foreachBatch(lambda df, _id: upsert_batch(df, store_dir, key))
+        .foreachBatch(_handle)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -78,3 +78,75 @@ def test_windowed_counts_batch_twin(spark, sf_dir):
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == ev.count()
     assert all(r["win_end"] > r["win_start"] for r in rows)
+
+
+def test_upsert_metrics_accounting(spark, tmp_path):
+    """A9 twin: per-batch documents_received / documents_upserted, like
+    handler.go:96-128's log counters."""
+    store = str(tmp_path / "store_m")
+    b1 = spark.createDataFrame(
+        [("a", "A1", 1), ("b", "B1", 1), ("a", "A2", 2)], EVENT_SCHEMA)
+    m1 = upsert_batch(b1, store)
+    assert m1["documents_received"] == 3
+    assert m1["documents_upserted"] == 2  # in-batch dedup: a collapses
+    m2 = upsert_batch(
+        spark.createDataFrame([("a", "A3", 3), ("c", "C1", 1)], EVENT_SCHEMA),
+        store)
+    assert m2 == {"documents_received": 2, "documents_upserted": 2,
+                  "buckets_touched": m2["buckets_touched"]}
+
+
+def test_upsert_crash_mid_swap_recovers(spark, tmp_path):
+    """Kill-mid-upsert: simulate a crash between the two renames of a bucket
+    swap (live moved to backup, staged not yet moved in). The next upsert
+    must restore the backup — no committed row is lost."""
+    import shutil
+
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        recover_store,
+    )
+
+    store = str(tmp_path / "store_c")
+    upsert_batch(spark.createDataFrame(
+        [("a", "A1", 1), ("b", "B1", 1)], EVENT_SCHEMA), store)
+    before = _store_contents(spark, store)
+
+    # simulate the torn state for every live bucket: live -> backup, and a
+    # half-written staging dir left behind
+    buckets = [d for d in os.listdir(store) if d.startswith("bucket=")]
+    for d in buckets:
+        k = d.split("=", 1)[1]
+        os.rename(os.path.join(store, d),
+                  os.path.join(store, f"_old_bucket={k}"))
+    os.makedirs(os.path.join(store, "_staging", "bucket=999"), exist_ok=True)
+
+    assert recover_store(store) == len(buckets)
+    assert _store_contents(spark, store) == before
+    assert not os.path.exists(os.path.join(store, "_staging"))
+
+    # and the torn state heals implicitly on the next upsert too
+    for d in buckets:
+        k = d.split("=", 1)[1]
+        os.rename(os.path.join(store, d),
+                  os.path.join(store, f"_old_bucket={k}"))
+    upsert_batch(spark.createDataFrame([("z", "Z", 1)], EVENT_SCHEMA), store)
+    got = _store_contents(spark, store)
+    assert before <= got and ("z", "Z", 1) in got
+
+
+def test_streaming_metrics_jsonl(spark, tmp_path):
+    src = tmp_path / "src_m"
+    src.mkdir()
+    with open(src / "p.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uid": f"d{i}", "title": "T", "seq": 1}) + "\n")
+    store = str(tmp_path / "store_j")
+    q = run_ingest_stream(
+        spark.readStream.schema(EVENT_SCHEMA).json(str(src)), store,
+        str(tmp_path / "ckpt_j"), available_now=True)
+    q.awaitTermination(120)
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(store, "_metrics.jsonl"))]
+    assert sum(m["documents_received"] for m in lines) == 5
+    assert sum(m["documents_upserted"] for m in lines) == 5
+    assert all("batch_id" in m for m in lines)

@@ -82,3 +82,20 @@ def test_tokenizer_no_rowwise_udf():
 
     src = inspect.getsource(tok)
     assert "F.udf(" not in src and "functions.udf(" not in src
+
+
+def test_code_aware_arrow_equals_sql(spark, corpus):
+    """Code-aware variants too: Arrow Counter path ≡ Catalyst
+    regexp_replace+explode path (this equality is what lets build_index
+    switch tokenizer= per deployment)."""
+    from dp_search_data_importer_spark.functions.tokenize import code_term_freqs
+    from dp_search_data_importer_spark.operators.ingest import (
+        normalize_repo_files,
+    )
+
+    docs = normalize_repo_files(corpus).select("doc_id", "content")
+    a = code_term_freqs(docs, id_col="doc_id", text_col="content")
+    b = term_freqs_sql(docs, id_col="doc_id", text_col="content",
+                       code_aware=True)
+    sym_diff = a.exceptAll(b).union(b.exceptAll(a))
+    assert sym_diff.count() == 0
