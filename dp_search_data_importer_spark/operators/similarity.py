@@ -78,7 +78,22 @@ def lsh_index(df: DataFrame, planes: np.ndarray,
 def ann_topk(indexed: DataFrame, query_vec: list[float], planes: np.ndarray,
              k: int = 10, multiprobe: int = 1) -> DataFrame:
     """ANN top-k: probe the query's bucket plus all buckets within
-    ``multiprobe`` bit flips, exact cosine re-rank inside the probed set."""
+    ``multiprobe`` bit flips, exact cosine re-rank inside the probed set.
+    In-memory-plan form; at stored scale use :func:`ann_topk_stored`, whose
+    probe set prunes parquet partitions instead of filtering a full scan."""
+    probes = _probe_set(query_vec, planes, multiprobe)
+    cand = indexed.filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    )
+
+
+def _probe_set(query_vec, planes: np.ndarray, multiprobe: int) -> list[int]:
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv > 0))
     probes = {qbits}
@@ -89,8 +104,46 @@ def ann_topk(indexed: DataFrame, query_vec: list[float], planes: np.ndarray,
             qbits ^ (1 << i) ^ (1 << j)
             for i in range(len(planes)) for j in range(i + 1, len(planes))
         }
-    cand = indexed.filter(F.col("bucket").isin([int(x) for x in probes]))
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    return sorted(int(x) for x in probes)
+
+
+def write_ann_index(df: DataFrame, path: str, planes: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist the LSH index PARTITIONED BY bucket — the storage layout that
+    makes probes prune: at 10^9 vectors a query touches only its
+    ~1+h+h(h-1)/2 probe dirs, never the full table. The hyperplanes are
+    stored alongside (_planes.json) so the index is self-describing.
+    ``repartition("bucket")`` first: bucket→task is functional, so each
+    partition dir is written by exactly one task (no file fragmentation)."""
+    import json
+    import os
+
+    idx = lsh_index(df, planes, vec_col, id_col)
+    (idx.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    with open(os.path.join(path, "_planes.json"), "w") as f:
+        json.dump({"planes": planes.tolist()}, f)
+
+
+def load_ann_planes(path: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(path, "_planes.json")) as f:
+        return np.asarray(json.load(f)["planes"], dtype=np.float64)
+
+
+def ann_topk_stored(spark, path: str, query_vec: list[float], k: int = 10,
+                    multiprobe: int = 1) -> DataFrame:
+    """ANN top-k over a stored index: the probe set becomes a partition
+    filter on the bucket-partitioned parquet, so the scan reads ONLY the
+    probed dirs (PartitionFilters in the physical plan — regression-locked
+    by tests/test_similarity.py). Exact cosine re-rank inside."""
+    planes = load_ann_planes(path)
+    probes = _probe_set(query_vec, planes, multiprobe)
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             "vec_id",

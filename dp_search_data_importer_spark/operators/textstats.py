@@ -11,15 +11,59 @@ from pyspark.sql import functions as F
 from dp_search_data_importer_spark.config import ENGLISH_STOPWORDS
 from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
 
-# tiny deterministic marker-word profiles (n-gram-free heuristic langid;
-# real profiles would be fastText/CLD3 — out of scope, but the operator
-# shape, join-free argmax over marker hits, is the real thing)
+# round-1 minimal marker profiles, kept as the cheap fallback profile
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "es": ("el", "la", "los", "las", "es", "y", "en", "que", "por", "con"),
     "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
 }
+
+# full profiles: the top function words of each language (public linguistic
+# knowledge — the same rank-order-statistics idea as Cavnar–Trenkle 1994,
+# applied at word granularity) plus each language's characteristic
+# diacritics. Words score double, diacritic characters single; argmax with
+# declaration-order tie-break. Everything is a join-free Catalyst
+# projection over a broadcast-literal dictionary and is expressible 1:1 in
+# ANSI-ish SQL for the DuckDB oracle.
+LANG_PROFILES: dict[str, tuple[tuple[str, ...], str]] = {
+    "en": (("the", "and", "of", "to", "in", "is", "that", "for", "with",
+            "as", "it", "on", "be", "are", "this", "was", "by", "at",
+            "have", "from", "or", "an", "not", "but", "they", "which",
+            "you", "we", "his", "her"), ""),
+    "de": (("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+            "eine", "zu", "den", "von", "im", "für", "auf", "des", "dem",
+            "sich", "auch", "werden", "aus", "bei", "nach", "wird", "sind",
+            "oder", "wie", "über", "als", "er"), "äöüß"),
+    "es": (("el", "la", "los", "las", "es", "y", "en", "que", "por", "con",
+            "un", "una", "del", "se", "no", "para", "su", "al", "lo",
+            "como", "más", "pero", "sus", "le", "ya", "está", "son",
+            "entre", "cuando", "muy"), "ñ¿¡áéíóú"),
+    "fr": (("le", "la", "les", "et", "est", "dans", "pour", "que", "une",
+            "des", "un", "du", "de", "il", "elle", "au", "aux", "ce",
+            "cette", "qui", "ne", "pas", "sur", "avec", "son", "plus",
+            "se", "sont", "être", "par"), "éèêàçôû"),
+    "it": (("il", "la", "le", "e", "è", "di", "che", "per", "con", "un",
+            "una", "del", "della", "si", "non", "sono", "da", "come",
+            "anche", "più", "nel", "alla", "gli", "lo", "ma", "se",
+            "questo", "hanno", "essere", "al"), "àèìòù"),
+    "pt": (("o", "a", "os", "as", "e", "é", "de", "do", "da", "que",
+            "para", "com", "um", "uma", "não", "se", "por", "mais", "dos",
+            "como", "mas", "foi", "ao", "ele", "das", "tem", "seu", "sua",
+            "ou", "ser"), "ãõçâê"),
+    "nl": (("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+            "zijn", "voor", "met", "als", "aan", "er", "maar", "om",
+            "ook", "door", "naar", "bij", "uit", "dan", "over", "geen",
+            "niet", "tot", "worden", "wordt", "deze"), ""),
+    "sv": (("och", "att", "det", "som", "en", "på", "är", "av", "för",
+            "med", "den", "till", "inte", "om", "har", "de", "ett", "han",
+            "men", "var", "sig", "från", "vi", "så", "kan", "när",
+            "efter", "eller", "nu", "under"), "åäö"),
+}
+
+# unicode-aware token split for langid (the index analyzer's [^a-z0-9]+
+# would split accented words apart); identical RE2/Java semantics
+LANGID_SPLIT_REGEX = r"[^\p{L}0-9]+"
 
 
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
@@ -28,10 +72,9 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def langid_expr(text: Column) -> Column:
-    """Best-scoring language by marker hits; 'und' when nothing matches.
-    Deterministic tie-break: language order as declared."""
+    """Round-1 fallback: best-scoring language by 10-marker hits over the
+    ascii analyzer; 'und' when nothing matches."""
     toks = tokenize_expr(text)
-    # argmax as nested CASE; earlier-declared languages win ties
     score_cols = [(lang, _hits(toks, ws)) for lang, ws in LANG_MARKERS.items()]
     m = F.greatest(*[s for _, s in score_cols])
     out = F.lit("und")
@@ -40,10 +83,35 @@ def langid_expr(text: Column) -> Column:
     return out
 
 
+def langid_expr_full(text: Column) -> Column:
+    """Full-profile language ID: 2×function-word hits + diacritic hits,
+    argmax over 8 languages, declaration-order tie-break, 'und' on zero
+    evidence. Join-free Catalyst projection (broadcast-literal profiles)."""
+    lowered = F.lower(text)
+    toks = F.filter(F.split(lowered, LANGID_SPLIT_REGEX),
+                    lambda t: t != F.lit(""))
+    score_cols = []
+    for lang, (words, chars) in LANG_PROFILES.items():
+        s = _hits(toks, words) * 2
+        if chars:
+            s = s + F.regexp_count(lowered, F.lit(f"[{chars}]"))
+        score_cols.append((lang, s))
+    m = F.greatest(*[s for _, s in score_cols])
+    out = F.lit("und")
+    for lang, s in reversed(score_cols):
+        out = F.when((s == m) & (m > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
 def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                profile: str = "full") -> DataFrame:
+    """(doc_id, lang_guess). ``profile="full"`` (default) scores 8 languages
+    with 30-word function-word profiles + diacritics; ``"markers"`` is the
+    round-1 4×10-marker fallback (cheaper, ascii-only analyzers)."""
+    expr = langid_expr_full if profile == "full" else langid_expr
     return df.select(F.col(id_col).alias("doc_id"),
-                     langid_expr(F.col(text_col)).alias("lang_guess"))
+                     expr(F.col(text_col)).alias("lang_guess"))
 
 
 def token_counts(df: DataFrame, text_col: str = "text",

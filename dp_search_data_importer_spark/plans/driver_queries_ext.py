@@ -280,23 +280,27 @@ EXT_QUERIES = {
 
 
 def _langid_sql() -> str:
-    from dp_search_data_importer_spark.operators.textstats import LANG_MARKERS
+    """SQL twin of ts.langid_expr_full: 2×function-word hits + diacritic
+    hits per language, argmax with declaration-order tie-break."""
+    from dp_search_data_importer_spark.operators.textstats import LANG_PROFILES
 
     hit_cols = []
-    for lang, ws in LANG_MARKERS.items():
+    for lang, (ws, chars) in LANG_PROFILES.items():
         lst = ", ".join(f"'{w}'" for w in ws)
-        hit_cols.append(
-            f"len(list_filter(arr, x -> x <> '' AND list_contains([{lst}], x))) AS h_{lang}"
-        )
-    langs = list(LANG_MARKERS)
+        expr = f"2 * len(list_filter(arr, x -> x <> '' AND list_contains([{lst}], x)))"
+        if chars:
+            expr += f" + len(regexp_extract_all(lt, '[{chars}]'))"
+        hit_cols.append(f"{expr} AS h_{lang}")
+    langs = list(LANG_PROFILES)
     m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
     case = "CASE "
     for lg in langs:
         case += f"WHEN h_{lg} = m AND m > 0 THEN '{lg}' "
     case += "ELSE 'und' END"
-    return f"""
+    return rf"""
       WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        SELECT doc_id, lower(text) AS lt,
+               regexp_split_to_array(lower(text), '[^\p{{L}}0-9]+') AS arr
         FROM documents
       ), h AS (SELECT doc_id, {', '.join(hit_cols)} FROM t),
       mm AS (SELECT doc_id, *, {m} AS m FROM h)

@@ -76,3 +76,89 @@ def test_winnowing_shared_fingerprints_for_overlap(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert len(fps[1] & fps[2]) > 0.5 * len(fps[1])  # heavy overlap
     assert not fps[1] & fps[3]                        # disjoint content
+
+
+LANG_FIXTURE = [
+    # en
+    ("en", "The committee said that the results were published in the report."),
+    ("en", "We have not seen this kind of growth in the economy for years."),
+    ("en", "They are planning to release the new data on Monday."),
+    ("en", "It is important to understand the difference between the two."),
+    ("en", "This was one of the best decisions that we could have made."),
+    ("en", "You should read the documentation before using the library."),
+    # de
+    ("de", "Der Bericht wurde von der Regierung nicht veröffentlicht."),
+    ("de", "Die Ergebnisse sind besser als wir erwartet hatten."),
+    ("de", "Das neue Gesetz wird im nächsten Jahr in Kraft treten."),
+    ("de", "Wir haben über die Entwicklung der Wirtschaft gesprochen."),
+    ("de", "Ein großer Teil der Bevölkerung ist mit der Entscheidung nicht zufrieden."),
+    ("de", "Sie können die Daten auch aus dem Internet herunterladen."),
+    # es
+    ("es", "El gobierno anunció que los resultados se publicarán el lunes."),
+    ("es", "No es fácil entender la diferencia entre las dos opciones."),
+    ("es", "La economía del país creció más de lo que se esperaba."),
+    ("es", "Cuando llegamos a la ciudad, ya era muy tarde para la reunión."),
+    ("es", "Los niños están jugando en el parque con sus amigos."),
+    ("es", "Es una de las mejores películas que he visto este año."),
+    # fr
+    ("fr", "Le gouvernement a annoncé que les résultats seront publiés lundi."),
+    ("fr", "Il est important de comprendre la différence entre les deux."),
+    ("fr", "Nous avons parlé du développement de l'économie dans le pays."),
+    ("fr", "Cette décision ne sera pas facile à prendre pour le comité."),
+    ("fr", "Elle est arrivée à la gare avec une heure de retard."),
+    ("fr", "C'est une des meilleures choses qui soient arrivées cette année."),
+    # it
+    ("it", "Il governo ha annunciato che i risultati saranno pubblicati lunedì."),
+    ("it", "Non è facile capire la differenza tra le due opzioni."),
+    ("it", "L'economia del paese è cresciuta più del previsto."),
+    ("it", "Questo è uno dei migliori film che ho visto quest'anno."),
+    ("it", "Sono arrivati alla stazione con un'ora di ritardo."),
+    ("it", "Anche i bambini hanno giocato nel parco con gli amici."),
+    # pt
+    ("pt", "O governo anunciou que os resultados serão publicados na segunda."),
+    ("pt", "Não é fácil entender a diferença entre as duas opções."),
+    ("pt", "A economia do país cresceu mais do que se esperava."),
+    ("pt", "Este é um dos melhores filmes que eu vi este ano."),
+    ("pt", "As crianças estão brincando no parque com os seus amigos."),
+    ("pt", "Ele não tem uma resposta para a sua pergunta."),
+    # nl
+    ("nl", "De regering heeft aangekondigd dat de resultaten maandag worden gepubliceerd."),
+    ("nl", "Het is niet eenvoudig om het verschil tussen de twee te begrijpen."),
+    ("nl", "De economie van het land is meer gegroeid dan verwacht."),
+    ("nl", "Dit is een van de beste films die ik dit jaar heb gezien."),
+    ("nl", "De kinderen spelen in het park met hun vrienden."),
+    ("nl", "Wij hebben over de ontwikkeling van de stad gesproken."),
+    # sv
+    ("sv", "Regeringen meddelade att resultaten kommer att publiceras på måndag."),
+    ("sv", "Det är inte lätt att förstå skillnaden mellan de två alternativen."),
+    ("sv", "Landets ekonomi har vuxit mer än vad man förväntade sig."),
+    ("sv", "Det här är en av de bästa filmer som jag har sett i år."),
+    ("sv", "Barnen leker i parken med sina vänner."),
+    ("sv", "Vi har talat om stadens utveckling under mötet."),
+]
+
+
+def test_language_id_full_profile_accuracy(spark):
+    """Real multilingual snippets, 8 languages × 6 sentences: the full
+    profile must identify >= 95% correctly (and never answer 'und')."""
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(LANG_FIXTURE)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["lang_guess"]
+           for r in ts.language_id(df, profile="full").collect()}
+    correct = sum(1 for i, (lang, _) in enumerate(LANG_FIXTURE)
+                  if got[i] == lang)
+    acc = correct / len(LANG_FIXTURE)
+    wrong = [(LANG_FIXTURE[i][0], got[i], LANG_FIXTURE[i][1])
+             for i in range(len(LANG_FIXTURE)) if got[i] != LANG_FIXTURE[i][0]]
+    assert acc >= 0.95, (acc, wrong)
+    assert "und" not in got.values()
+
+
+def test_language_id_markers_fallback_still_works(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog for the win"),
+         (2, "der hund und die katze mit den kindern")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"]
+           for r in ts.language_id(df, profile="markers").collect()}
+    assert got == {1: "en", 2: "de"}
