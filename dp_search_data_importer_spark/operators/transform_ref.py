@@ -14,13 +14,19 @@ Mirrors the reference's semantics exactly, as a pure Catalyst projection:
   (``transform/transform.go:50-55``) — no-ops for Spark
 - the non-empty-key filter (``handler/handler.go:80-83``) drops rows with
   empty ``uid`` before transformation
-- ``to_bulk_ndjson`` rebuilds the exact NDJSON bulk-upsert entry the
+- ``to_bulk_ndjson`` rebuilds the byte-exact NDJSON bulk-upsert entry the
   reference POSTs to ``/ons/_bulk`` (``handler/handler.go:133-155``):
-  an action line ``{"update":{"_id":uid}}`` and a doc line
-  ``{"doc":…,"doc_as_upsert":true}``, honoring the five ``omitempty``
-  fields (release_date, date_changes, provisional_date, language, survey —
-  ``models/elastic.go:14-24``). Golden-tested against the reference's
-  component-test body (``features/import-search-data.feature:42-85``).
+  the action line ``{ "update": { "_id": "x" } }`` with Go's literal
+  spacing, the doc line ``{"doc":…,"doc_as_upsert": true}`` with
+  json.Marshal's struct-declaration field order, HTML escaping of
+  ``< > &`` (``\\u003c`` …) and the five ``omitempty`` fields elided
+  (release_date, date_changes, provisional_date, language, survey —
+  ``models/elastic.go:14-24``). Byte- and parsed-golden-tested against the
+  reference's component-test body (``features/import-search-data.feature``).
+  One deliberate divergence: Go marshals a *nil* keywords/topics slice as
+  ``null`` while this path emits ``[]`` — unreachable in practice, because
+  the Avro schema's arrays always decode to non-nil slices; ``dimensions``
+  keeps Go's append-to-nil semantics (empty → ``null``).
 """
 
 from __future__ import annotations
@@ -172,9 +178,19 @@ def to_bulk_ndjson(transformed: DataFrame) -> DataFrame:
     doc_json = F.concat(
         F.lit('{"doc":{'),
         F.concat_ws(",", *parts),
-        F.lit('},"doc_as_upsert":true}'),
+        # Go: ... + `,"doc_as_upsert": true}` — space after the colon
+        # (handler.go:150)
+        F.lit('},"doc_as_upsert": true}'),
     )
-    action = F.concat(F.lit('{"update":{"_id":"'), F.col("uid"), F.lit('"}}'))
+    # Go json.Marshal HTML-escapes <, >, & inside strings (SetEscapeHTML
+    # default); to_json does not — apply the same escapes to the whole doc
+    # line (outside strings those bytes cannot occur in valid JSON)
+    for ch, esc in (("&", "\\\\u0026"), ("<", "\\\\u003c"), (">", "\\\\u003e")):
+        doc_json = F.regexp_replace(doc_json, ch, esc)
+    # action line bytes per handler.go:146: `{ "update": { "_id": "x" } }`
+    # (spaces included; the uid is concatenated raw, exactly like Go)
+    action = F.concat(F.lit('{ "update": { "_id": "'), F.col("uid"),
+                      F.lit('" } }'))
     return transformed.select(
         F.col("uid"),
         action.alias("action_line"),

@@ -92,7 +92,7 @@ def test_uid_and_trace_id_not_in_body(spark):
     ev = {**FEATURE_EVENT, "trace_id": "trace-123"}
     out = to_bulk_ndjson(transform_events(_events_df(spark, [ev]))).collect()[0]
     assert "trace-123" not in out["doc_line"]
-    assert '"_id":"cphi01-timeseries"' in out["action_line"]
+    assert '"_id": "cphi01-timeseries"' in out["action_line"]
     assert "uid" not in json.loads(out["doc_line"])["doc"]
 
 
@@ -114,3 +114,27 @@ def test_population_type_always_materialized(spark):
     doc = json.loads(out["doc_line"])["doc"]
     assert doc["population_type"] == {"key": "", "agg_key": "", "name": "",
                                       "label": ""}
+
+
+def _go_marshal(obj) -> str:
+    """Twin of Go json.Marshal for this data: compact separators, key order
+    as given (insertion order == struct declaration order), HTML escapes."""
+    out = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+    return (out.replace("&", "\\u0026").replace("<", "\\u003c")
+               .replace(">", "\\u003e"))
+
+
+def test_bulk_body_byte_exact(spark):
+    """Byte-for-byte parity with handler.go:146-151: action-line spacing,
+    doc_as_upsert spacing, field order, HTML escaping of < > &."""
+    ev = {**FEATURE_EVENT, "summary": 'R&D <b>"bold"</b> & more',
+          "title": "a<b>c"}
+    out = to_bulk_ndjson(transform_events(_events_df(spark, [ev]))).collect()[0]
+
+    assert out["action_line"] == '{ "update": { "_id": "cphi01-timeseries" } }'
+
+    doc = dict(GOLDEN_DOC["doc"])  # insertion order == elastic.go order
+    doc["summary"] = ev["summary"]
+    doc["title"] = ev["title"]
+    expected = '{"doc":' + _go_marshal(doc) + ',"doc_as_upsert": true}'
+    assert out["doc_line"] == expected
