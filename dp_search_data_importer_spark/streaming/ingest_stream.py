@@ -194,6 +194,35 @@ def run_ingest_stream(
     return writer.start()
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization as a NATIVE stateful streaming aggregation
+    (``session_window``): sessions close when no event arrives within
+    ``gap``; the watermark bounds state. The batch twin is the lag +
+    cumulative-sum formulation registered as ``sessionize_events`` —
+    property-tested to produce the same (key, n_events, session_seconds)
+    multiset on batch input. Works on streaming and batch frames alike."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+            .cast("long").alias("session_seconds"),
+        )
+        .select(key_col, F.col("win.start").alias("win_start"),
+                "n_events", "session_seconds")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_dur: str = "5 minutes",

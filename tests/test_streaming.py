@@ -150,3 +150,58 @@ def test_streaming_metrics_jsonl(spark, tmp_path):
     assert sum(m["documents_received"] for m in lines) == 5
     assert sum(m["documents_upserted"] for m in lines) == 5
     assert all("batch_id" in m for m in lines)
+
+
+def test_session_window_equals_batch_sessionization(spark, sf_dir):
+    """Native session_window (streaming-capable) ≡ the lag+cumsum batch
+    formulation, as (user, n_events, session_seconds) multisets."""
+    from collections import Counter
+
+    from dp_search_data_importer_spark.plans.driver_queries_ext import (
+        q_sessionize_events,
+    )
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        sessionize_stream,
+    )
+
+    batch = Counter(
+        (r["user_id"], r["n_events"], r["session_seconds"])
+        for r in q_sessionize_events(spark, sf_dir).collect()
+    )
+    native = Counter(
+        (r["user_id"], r["n_events"], r["session_seconds"])
+        for r in sessionize_stream(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            gap="30 minutes").collect()
+    )
+    assert native == batch
+
+
+def test_session_window_streaming_run(spark, tmp_path):
+    """The same expression runs as a stateful streaming agg with watermark
+    + availableNow, producing closed sessions."""
+    import datetime as dt
+
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0), (1, t0 + dt.timedelta(minutes=5)),
+            (1, t0 + dt.timedelta(hours=3)),
+            (2, t0 + dt.timedelta(minutes=1))]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+    path = str(tmp_path / "out")
+    q = (out.writeStream.format("parquet").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .option("path", path).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"], r["session_seconds"])
+           for r in spark.read.parquet(path).collect()}
+    # sessions strictly older than the watermark horizon have closed:
+    # user 1's first session (2 events, 300s) and user 2's single event
+    assert (1, 2, 300) in got
+    assert (2, 1, 0) in got
