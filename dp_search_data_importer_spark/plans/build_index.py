@@ -230,40 +230,80 @@ def build_index(
     # 156 s vs 88 s at 8 cores on 120k docs; parquet spill removes it).
     # This is also the 10^12-scale design — the intermediate is a table,
     # not executor memory.
+    from pyspark.sql import Observation
+
     tf_tmp = os.path.join(out_dir, "_tf_tmp")
     tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col,
                            tokenizer=tokenizer).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
+    # Σdl piggybacks on the spill job via df.observe — no extra tf scan
+    # (job-count discipline: every extra job is a full pass at 10^12 scale)
+    tf_obs: Observation | None = None
     if not (resume and os.path.exists(os.path.join(tf_tmp, "_SUCCESS"))):
-        tf_src.write.mode("overwrite").parquet(tf_tmp)
+        tf_obs = Observation()
+        (tf_src.observe(tf_obs, F.sum("tf").alias("sum_dl"))
+         .write.mode("overwrite").parquet(tf_tmp))
     tf = spark.read.parquet(tf_tmp)
     _mark("tokenize_spill")
     try:
         if not (resume and os.path.exists(stats_path)):
-            # ---- stats pass. N and per-shard doc counts come from the
-            # normalized DOCS table, not from tf: a doc whose content
-            # tokenizes to zero terms (empty/symbol-only file) is still a
-            # document — Lucene's BM25 docCount includes it, so idf/avgdl
-            # must divide by it too, and the manifest must agree with docs/.
-            # Σ_doc dl = Σ_doc Σ_term tf = sum(tf): one cheap agg over the
-            # compact parquet intermediate, no re-tokenize; zero-term docs
-            # contribute 0 to the sum and are counted in N via docs.
-            per_shard_rows = (
-                docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-            )
-            sum_dl_total = (
-                tf.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
-            )
-            _mark("tokenize+stats")
-            n_docs_total = sum(r["n"] for r in per_shard_rows)
+            # ---- docs write FIRST (one pass over the source), then stats.
+            # N and per-shard doc counts come from the WRITTEN docs table,
+            # not from tf: a doc whose content tokenizes to zero terms is
+            # still a document — Lucene's BM25 docCount includes it, so
+            # idf/avgdl must divide by it too, and the manifest must agree
+            # with docs/. Counting the written parquet (tiny, content-free)
+            # instead of the `docs` plan avoids re-running the whole
+            # normalize/generate pipeline just for a count.
+            # repartition to one task per shard before the partitioned write:
+            # writing K shard dirs from T unrelated tasks creates T×K file
+            # fragments and a per-task partition sort (measured 25× slower at
+            # local[32]); post-shuffle each task owns exactly one shard dir.
+            # per-shard doc counts piggyback on the docs write the same way
+            # (observe supports only global aggs, so the per-shard breakdown
+            # is a when-sum per shard — fine for shard counts in the
+            # hundreds; beyond that, fall back to counting the written dirs)
+            docs_obs = Observation() if cfg.n_shards <= 256 else None
+            to_write = docs.drop(text_col, "content", "dl")
+            if docs_obs is not None:
+                to_write = to_write.observe(docs_obs, *[
+                    F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
+                    for s in range(cfg.n_shards)
+                ])
+            (to_write.repartition(cfg.n_shards, "shard")
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(out_dir, "docs")))
+            _mark("docs_write")
+            if docs_obs is not None:
+                got = docs_obs.get
+                shard_counts = {s: int(got[f"s{s}"] or 0)
+                                for s in range(cfg.n_shards)}
+            else:
+                shard_counts = {
+                    int(r["shard"]): int(r["n"])
+                    for r in spark.read.parquet(os.path.join(out_dir, "docs"))
+                    .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            # Σ_doc dl = Σ_doc Σ_term tf = sum(tf): observed on the spill
+            # job above; the agg below runs only on the rare
+            # resume-with-tf-but-no-stats path. Zero-term docs contribute 0
+            # to the sum and are counted in N via docs.
+            if tf_obs is not None:
+                sum_dl_total = int(tf_obs.get["sum_dl"] or 0)
+            else:
+                sum_dl_total = (
+                    tf.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+                )
+            n_docs_total = sum(shard_counts.values())
             stats = {
                 "n_docs": int(n_docs_total),
                 "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
                 "k1": cfg.k1, "b": cfg.b,
                 "block_size": cfg.block_size, "n_shards": cfg.n_shards,
                 "code_aware": code_aware,
-                "shard_docs": {int(r["shard"]): int(r["n"]) for r in per_shard_rows},
+                "shard_docs": {int(s): n for s, n in shard_counts.items()},
             }
             # measured-df-driven salting (SURVEY.md §7 hard part b): bootstrap
             # with the static hot list; the measured heavy hitters are
@@ -280,15 +320,6 @@ def build_index(
                 n_docs_total, cfg,
             )
             _mark("term_df_write")
-            # repartition to one task per shard before the partitioned write:
-            # writing K shard dirs from T unrelated tasks creates T×K file
-            # fragments and a per-task partition sort (measured 25× slower at
-            # local[32]); post-shuffle each task owns exactly one shard dir.
-            (docs.drop(text_col, "content", "dl")
-             .repartition(cfg.n_shards, "shard")
-             .write.mode("overwrite").partitionBy("shard")
-             .parquet(os.path.join(out_dir, "docs")))
-            _mark("docs_write")
             write_stats_json(out_dir, stats)
         else:
             stats = read_stats_json(out_dir)
