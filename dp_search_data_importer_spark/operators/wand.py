@@ -57,7 +57,9 @@ class _TermCursor:
 
     def __init__(self, blocks: list[tuple], idf: float, k1: float, b: float,
                  avgdl: float):
-        # blocks: [(first_doc_id, n_docs, gaps, tfs, dls, max_tf_norm)] sorted
+        # blocks: [(first_doc_id, n_docs, gaps, tfs, dls, ub_norm)] sorted;
+        # ub_norm was assembled from the block's impact pairs with the
+        # query-time avgdl (wand_partition)
         self.blocks = blocks
         self.firsts = np.array([blk[0] for blk in blocks], dtype=np.int64)
         self.idf = idf
@@ -221,6 +223,18 @@ def wand_partition(
     if not frames:
         return
     pdf = pd.concat(frames, ignore_index=True)
+
+    def ub_norm(imp_tfs, imp_dls) -> float:
+        # block upper bound from impact pairs, with the CURRENT avgdl —
+        # the avgdl-free block metadata is what makes incremental shard
+        # upserts sound (see build_index.block_impacts)
+        t = np.asarray(imp_tfs, dtype=np.float64)
+        d = np.asarray(imp_dls, dtype=np.float64)
+        return float(np.max(
+            t * (cfg.k1 + 1.0)
+            / (t + cfg.k1 * ((1.0 - cfg.b) + cfg.b * d / avgdl))
+        ))
+
     for shard in pdf["shard"].unique():
         sp = pdf[pdf["shard"] == shard]
         by_term: dict[str, list[tuple]] = {}
@@ -229,7 +243,8 @@ def wand_partition(
             by_term[t] = list(
                 zip(grp["first_doc_id"].astype(int), grp["n_docs"].astype(int),
                     grp["doc_gaps"], grp["tfs"], grp["dls"],
-                    grp["max_tf_norm"].astype(float))
+                    (ub_norm(it, id_) for it, id_ in
+                     zip(grp["imp_tfs"], grp["imp_dls"])))
             )
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():

@@ -59,26 +59,47 @@ from dp_search_data_importer_spark.operators.postings import doc_freqs, hot_term
 
 BLOCKS_SCHEMA = (
     "shard int, term string, block_id long, first_doc_id long, n_docs long, "
-    "doc_gaps binary, tfs binary, dls binary, max_tf_norm double"
+    "doc_gaps binary, tfs binary, dls binary, "
+    "imp_tfs array<bigint>, imp_dls array<bigint>"
 )
 
 
+def block_impacts(tfs: np.ndarray, dls: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-block IMPACTS (Lucene-style): the Pareto frontier of (tf, dl)
+    pairs — tf↑ is better, dl↓ is better, so keep, scanning dl ascending,
+    only pairs whose tf strictly exceeds every smaller-dl pair's tf. The
+    query-time upper bound is max over pairs of tf·(k1+1)/(tf+k1·(1−b+
+    b·dl/avgdl)) with the CURRENT avgdl — blocks carry no corpus statistic,
+    so incremental upserts never invalidate other shards' bounds (the
+    round-1 ``max_tf_norm`` baked the build-time avgdl into every block)."""
+    order = np.lexsort((-tfs, dls))  # dl asc, tf desc within equal dl
+    out_tf: list[int] = []
+    out_dl: list[int] = []
+    best = -1
+    for i in order:
+        t = int(tfs[i])
+        if t > best:
+            out_tf.append(t)
+            out_dl.append(int(dls[i]))
+            best = t
+    return out_tf, out_dl
+
+
 def _compress_runs(
-    batches: Iterator[pd.DataFrame], block_size: int, k1: float, b: float,
-    avgdl: float,
+    batches: Iterator[pd.DataFrame], block_size: int,
 ) -> Iterator[pd.DataFrame]:
     """Consume doc_id-sorted (shard, term, doc_id, tf, dl) runs; emit
     compressed blocks. Runs may span Arrow batches within a partition, so a
     partial tail is carried over until the (shard, term) key changes.
 
-    ``max_tf_norm`` = max over the block of tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
-    — the idf-independent part of the BM25 bound. Query-time multiplies by
-    idf(term) to get the block-max WAND upper bound, so the build needs no
-    join against the term dictionary.
+    Each block carries its impact pairs (see :func:`block_impacts`); the
+    build needs NO corpus statistics and no join against the term
+    dictionary — WAND bounds assemble at query time from (impacts, idf,
+    avgdl).
     """
     carry: pd.DataFrame | None = None
     out_cols = ("shard", "term", "block_id", "first_doc_id", "n_docs",
-                "doc_gaps", "tfs", "dls", "max_tf_norm")
+                "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls")
 
     def flush(group: pd.DataFrame, *, final: bool) -> tuple[list, pd.DataFrame | None]:
         """Emit full blocks; keep the (< block_size) tail unless final."""
@@ -94,11 +115,10 @@ def _compress_runs(
             end = min(start + block_size, n_full_end)
             ids_b, tfs_b, dls_b = doc_ids[start:end], tfs[start:end], dls[start:end]
             g, t, d = encode_block(ids_b, tfs_b, dls_b)
-            tfd = tfs_b.astype(np.float64)
-            norm = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dls_b / avgdl))
+            imp_tf, imp_dl = block_impacts(tfs_b, dls_b)
             rows.append(
                 (shard, term, start // block_size, int(ids_b[0]), end - start,
-                 g, t, d, float(norm.max()))
+                 g, t, d, imp_tf, imp_dl)
             )
         tail = None if final or n_full_end == n else group.iloc[n_full_end:]
         return rows, tail
@@ -299,6 +319,9 @@ def build_index(
             n_docs_total = sum(shard_counts.values())
             stats = {
                 "n_docs": int(n_docs_total),
+                "sum_dl": int(sum_dl_total),  # exact int: incremental
+                # upserts adjust it by ±deltas instead of reconstructing
+                # from the float avgdl
                 "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
                 "k1": cfg.k1, "b": cfg.b,
                 "block_size": cfg.block_size, "n_shards": cfg.n_shards,
@@ -345,9 +368,7 @@ def build_index(
                 len(wave_shards), "shard"
             ).sortWithinPartitions("shard", "term", "doc_id")
             blocks = sorted_runs.mapInPandas(
-                lambda it: _compress_runs(
-                    it, cfg.block_size, cfg.k1, cfg.b, stats["avgdl"]
-                ),
+                lambda it: _compress_runs(it, cfg.block_size),
                 schema=BLOCKS_SCHEMA,
             )
             # dynamic partition overwrite, NOT append: a crash in the window

@@ -1,0 +1,138 @@
+"""Incremental index upsert ≡ fresh rebuild of the merged corpus.
+
+The strongest possible contract: after upserting a batch (replacements +
+additions), every artifact — per-shard content fingerprints, corpus stats,
+term dictionary, and both query paths' results — must be identical to
+building the merged corpus from scratch. This is the native-index twin of
+the reference's doc_as_upsert effectively-once semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.checkpoint import read_manifest, read_stats_json
+from dp_search_data_importer_spark.config import EngineConfig
+from dp_search_data_importer_spark.plans import query as q
+from dp_search_data_importer_spark.plans.build_index import build_index
+from dp_search_data_importer_spark.plans.update_index import upsert_docs
+
+CFG = EngineConfig(n_shards=4, block_size=16)
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+WORDS = ["import", "def", "merge", "hash", "join", "scan", "sort", "window",
+         "agg", "stream", "token", "shard", "block", "query", "batch"]
+
+
+def _rows(n, tag=""):
+    rows = []
+    for i in range(n):
+        words = [WORDS[(i * 7 + j * 3) % len(WORDS)] for j in range(12 + i % 9)]
+        rows.append(("r1", f"src/f{i}.py", "c1", "py",
+                     " ".join(words) + (f" {tag}" if tag else "")))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def upserted_vs_fresh(spark, tmp_path_factory):
+    base = _rows(60)
+    # batch: replace 5 docs (same natural key → same doc_id, new content)
+    # and add 3 brand-new docs
+    replaced = [(r, p, c, lg, "totally rewritten zebra content " + p)
+                for (r, p, c, lg, _) in base[10:15]]
+    added = [("r1", f"src/new{i}.py", "c1", "py",
+              f"fresh zebra quokka doc number {i}") for i in range(3)]
+    batch = replaced + added
+    merged = base[:10] + base[15:] + replaced + added
+
+    d_inc = str(tmp_path_factory.mktemp("idx_inc"))
+    d_fresh = str(tmp_path_factory.mktemp("idx_fresh"))
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+    accounting = upsert_docs(spark, d_inc,
+                             spark.createDataFrame(batch, SCHEMA))
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), d_fresh, CFG,
+                code_aware=True, waves=1)
+    return d_inc, d_fresh, accounting
+
+
+def test_accounting(upserted_vs_fresh):
+    _, _, acc = upserted_vs_fresh
+    assert acc["received"] == 8
+    assert acc["upserted"] == 8
+    assert acc["replaced"] == 5
+    assert acc["added"] == 3
+    assert 1 <= len(acc["affected_shards"]) <= CFG.n_shards
+
+
+def test_shard_fingerprints_match_fresh_build(spark, upserted_vs_fresh):
+    d_inc, d_fresh, _ = upserted_vs_fresh
+    inc = {r["shard"]: (r["content_fingerprint"], r["n_postings"],
+                        r["n_blocks"], r["n_docs"])
+           for r in read_manifest(spark, d_inc).collect()}
+    fresh = {r["shard"]: (r["content_fingerprint"], r["n_postings"],
+                          r["n_blocks"], r["n_docs"])
+             for r in read_manifest(spark, d_fresh).collect()}
+    assert inc == fresh
+
+
+def test_stats_match_fresh_build(upserted_vs_fresh):
+    d_inc, d_fresh, _ = upserted_vs_fresh
+    si, sf_ = read_stats_json(d_inc), read_stats_json(d_fresh)
+    for key in ("n_docs", "sum_dl", "avgdl", "shard_docs"):
+        assert si[key] == sf_[key], key
+
+
+def test_term_df_matches_fresh_build(spark, upserted_vs_fresh):
+    d_inc, d_fresh, _ = upserted_vs_fresh
+    inc = {(r["term"], r["df"]) for r in
+           spark.read.parquet(os.path.join(d_inc, "term_df")).collect()}
+    fresh = {(r["term"], r["df"]) for r in
+             spark.read.parquet(os.path.join(d_fresh, "term_df")).collect()}
+    assert inc == fresh
+
+
+def test_queries_identical_and_see_new_content(spark, upserted_vs_fresh):
+    d_inc, d_fresh, _ = upserted_vs_fresh
+    queries = spark.createDataFrame(
+        [(1, "zebra"), (2, "import def"), (3, "quokka doc")],
+        "query_id long, query_text string")
+
+    def ranked(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append((r["score"], r["doc_id"]))
+        return {k: sorted(v, key=lambda sv: (-sv[0], sv[1]))
+                for k, v in out.items()}
+
+    e_inc = ranked(q.exact_topk(spark, d_inc, queries, CFG, 10).collect())
+    e_fresh = ranked(q.exact_topk(spark, d_fresh, queries, CFG, 10).collect())
+    assert e_inc == e_fresh
+    w_inc = ranked(q.wand_topk(spark, d_inc, queries, CFG, 10).collect())
+    assert w_inc == e_inc
+    # the upserted content is searchable: 'zebra' appears only in batch docs
+    assert len(e_inc[1]) == 8  # 5 rewritten + 3 added
+
+
+def test_upsert_is_idempotent(spark, upserted_vs_fresh):
+    """Redelivering the same batch (at-least-once) must not change the
+    index — same fingerprints, same stats."""
+    d_inc, _, _ = upserted_vs_fresh
+    before = {r["shard"]: r["content_fingerprint"]
+              for r in read_manifest(spark, d_inc).collect()}
+    stats_before = read_stats_json(d_inc)
+    replaced = [(r, p, c, lg, "totally rewritten zebra content " + p)
+                for (r, p, c, lg, _) in _rows(60)[10:15]]
+    added = [("r1", f"src/new{i}.py", "c1", "py",
+              f"fresh zebra quokka doc number {i}") for i in range(3)]
+    acc = upsert_docs(spark, d_inc,
+                      spark.createDataFrame(replaced + added, SCHEMA))
+    assert acc["replaced"] == 8 and acc["added"] == 0
+    after = {r["shard"]: r["content_fingerprint"]
+             for r in read_manifest(spark, d_inc).collect()}
+    assert after == before
+    stats_after = read_stats_json(d_inc)
+    assert stats_after["n_docs"] == stats_before["n_docs"]
+    assert stats_after["sum_dl"] == stats_before["sum_dl"]
