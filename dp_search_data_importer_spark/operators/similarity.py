@@ -153,6 +153,92 @@ def ann_topk_stored(spark, path: str, query_vec: list[float], k: int = 10,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means twin of the hyperplane-LSH path:
+# a coarse quantizer assigns each vector to its nearest centroid cell; a
+# query probes only the nprobe nearest cells. Same storage discipline as
+# the LSH index: parquet partitioned by cell, centroids stored alongside.
+
+
+def train_ivf_centroids(df: DataFrame, n_cells: int = 16, sample_mod: int = 1,
+                        iters: int = 10, seed: int = 42,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic Lloyd's k-means on a seeded sample (vec_id % mod == 0),
+    trained driver-side — the quantizer is tiny and global; assignment (the
+    data-sized pass) stays distributed. At 10^9 vectors you sample ~10^5
+    rows; the collect is bounded by the sample, never the table."""
+    sample = (
+        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(vec_col).collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Assign each vector to its nearest centroid (one vectorized Arrow
+    pass, numpy matmul per batch) and persist partitioned by cell."""
+    import json
+    import os
+
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) \
+                + (cents * cents).sum(1)[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "embedding": pdf[vec_col],
+                "cell": d2.argmin(axis=1).astype("int32"),
+            })
+
+    idx = df.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, cell int")
+    (idx.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump({"centroids": cents.tolist()}, f)
+
+
+def ivf_topk(spark, path: str, query_vec: list[float], k: int = 10,
+             nprobe: int = 4) -> DataFrame:
+    """IVF ANN top-k over a stored index: probe the nprobe nearest cells
+    (partition-pruned parquet read), exact cosine re-rank inside."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2)[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    )
+
+
 def embedding_near_dup_pairs(df: DataFrame, planes: np.ndarray,
                              threshold: float = 0.95,
                              vec_col: str = "embedding",

@@ -194,6 +194,43 @@ def run_ingest_stream(
     return writer.start()
 
 
+def dedup_stream(events: DataFrame, key_col: str = "uid") -> DataFrame:
+    """Cross-batch streaming dedup: emit only the FIRST occurrence of each
+    key, ever — a custom stateful operator via ``applyInPandasWithState``
+    (state = one marker row per key, surviving restarts through the stream
+    checkpoint). The at-least-once-source twin: where ``upsert_batch``
+    makes redelivery idempotent at the SINK, this makes it invisible
+    mid-pipeline, so downstream stages see an exactly-once stream.
+
+    Within a batch, the first row of the key wins (input order); across
+    batches, previously-seen keys are dropped entirely. Keys are the state
+    axis — state size is O(distinct keys); at 10^12 keys you would swap the
+    marker state for a TTL'd bloom layer, same operator shape."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = events.schema
+
+    def fn(key, pdfs, state: GroupState):
+        seen = state.exists
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if not seen and len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if not seen:
+            state.update((1,))
+        if first is not None:
+            yield first
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

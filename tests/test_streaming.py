@@ -205,3 +205,44 @@ def test_session_window_streaming_run(spark, tmp_path):
     # user 1's first session (2 events, 300s) and user 2's single event
     assert (1, 2, 300) in got
     assert (2, 1, 0) in got
+
+
+def test_dedup_stream_exactly_once_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: each uid is emitted once,
+    ever — in-batch duplicates collapse and redelivered keys are dropped in
+    later drains (state survives via the checkpoint)."""
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    with open(src / "p1.json", "w") as f:
+        for uid in ["a", "b", "a", "c"]:
+            f.write(json.dumps({"uid": uid, "title": f"T-{uid}", "seq": 1}) + "\n")
+
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ck")
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (dedup_stream(stream).writeStream.format("parquet")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .option("path", out_dir).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = sorted(r["uid"] for r in spark.read.parquet(out_dir).collect())
+    assert got == ["a", "b", "c"]
+
+    # second file: redelivers a+c, introduces d
+    with open(src / "p2.json", "w") as f:
+        for uid in ["a", "d", "c", "d"]:
+            f.write(json.dumps({"uid": uid, "title": f"T2-{uid}", "seq": 2}) + "\n")
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    got = sorted(r["uid"] for r in rows)
+    assert got == ["a", "b", "c", "d"]
+    # and the survivor for redelivered keys is the FIRST-batch row
+    assert next(r["title"] for r in rows if r["uid"] == "a") == "T-a"
