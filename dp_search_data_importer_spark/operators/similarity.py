@@ -170,9 +170,19 @@ def train_ivf_centroids(df: DataFrame, n_cells: int = 16, sample_mod: int = 1,
     rows; the collect is bounded by the sample, never the table."""
     sample = (
         df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-        .select(vec_col).collect()
+        .select(id_col, vec_col).collect()
     )
-    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    # sort by id: the trained centroids are then independent of scan order,
+    # so any engine replaying this procedure gets bit-identical centroids
+    sample.sort(key=lambda r: r[0])
+    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    return kmeans(x, n_cells, iters=iters, seed=seed)
+
+
+def kmeans(x: np.ndarray, n_cells: int, iters: int = 10,
+           seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's iterations on an id-ordered matrix — bit-identical
+    for any engine that replays it on the same rows (the IVF oracle does)."""
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -185,14 +195,12 @@ def train_ivf_centroids(df: DataFrame, n_cells: int = 16, sample_mod: int = 1,
     return cents
 
 
-def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
-                    vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
-    """Assign each vector to its nearest centroid (one vectorized Arrow
-    pass, numpy matmul per batch) and persist partitioned by cell."""
-    import json
-    import os
-
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment in one
+    vectorized Arrow pass (numpy matmul per batch; expanded ‖x‖²−2x·c+‖c‖²
+    form — the SQL oracle mirrors the same expression structure)."""
     import pandas as pd
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -208,12 +216,31 @@ def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
                 "cell": d2.argmin(axis=1).astype("int32"),
             })
 
-    idx = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         gen, schema="vec_id long, embedding array<float>, cell int")
+
+
+def write_ivf_index(df: DataFrame, path: str, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Assign each vector to its nearest centroid and persist partitioned
+    by cell."""
+    import json
+    import os
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    idx = ivf_assign(df, cents, vec_col, id_col)
     (idx.repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump({"centroids": cents.tolist()}, f)
+
+
+def ivf_probes(centroids: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    cents = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    return [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
 
 
 def ivf_topk(spark, path: str, query_vec: list[float], k: int = 10,
@@ -225,11 +252,9 @@ def ivf_topk(spark, path: str, query_vec: list[float], k: int = 10,
 
     with open(os.path.join(path, "_centroids.json")) as f:
         cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
-    probes = [int(c) for c in np.argsort(d2)[:nprobe]]
+    probes = ivf_probes(cents, query_vec, nprobe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             "vec_id",

@@ -200,6 +200,79 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 twin: top-10 unshipped-order revenue. Dims broadcast, fact
+    shuffles once per join key; rounded-before-rank determinism."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15"))
+    joined = (
+        li.join(F.broadcast(orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority")),
+            li.l_orderkey == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .cast("decimal(18,6)")).cast("double"), 4
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast part dim, grouped by brand (part-table coverage)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").alias("sum_qty"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier ⋈ nation rollup (supplier-table coverage)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    dims = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                  .cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows — the
+    grouping-sets operator family."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time hourly rollup — the batch twin of the streaming windowed agg
     (streaming/ingest_stream.py); reference's micro-batch A2 analogue."""
@@ -234,6 +307,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
+    "shipping_priority": q_shipping_priority,
+    "brand_volume": q_brand_volume,
+    "supplier_nation_volume": q_supplier_nation_volume,
+    "order_rollup": q_order_rollup,
     **EXT_QUERIES,
 }
 
@@ -340,6 +417,42 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "brand_volume": """
+        SELECT p_brand, count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "supplier_nation_volume": """
+        SELECT n_name, count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "order_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     **EXT_ORACLES,
 }

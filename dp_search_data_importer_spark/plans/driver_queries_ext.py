@@ -153,6 +153,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk(idx, _query_vec(spark, sf_dir), planes, k=20, multiprobe=2)
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 3
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN as pure dataflow (no stored index): deterministic k-means
+    (seeded, id-ordered sample) → vectorized cell assignment → probe the 3
+    nearest cells → exact cosine re-rank. The oracle replays the SAME
+    centroids (deterministic training, injected as literals) and the SAME
+    expanded-distance argmin in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.train_ivf_centroids(emb, n_cells=IVF_CELLS, iters=8, seed=42)
+    probes = sim.ivf_probes(cents, _query_vec(spark, sf_dir), IVF_NPROBE)
+    assigned = sim.ivf_assign(emb, cents)
+    cand = assigned.filter(F.col("cell").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in _query_vec(spark, sf_dir)])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(sim.cosine_expr(F.col("embedding"), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(20)
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked (plane literals injected into SQL); exact dups
     injected (vec_id + 10000) so pairs exist."""
@@ -275,6 +300,7 @@ EXT_QUERIES = {
     "winnowing_fingerprints": q_winnowing,
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_ann_topk": q_ann_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -793,3 +819,60 @@ def _embedding_ann_topk_sql() -> str:
 
 EXT_ORACLES["embedding_near_dups"] = _embedding_near_dups_sql()
 EXT_ORACLES["embedding_ann_topk"] = _embedding_ann_topk_sql()
+
+
+def _embedding_ivf_topk_sql() -> str | None:
+    """Replay the deterministic k-means on the sf0.01 embeddings (same
+    id-ordered rows, same seeded numpy kernel ⇒ bit-identical centroids),
+    inject centroids + probe cells as literals, and express the nearest-
+    centroid argmin as a first-min CASE over expanded ‖x‖²−2x·c+‖c‖²
+    distances — the same expression structure the Arrow kernel computes."""
+    import os
+
+    import numpy as _np
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):  # oracle only runs at sf0.01
+        return None
+    import duckdb as _duck
+
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    x = _np.asarray([r[1] for r in rows], dtype=_np.float64)
+    cents = sim.kmeans(x, IVF_CELLS, iters=8, seed=42)
+    qv = x[next(i for i, r in enumerate(rows) if r[0] == 0)]
+    probes = sim.ivf_probes(cents, qv, IVF_NPROBE)
+
+    d_exprs = []
+    for i, c in enumerate(cents):
+        c2 = repr(float((c * c).sum()))
+        d_exprs.append(
+            f"list_dot_product(e, e) - 2 * list_dot_product(e, {_plane_sql(c)})"
+            f" + {c2} AS d{i}"
+        )
+    n = len(cents)
+    whens = []
+    for i in range(n):
+        conds = ([f"d{i} < d{j}" for j in range(i)]
+                 + [f"d{i} <= d{j}" for j in range(i + 1, n)])
+        whens.append("WHEN " + " AND ".join(conds) + f" THEN {i}")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {', '.join(d_exprs)} FROM b),
+    cells AS (SELECT vec_id, e, {case} AS cell FROM d),
+    q AS (SELECT e AS qe FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e))
+                    * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+    FROM cells CROSS JOIN q
+    WHERE cell IN ({', '.join(str(p) for p in probes)})
+    ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """
+
+
+_ivf_sql = _embedding_ivf_topk_sql()
+if _ivf_sql is not None:
+    EXT_ORACLES["embedding_ivf_topk"] = _ivf_sql
