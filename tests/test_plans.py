@@ -64,3 +64,30 @@ def test_df_agg_is_two_phase(spark, sf_dir):
     # partial (map-side) aggregate before each exchange
     assert plan.count("HashAggregate") >= 4
     assert "Exchange" in plan
+
+
+def test_relational_joins_broadcast_dims(spark, sf_dir):
+    """The new relational queries must broadcast every dim side — the fact
+    table shuffles at most for its aggregation, never for a sort-merge."""
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        q_brand_volume,
+        q_shipping_priority,
+        q_supplier_nation_volume,
+    )
+
+    for q in (q_shipping_priority, q_brand_volume, q_supplier_nation_volume):
+        plan = _explain(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_rollup_partial_aggregates(spark, sf_dir):
+    """ROLLUP still runs as two-phase hash aggregation (Expand feeds
+    map-side partials)."""
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        q_order_rollup,
+    )
+
+    plan = _explain(q_order_rollup(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
