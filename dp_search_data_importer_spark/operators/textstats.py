@@ -172,6 +172,49 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-
+    line fraction and the fraction of tokens covered by the most frequent
+    word 2-gram / 3-gram. High values mark boilerplate/spam for filtering.
+    Line stats are a pure projection; n-gram modes are explode + two-level
+    aggs (map-side partials), joined back per doc."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(lines) > 0,
+               F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
+                       / F.size(lines).cast("double"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        tokenize_expr(t).alias("toks"),
+    )
+
+    def top_gram_frac(n: int, out: str) -> DataFrame:
+        m = F.size(F.col("toks")) - (n - 1)
+        grams = F.when(
+            m >= 1,
+            F.transform(F.sequence(F.lit(1), m),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = base.select("doc_id", F.explode(grams).alias("g"))
+        per_gram = exploded.groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(out))
+
+    out = (
+        base.select("doc_id", "dup_line_frac")
+        .join(top_gram_frac(2, "top_2gram_frac"), "doc_id", "left")
+        .join(top_gram_frac(3, "top_3gram_frac"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id", "dup_line_frac",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        F.coalesce("top_3gram_frac", F.lit(0.0)).alias("top_3gram_frac"),
+    )
+
+
 def winnowing_py(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Pure-numpy winnowing kernel (also the test reference): k-gram hashes
     (md5-derived, deterministic cross-platform), sliding-window min, distinct."""

@@ -117,6 +117,10 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -296,6 +300,7 @@ EXT_QUERIES = {
     "language_id": q_language_id,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "repetition_stats": q_repetition_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "winnowing_fingerprints": q_winnowing,
     "embedding_cosine_topk": q_cosine_topk,
@@ -568,6 +573,56 @@ EXT_ORACLES = {
                  + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.3::DOUBLE ELSE 0.0 END)
                , 2) AS quality_score
         FROM f
+    """,
+    "repetition_stats": r"""
+        WITH lines AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+          FROM documents
+        ),
+        linestats AS (
+          SELECT doc_id,
+                 CASE WHEN len(ls) > 0
+                      THEN round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4)
+                      ELSE 0.0 END AS dup_line_frac
+          FROM lines
+        ),
+        toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tok2 AS (
+          SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+          FROM toks WHERE term <> ''
+        ),
+        g2 AS (
+          SELECT a.doc_id, a.term || ' ' || b.term AS g, count(*)::BIGINT AS c
+          FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          GROUP BY a.doc_id, a.term || ' ' || b.term
+        ),
+        t2 AS (
+          SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS top_2gram_frac
+          FROM g2 GROUP BY doc_id
+        ),
+        g3 AS (
+          SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c3.term AS g,
+                 count(*)::BIGINT AS c
+          FROM tok2 a
+          JOIN tok2 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          JOIN tok2 c3 ON c3.doc_id = a.doc_id AND c3.p = a.p + 2
+          GROUP BY a.doc_id, a.term || ' ' || b.term || ' ' || c3.term
+        ),
+        t3 AS (
+          SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS top_3gram_frac
+          FROM g3 GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.dup_line_frac,
+               coalesce(t2.top_2gram_frac, 0.0) AS top_2gram_frac,
+               coalesce(t3.top_3gram_frac, 0.0) AS top_3gram_frac
+        FROM linestats l
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN t3 USING (doc_id)
     """,
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS exact_md5,

@@ -194,6 +194,54 @@ def run_ingest_stream(
     return writer.start()
 
 
+def run_index_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+):
+    """Continuous import into the NATIVE index — the reference's actual job
+    (Kafka → transform → ES bulk doc_as_upsert) with the index maintained
+    by this engine instead of Elasticsearch: each micro-batch of repo-file
+    rows keyed-upserts its shards via ``plans.update_index.upsert_docs``
+    (first batch bootstraps the index with a full build). foreachBatch +
+    checkpointLocation give the reference's no-commit-on-error redelivery
+    contract, and ``upsert_docs`` is idempotent under redelivery, so the
+    index is effectively-once. Per-batch accounting lands in
+    ``<index>/_ingest_metrics.jsonl``."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.plans.build_index import build_index
+    from dp_search_data_importer_spark.plans.update_index import upsert_docs
+
+    def _handle(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        if os.path.exists(os.path.join(index_dir, "stats.json")):
+            m = upsert_docs(spark, index_dir, df)
+        else:
+            if df.isEmpty():
+                return
+            stats = build_index(spark, df, index_dir, EngineConfig(),
+                                resume=False, waves=1)
+            m = {"received": stats["n_docs"], "upserted": stats["n_docs"],
+                 "replaced": 0, "added": stats["n_docs"],
+                 "affected_shards": list(range(stats["n_shards"]))}
+        m["batch_id"] = int(batch_id)
+        with open(os.path.join(index_dir, "_ingest_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m, sort_keys=True) + "\n")
+
+    writer = (
+        docs_stream.writeStream
+        .foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def dedup_stream(events: DataFrame, key_col: str = "uid") -> DataFrame:
     """Cross-batch streaming dedup: emit only the FIRST occurrence of each
     key, ever — a custom stateful operator via ``applyInPandasWithState``

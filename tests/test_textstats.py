@@ -162,3 +162,19 @@ def test_language_id_markers_fallback_still_works(spark):
     got = {r["doc_id"]: r["lang_guess"]
            for r in ts.language_id(df, profile="markers").collect()}
     assert got == {1: "en", 2: "de"}
+
+
+def test_repetition_stats_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),          # 3 lines, 1 dup; toks a b a b c d
+         (2, "x y z"),                   # no repetition
+         (3, "spam spam spam spam")],    # one line; 2gram 'spam spam' x3
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_line_frac"], r["top_2gram_frac"],
+                         r["top_3gram_frac"])
+           for r in ts.repetition_stats(df).collect()}
+    assert got[1][0] == round(1 - 2 / 3, 4)
+    # doc1 2grams: [a b, b a, a b, b c, c d] -> top 'a b' 2/5
+    assert got[1][1] == 0.4
+    assert got[2] == (0.0, round(1 / 2, 4), 1.0)
+    assert got[3] == (0.0, 1.0, 1.0)  # 'spam spam' 3/3, 3gram 2/2

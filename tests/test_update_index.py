@@ -136,3 +136,68 @@ def test_upsert_is_idempotent(spark, upserted_vs_fresh):
     stats_after = read_stats_json(d_inc)
     assert stats_after["n_docs"] == stats_before["n_docs"]
     assert stats_after["sum_dl"] == stats_before["sum_dl"]
+
+
+def test_run_index_stream_end_to_end(spark, tmp_path):
+    """Streaming continuous import into the native index: first drain
+    bootstraps a full build, later drains keyed-upsert their shards; the
+    final index is fingerprint-identical to a fresh build of the merged
+    corpus and the new content is searchable between drains."""
+    import json as _json
+
+    from dp_search_data_importer_spark.checkpoint import read_manifest
+    from dp_search_data_importer_spark.session import local_df
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        run_index_stream,
+    )
+
+    base = _rows(30)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    cols = ("repo", "path", "commit", "lang", "content")
+    with open(src / "b1.json", "w") as f:
+        for r in base:
+            f.write(_json.dumps(dict(zip(cols, r))) + "\n")
+
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "stream_ck")
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        qy = run_index_stream(stream, idx, ckpt, available_now=True)
+        qy.awaitTermination(240)
+
+    drain()
+    from dp_search_data_importer_spark.checkpoint import read_stats_json
+
+    assert read_stats_json(idx)["n_docs"] == 30
+
+    # batch 2: replace 2 docs, add 1
+    replaced = [(r, p, c, lg, "replacement walrus text " + p)
+                for (r, p, c, lg, _) in base[3:5]]
+    added = [("r1", "src/extra.py", "c1", "py", "walrus narwhal new doc")]
+    with open(src / "b2.json", "w") as f:
+        for r in replaced + added:
+            f.write(_json.dumps(dict(zip(cols, r))) + "\n")
+    drain()
+
+    cfg = EngineConfig()  # run_index_stream bootstraps with the default cfg
+    merged = base[:3] + base[5:] + replaced + added
+    fresh = str(tmp_path / "stream_fresh")
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), fresh, cfg,
+                waves=1)
+    inc_m = {r["shard"]: r["content_fingerprint"]
+             for r in read_manifest(spark, idx).collect()}
+    fresh_m = {r["shard"]: r["content_fingerprint"]
+               for r in read_manifest(spark, fresh).collect()}
+    assert inc_m == fresh_m
+
+    queries = local_df(spark, [(1, "walrus")], "query_id long, query_text string")
+    hits = q.exact_topk(spark, idx, queries, cfg, 10).collect()
+    assert len(hits) == 3  # 2 replaced + 1 added
+
+    metrics = [_json.loads(ln)
+               for ln in open(os.path.join(idx, "_ingest_metrics.jsonl"))]
+    assert metrics[0]["added"] == 30
+    assert any(m.get("replaced") == 2 and m.get("added") == 1
+               for m in metrics[1:])
