@@ -178,3 +178,43 @@ def test_repetition_stats_golden(spark):
     assert got[1][1] == 0.4
     assert got[2] == (0.0, round(1 / 2, 4), 1.0)
     assert got[3] == (0.0, 1.0, 1.0)  # 'spam spam' 3/3, 3gram 2/2
+
+
+def test_winnowing_and_simhash_hypothesis_parity(spark):
+    """Property: the pure-Catalyst winnowing and SimHash operators agree
+    with their independent numpy kernels on arbitrary random texts
+    (hypothesis-generated word soups incl. empty/short docs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dp_search_data_importer_spark.operators.simhash import (
+        simhash64_py,
+        simhash_fingerprints,
+    )
+    from dp_search_data_importer_spark.operators.textstats import (
+        winnowing_fingerprints,
+        winnowing_py,
+    )
+
+    word = st.text(alphabet="abcxyz019", min_size=0, max_size=6)
+    texts = st.lists(
+        st.lists(word, min_size=0, max_size=30).map(" ".join),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "doc_id long, text string")
+        got_w = {}
+        for r in winnowing_fingerprints(df).collect():
+            got_w.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, t in enumerate(batch):
+            assert got_w.get(i, set()) == set(winnowing_py(t)), (i, t)
+        got_s = {r["doc_id"]: r["simhash"]
+                 for r in simhash_fingerprints(df).collect()}
+        for i, t in enumerate(batch):
+            assert got_s[i] == simhash64_py(t), (i, t)
+
+    check()
