@@ -126,6 +126,31 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_plan(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Image resize planning: per image, the aspect-preserving target
+    dimensions fitting (max_w, max_h), never upscaling — pure Catalyst over
+    the typed metadata; the payload bytes are never read (column pruning),
+    and the actual pixel resample belongs behind the decode stub. This is
+    the distributed half of a resize stage: plan cheaply over billions of
+    rows, hand (media_id, out_w, out_h) to the decode kernel."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h,
+                    F.lit(1.0))
+    return (
+        media.filter((F.col("kind") == "image")
+                     & (F.col("meta.width") > 0) & (F.col("meta.height") > 0))
+        .select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.greatest(F.floor(w * scale), F.lit(1)).cast("long").alias("out_w"),
+            F.greatest(F.floor(h * scale), F.lit(1)).cast("long").alias("out_h"),
+            F.round(scale, 6).alias("scale"),
+        )
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-kind payload accounting — note .explain shows ReadSchema without
     re-reading payload bytes for the meta-only aggregates."""

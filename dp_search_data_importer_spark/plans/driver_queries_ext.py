@@ -231,6 +231,17 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(synthetic_media(spark, n=120), every_ms=1000)
 
 
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plan; oracle-checked (meta replayed
+    in SQL — payload never read)."""
+    from dp_search_data_importer_spark.operators.multimodal import (
+        resize_plan,
+        synthetic_media,
+    )
+
+    return resize_plan(synthetic_media(spark, n=120))
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     session ids — the batch twin of a session_window streaming agg."""
@@ -290,6 +301,7 @@ EXT_QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "media_features": q_media_features,
     "frame_sample_plan": q_frame_sample_plan,
+    "resize_plan": q_resize_plan,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_keep_representatives": q_dedup_keep_representatives,
     "ngram_jaccard": q_ngram_jaccard,
@@ -785,7 +797,9 @@ _MEDIA_GEN = """
     SELECT i AS media_id,
            CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            repeat(sha256('42:' || i), (4 + i % 8)::INT) AS payload_hex,
-           CASE WHEN i % 3 = 2 THEN (i % 40) * 500 ELSE 0 END AS duration_ms
+           CASE WHEN i % 3 = 2 THEN (i % 40) * 500 ELSE 0 END AS duration_ms,
+           CASE WHEN i % 3 = 0 THEN 64 + (i % 16) * 16 ELSE 0 END AS width,
+           CASE WHEN i % 3 = 0 THEN 64 + (i % 9) * 16 ELSE 0 END AS height
     FROM range(120) t(i)
 """
 
@@ -804,6 +818,20 @@ EXT_ORACLES["frame_sample_plan"] = f"""
     SELECT media_id,
            unnest(generate_series(0, duration_ms - 1, 1000))::BIGINT AS frame_ts_ms
     FROM m WHERE kind = 'video' AND duration_ms > 0
+"""
+
+EXT_ORACLES["resize_plan"] = f"""
+    WITH m AS ({_MEDIA_GEN}),
+    s AS (
+      SELECT media_id, width, height,
+             least(224.0 / width, 224.0 / height, 1.0) AS scale
+      FROM m WHERE kind = 'image' AND width > 0 AND height > 0
+    )
+    SELECT media_id, width, height,
+           greatest(floor(width * scale), 1)::BIGINT AS out_w,
+           greatest(floor(height * scale), 1)::BIGINT AS out_h,
+           round(scale, 6) AS scale
+    FROM s
 """
 
 # ---------------------------------------------------------------------------

@@ -234,3 +234,29 @@ def test_doc_id_collision_check(spark):
     # forced collision: same doc_id claimed by two distinct keys
     forged = docs.withColumn("doc_id", F.lit(42).cast("long"))
     assert doc_id_collisions(forged).count() == 1
+
+
+def test_hot_term_stripes_uniformly_across_shards(spark, tmp_path):
+    """The structural skew answer: a term appearing in EVERY doc cannot skew
+    any build task, because doc-hash sharding stripes its postings evenly —
+    per-shard posting counts for the hottest term stay within a tight band."""
+    import os
+
+    rows = [("r", f"f{i}.py", "c", "py",
+             "universal " + " ".join(f"w{(i * 13 + j) % 97}" for j in range(20)))
+            for i in range(2000)]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    out = str(tmp_path / "skew_idx")
+    cfg = EngineConfig(n_shards=8, block_size=32)
+    build_index(spark, src, out, cfg, waves=1)
+    per_shard = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(os.path.join(out, "postings"))
+        .filter(F.col("term") == "universal")
+        .groupBy("shard").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert len(per_shard) == cfg.n_shards  # the hot term hits every shard
+    assert sum(per_shard.values()) == 2000
+    lo, hi = min(per_shard.values()), max(per_shard.values())
+    assert hi <= 2 * lo, per_shard  # xxhash64 balance: ~250 ± noise per shard
