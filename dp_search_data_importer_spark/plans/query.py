@@ -135,6 +135,71 @@ def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
     return topk(local, k)
 
 
+def expand_terms(spark: SparkSession, out_dir: str, pattern: str,
+                 mode: str = "prefix", max_edits: int = 1,
+                 max_expansions: int = 50) -> list[str]:
+    """Expand a query token against the term dictionary — the ES
+    prefix/fuzzy query families. ``prefix`` pushes a StartsWith filter into
+    the term_df parquet scan (PushedFilters — the dictionary is never fully
+    materialized); ``fuzzy`` filters by Catalyst ``levenshtein`` with an
+    early length-window prune. Expansion is capped like ES's
+    ``max_expansions`` (highest-df terms win: most selective rankings need
+    the common completions first)."""
+    tdf = spark.read.parquet(os.path.join(out_dir, "term_df"))
+    if mode == "prefix":
+        hits = tdf.filter(F.col("term").startswith(pattern))
+    elif mode == "fuzzy":
+        hits = tdf.filter(
+            (F.length("term") >= F.lit(len(pattern) - max_edits))
+            & (F.length("term") <= F.lit(len(pattern) + max_edits))
+            & (F.levenshtein(F.col("term"), F.lit(pattern)) <= max_edits)
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown expansion mode {mode!r}")
+    rows = (hits.orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions).collect())
+    return [r["term"] for r in rows]
+
+
+def _expanded_topk(spark: SparkSession, out_dir: str, tokens: list[str],
+                   mode: str, cfg: EngineConfig | None, k: int | None,
+                   max_edits: int = 1) -> DataFrame:
+    from dp_search_data_importer_spark.session import local_df
+
+    cfg = cfg or EngineConfig()
+    terms = sorted({
+        t for tok in tokens
+        for t in expand_terms(spark, out_dir, tok, mode, max_edits)
+    })
+    if not terms:
+        return local_df(spark, [], "query_id long, doc_id long, score double")
+    qt = local_df(spark, [(1, t) for t in terms], "query_id long, term string")
+    blocks = load_blocks(spark, out_dir, terms)
+    tf = decompress_blocks(blocks)
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms))
+    stats_sdf, _ = _stats_df(spark, out_dir)
+    scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
+    return topk(scores, k or cfg.k)
+
+
+def prefix_topk(spark: SparkSession, out_dir: str, prefixes: list[str],
+                cfg: EngineConfig | None = None,
+                k: int | None = None) -> DataFrame:
+    """ES prefix-query twin: every dictionary term starting with any given
+    prefix contributes BM25 mass; standard exact scoring over the expanded
+    term set (term filter still pushed into the postings scan)."""
+    return _expanded_topk(spark, out_dir, prefixes, "prefix", cfg, k)
+
+
+def fuzzy_topk(spark: SparkSession, out_dir: str, tokens: list[str],
+               cfg: EngineConfig | None = None, k: int | None = None,
+               max_edits: int = 1) -> DataFrame:
+    """ES fuzzy-query twin (edit distance ≤ max_edits via Catalyst
+    levenshtein over the dictionary, length-window pruned)."""
+    return _expanded_topk(spark, out_dir, tokens, "fuzzy", cfg, k, max_edits)
+
+
 def resolve_docs(spark: SparkSession, out_dir: str, results: DataFrame) -> DataFrame:
     """Map winning doc_ids back to (repo, path, commit, lang) — the engine's
     analogue of the reference returning ES `_id`-keyed documents. Winner set

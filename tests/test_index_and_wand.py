@@ -260,3 +260,32 @@ def test_hot_term_stripes_uniformly_across_shards(spark, tmp_path):
     assert sum(per_shard.values()) == 2000
     lo, hi = min(per_shard.values()), max(per_shard.values())
     assert hi <= 2 * lo, per_shard  # xxhash64 balance: ~250 ± noise per shard
+
+
+def test_prefix_and_fuzzy_queries(spark, corpus, built):
+    """ES prefix/fuzzy query twins over the term dictionary: expansion is
+    dictionary-driven (pushed StartsWith / levenshtein), scoring is the
+    standard exact path over the expanded term set."""
+    out, _ = built
+    # prefix: every 'imp*' term scores (the corpus is full of 'import')
+    res = q.prefix_topk(spark, out, ["imp"], CFG, 10).collect()
+    assert len(res) == 10
+    terms = q.expand_terms(spark, out, "imp", "prefix")
+    assert "import" in terms
+    # expansion plan pushes the prefix into the dictionary scan
+    import os as _os
+
+    tdf = spark.read.parquet(_os.path.join(out, "term_df")).filter(
+        F.col("term").startswith("imp"))
+    plan = tdf._jdf.queryExecution().explainString(
+        tdf._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "StringStartsWith(term,imp" in plan
+
+    # fuzzy: one edit away still matches ('improt' typo → import)
+    fz = q.expand_terms(spark, out, "improt", "fuzzy", max_edits=2)
+    assert "import" in fz
+    res_f = q.fuzzy_topk(spark, out, ["improt"], CFG, 5, max_edits=2).collect()
+    assert len(res_f) == 5
+    # zero-expansion tokens return an empty frame, not an error
+    assert q.fuzzy_topk(spark, out, ["zzzzzzzzz"], CFG, 5).count() == 0
