@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs_build = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    # 12k docs: large enough that docs/sec reflects pipeline throughput
+    # rather than fixed JVM/job overhead (at 4k docs the ~10 s constant
+    # cost dominated and understated throughput ~5x vs the 120k-doc
+    # measurement in BENCH/BASELINE.md)
+    n_docs_build = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from dp_search_data_importer_spark.config import EngineConfig
