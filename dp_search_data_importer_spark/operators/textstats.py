@@ -172,6 +172,53 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+# pattern sources: RFC-5322-lite email, dotted-quad IPv4, E.164-ish phone —
+# the C4/CCNet-style PII screens (counts, not extraction: the filter decision
+# needs rates; redaction is a downstream regexp_replace with the same exprs)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII signal counts (emails, IPv4s, phone-like runs) — the
+    screening stage of a C4-style curation pipeline, pure Catalyst
+    regexp_count (JVM regex, whole-stage codegen). The phone screen is an
+    intentionally aggressive digit-run detector: long dotted/spaced digit
+    sequences (incl. IPv4s) also trip it — for FILTERING that is the right
+    bias; redaction pipelines should apply the specific patterns first."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def strip_html_expr(text: Column) -> Column:
+    """Boilerplate cleanup: drop script/style elements wholesale, strip
+    remaining tags, decode the five core entities, collapse whitespace —
+    a chain of regexp_replace (JVM-side), the C4 text-extraction stand-in."""
+    # two passes instead of a backreference (</\1>): RE2-class engines
+    # (the DuckDB oracle) have no backreferences; behavior is identical
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def strip_html(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"),
+                     strip_html_expr(F.col(text_col)).alias("clean_text"))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-

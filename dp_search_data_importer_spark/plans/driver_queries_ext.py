@@ -121,6 +121,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screens over documents with deterministic injected PII (the
+    corpus itself is clean, so the query plants one email/IP/phone per
+    doc in BOTH engines — non-trivial counts, hash-comparable)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" host 10.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit(".7 tel +1 415 555 01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+                   2, "0"),
+        ).alias("text"),
+    )
+    return ts.pii_stats(docs)
+
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal: documents wrapped in deterministic markup
+    (tags + a script element + entities), cleaned back to prose."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p class=\"x\">"), F.col("text"),
+            F.lit("</p><script>var x = 1 &amp;&amp; 2;</script>"
+                  "<div>tail &lt;ok&gt;</div></body></html>"),
+        ).alias("text"),
+    )
+    return ts.strip_html(docs)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -313,6 +345,8 @@ EXT_QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
+    "pii_stats": q_pii_stats,
+    "strip_html": q_strip_html,
     "doc_fingerprints": q_doc_fingerprints,
     "winnowing_fingerprints": q_winnowing,
     "embedding_cosine_topk": q_cosine_topk,
@@ -585,6 +619,41 @@ EXT_ORACLES = {
                  + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.3::DOUBLE ELSE 0.0 END)
                , 2) AS quality_score
         FROM f
+    """,
+    "pii_stats": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact u' || doc_id || '@example.com'
+                      || ' host 10.0.' || (doc_id % 256) || '.7 tel +1 415 555 01'
+                      || lpad((doc_id % 100)::VARCHAR, 2, '0') AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(text, '\+?\d[\d\s().-]{7,}\d'))::BIGINT AS n_phones
+        FROM aug
+    """,
+    "strip_html": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 '<html><body><p class="x">' || text
+                 || '</p><script>var x = 1 &amp;&amp; 2;</script>'
+                 || '<div>tail &lt;ok&gt;</div></body></html>' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS clean_text
+        FROM aug
     """,
     "repetition_stats": r"""
         WITH lines AS (

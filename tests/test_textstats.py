@@ -218,3 +218,28 @@ def test_winnowing_and_simhash_hypothesis_parity(spark):
             assert got_s[i] == simhash64_py(t), (i, t)
 
     check()
+
+
+def test_pii_stats_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@test.org or admin@x.co, server 192.168.1.1, "
+             "call +1 (415) 555-0199 please"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"])
+           for r in ts.pii_stats(df).collect()}
+    # the phone screen is an aggressive digit-run detector: dotted quads
+    # also trip it (documented) — so the IP contributes to n_phones too
+    assert got[1] == (2, 1, 2)
+    assert got[2] == (0, 0, 0)
+
+
+def test_strip_html_golden(spark):
+    df = spark.createDataFrame(
+        [(1, '<html><head><style>p {color: red}</style></head>'
+             '<body><p class="big">Hello   <b>world</b></p>'
+             '<script type="text/js">var x = "<p>";</script>'
+             'a &lt; b &amp;&amp; c &gt; d</body></html>')],
+        "doc_id long, text string")
+    got = ts.strip_html(df).collect()[0]["clean_text"]
+    assert got == 'Hello world a < b && c > d'
