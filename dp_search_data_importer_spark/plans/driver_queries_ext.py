@@ -296,6 +296,41 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASES = [(1, "hash join"), (2, "window agg sort"), (3, "the zzznope")]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase twin over the documents table: positional adjacency
+    via Catalyst array intersection, BM25 over phrase frequencies (exact
+    phrase df). Oracle: adjacency self-joins + the same formula in SQL."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.operators.bm25 import topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = ph.doc_positions(docs, code_aware=False)
+    srow = corpus_stats_from_docs(docs).collect()[0]
+    outs = []
+    for qid, phrase_text in PHRASES:
+        tokens = phrase_text.split()
+        m = ph.phrase_matches(pos, tokens)
+        scored = ph.phrase_score(m, srow["n_docs"], srow["avgdl"])
+        if scored.isEmpty():
+            continue
+        outs.append(scored.select(
+            F.lit(qid).cast("long").alias("query_id"), "doc_id", "score"))
+    from dp_search_data_importer_spark.session import local_df
+
+    if not outs:
+        return local_df(spark, [], "query_id long, doc_id long, score double")
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    return topk(union, 10)
+
+
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-semantics BM25 top-k: only docs containing EVERY query term
     (ES bool/must twin). Same scorer, plus a per-doc matched-term count
@@ -330,6 +365,7 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "phrase_search": q_phrase_search,
     "windowed_event_counts": q_windowed_event_counts,
     "media_features": q_media_features,
     "frame_sample_plan": q_frame_sample_plan,
@@ -1028,3 +1064,58 @@ def _embedding_ivf_topk_sql() -> str | None:
 _ivf_sql = _embedding_ivf_topk_sql()
 if _ivf_sql is not None:
     EXT_ORACLES["embedding_ivf_topk"] = _ivf_sql
+
+
+def _phrase_search_sql() -> str:
+    """Adjacency self-joins per phrase (same CTE family as the winnowing
+    oracle) + exact-phrase-df BM25, mirroring q_phrase_search's float
+    expression structure."""
+    ctes = []
+    selects = []
+    for qid, text in PHRASES:
+        toks = text.split()
+        joins = " ".join(
+            f"JOIN tok2 t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            for i in range(1, len(toks)))
+        wheres = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(toks))
+        ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(*)::BIGINT AS tf "
+            f"FROM tok2 t0 {joins} WHERE {wheres} GROUP BY t0.doc_id)")
+        ctes.append(f"d{qid} AS (SELECT count(*)::BIGINT AS df FROM m{qid})")
+        selects.append(f"""
+          SELECT {qid} AS query_id, m.doc_id,
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * m.tf * (1.2 + 1.0)
+                 / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)) AS score
+          FROM m{qid} m CROSS JOIN d{qid} d CROSS JOIN stats s
+          JOIN dldocs dl ON dl.doc_id = m.doc_id""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    dldocs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dldocs),
+    {', '.join(ctes)},
+    scored AS ({body}),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """
+
+
+EXT_ORACLES["phrase_search"] = _phrase_search_sql()

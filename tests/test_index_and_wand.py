@@ -289,3 +289,51 @@ def test_prefix_and_fuzzy_queries(spark, corpus, built):
     assert len(res_f) == 5
     # zero-expansion tokens return an empty frame, not an error
     assert q.fuzzy_topk(spark, out, ["zzzzzzzzz"], CFG, 5).count() == 0
+
+
+def test_phrase_topk_over_positions_sidecar(spark, corpus, built):
+    """ES match_phrase twin: the positional sidecar answers phrase queries
+    identically to recomputing positions from the corpus, phrase tf counts
+    overlapping occurrences, and unseen phrases return nothing."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.operators.bm25 import topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+    )
+
+    out, stats = built
+    docs = normalize_repo_files(corpus)
+    ph.build_positions(spark, docs, out, CFG, code_aware=True)
+
+    phrases = [(1, "import def"), (2, "def getUserName"), (3, "zzz nope")]
+    got = _ranked(ph.phrase_topk(spark, out, phrases, CFG, 10).collect())
+
+    # corpus-scan twin: same positions derived straight from the docs
+    pos = ph.doc_positions(docs, code_aware=True, text_col="content")
+    outs = []
+    from pyspark.sql import functions as F2
+
+    for qid, text in phrases:
+        toks = text.lower().split()
+        m = ph.phrase_matches(pos, toks)
+        s = ph.phrase_score(m, stats["n_docs"], stats["avgdl"], CFG)
+        if s.isEmpty():
+            continue
+        outs.append(s.select(F2.lit(qid).cast("long").alias("query_id"),
+                             "doc_id", "score"))
+    expect = {}
+    if outs:
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        expect = _ranked(topk(u, 10).collect())
+    assert got == expect
+    assert 3 not in got  # unseen phrase absent
+    assert 1 in got      # 'import def' exists in the synthetic corpus
+
+    # overlapping occurrences: 'sort sort sort' has phrase_tf('sort sort')=2
+    tiny = spark.createDataFrame(
+        [(1, "sort sort sort")], "doc_id long, text string")
+    tp = ph.doc_positions(tiny)
+    m = ph.phrase_matches(tp, ["sort", "sort"]).collect()
+    assert m[0]["phrase_tf"] == 2
