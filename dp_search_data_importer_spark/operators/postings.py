@@ -12,12 +12,15 @@ Dataflow (designed for 10^12 docs):
                                                             # pre-aggregated
                                                             # pairs, not tokens
        --groupBy(term) [salted two-phase]--> df per term    # skew-safe
-       --repartitionByRange(term, doc_id)--> sorted runs    # hot terms span
-                                                            # many partitions
-                                                            # by doc_id range:
-                                                            # range partitioning
-                                                            # is the structural
-                                                            # skew fix here
+       --repartition(shard) + sortWithinPartitions          # shard =
+         (shard, term, doc_id)--> sorted runs               # hash(doc_id):
+                                                            # a hot term
+                                                            # stripes evenly
+                                                            # across shards,
+                                                            # so block tasks
+                                                            # are uniform by
+                                                            # construction
+                                                            # (build_index.py)
 
 Doc lengths ride inside the (term, tf, dl) tuples so BM25 scoring never joins
 back to the docs table (no second wide shuffle at query time).

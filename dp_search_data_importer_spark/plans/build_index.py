@@ -213,11 +213,24 @@ def build_index(
 
     cfg = cfg or EngineConfig()
     os.makedirs(out_dir, exist_ok=True)
+    # measured-df feedback: capture the PREVIOUS build's heavy hitters
+    # before any cleanup or stats-branch check — they seed this build's
+    # salting (SURVEY.md §7 hard part b). Captured here (not inside the
+    # stats branch below) so a fresh rebuild (resume=False) and a resumed
+    # build both see them.
+    prior_hot: list[str] = []
+    stats_path = os.path.join(out_dir, "stats.json")
+    if os.path.exists(stats_path):
+        try:
+            prior_hot = read_stats_json(out_dir).get("hot_terms", [])
+        except (OSError, ValueError):
+            prior_hot = []
     if not resume:
         # a fresh build into an existing out_dir must not inherit stale
         # postings/manifest rows (re-run with resume=False used to APPEND
-        # postings on top of committed blocks — duplicated scores)
-        for sub in ("postings", "_manifest", "docs", "term_df"):
+        # postings on top of committed blocks — duplicated scores). The
+        # positions sidecar belongs to the previous corpus too.
+        for sub in ("postings", "_manifest", "docs", "term_df", "positions"):
             _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         for fn in ("stats.json",):
             try:
@@ -238,7 +251,6 @@ def build_index(
     done = completed_shards(spark, out_dir) if (
         resume and os.path.exists(out_dir)
     ) else set()
-    stats_path = os.path.join(out_dir, "stats.json")
     if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
         return read_stats_json(out_dir)
 
@@ -328,12 +340,11 @@ def build_index(
                 "code_aware": code_aware,
                 "shard_docs": {int(s): n for s, n in shard_counts.items()},
             }
-            # measured-df-driven salting (SURVEY.md §7 hard part b): bootstrap
-            # with the static hot list; the measured heavy hitters are
-            # recorded in stats.json below and drive the NEXT build/resume.
-            prior_hot = []
-            if resume and os.path.exists(stats_path):
-                prior_hot = read_stats_json(out_dir).get("hot_terms", [])
+            # measured-df-driven salting (SURVEY.md §7 hard part b): static
+            # hot list bootstraps; the previous build's measured heavy
+            # hitters (prior_hot, captured before cleanup above) extend it,
+            # and this build's measurement is recorded in stats.json below
+            # to drive the NEXT build.
             hot = sorted(set(cfg.static_hot_terms) | set(prior_hot))
             doc_freqs(tf, cfg, hot=hot).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "term_df")

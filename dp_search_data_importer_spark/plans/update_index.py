@@ -23,14 +23,27 @@ Design (all shard-local, batch-proportional):
    ``build_index.block_impacts``), so a drifting avgdl never invalidates
    bounds baked into untouched shards; queries always score with the
    CURRENT stats, exactly like Lucene applying norms at search time;
-4. the merged tf and docs rows are STAGED to temp parquet before the
-   dynamic partition overwrite — the job never overwrites storage its own
-   plan still reads (same crash-safety discipline as
-   streaming.ingest_stream.upsert_batch).
+4. **crash-atomic multi-artifact commit**: every new artifact (postings
+   shard dirs, docs shard dirs, term_df, manifest, stats.json) is STAGED
+   under ``_upsert_stage/`` while the live index is only read; a
+   ``_COMMIT.json`` marker is written last, and only then are live dirs
+   swapped in via backup-rename. :func:`recover_index` (called on entry to
+   every upsert) rolls an interrupted commit forward when the marker
+   exists — every staged artifact lands — and rolls it back (discards the
+   stage) when it does not, so the live index is always EITHER the
+   pre-batch state or the post-batch state, never a mix with drifted
+   stats. Same discipline as ``streaming.ingest_stream.recover_store``.
+
+A shard whose merged content tokenizes to zero terms is handled explicitly:
+its live ``postings/shard=k`` dir is DELETED during the swap (recorded in
+the commit marker), matching a fresh rebuild where the shard would simply
+emit no blocks — dynamic partition overwrite alone would have left the
+stale dir searchable.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -40,7 +53,6 @@ from pyspark.sql import functions as F
 from dp_search_data_importer_spark.checkpoint import (
     read_stats_json,
     shard_metrics,
-    write_stats_json,
 )
 from dp_search_data_importer_spark.config import EngineConfig
 from dp_search_data_importer_spark.operators.ingest import normalize_repo_files
@@ -53,6 +65,116 @@ from dp_search_data_importer_spark.plans.query import (
     decompress_blocks,
     load_blocks,
 )
+
+_STAGE = "_upsert_stage"
+_COMMIT = "_COMMIT.json"
+_OLD = "_old_"  # backup prefix, flattened names at the index root
+
+
+def _stage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, _STAGE)
+
+
+def _backup(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, _OLD + name)
+
+
+def _swap_dir(live: str, staged: str, backup: str) -> None:
+    """Replace ``live`` with ``staged`` via backup-rename; idempotent under
+    re-execution after a crash at any point (roll-forward)."""
+    if os.path.exists(staged):
+        if os.path.exists(live):
+            os.rename(live, backup)
+        os.rename(staged, live)
+    if os.path.exists(backup):
+        # either the swap above just completed, or a previous attempt
+        # crashed after staged→live: the new data is live, drop the backup
+        if os.path.exists(live):
+            shutil.rmtree(backup)
+        else:  # crash between the two renames: restore
+            os.rename(backup, live)
+
+
+def _delete_dir(live: str, backup: str) -> None:
+    """Remove ``live`` (rename-first so a crash mid-delete can't leave a
+    half-deleted dir looking live); idempotent."""
+    if os.path.exists(live):
+        os.rename(live, backup)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def _apply_commit(out_dir: str, meta: dict) -> None:
+    """Roll a fully-staged upsert forward. Safe to re-run from any crash
+    point: every step is an idempotent rename-based swap."""
+    stage = _stage_dir(out_dir)
+    for s in meta["replace_postings"]:
+        _swap_dir(os.path.join(out_dir, "postings", f"shard={s}"),
+                  os.path.join(stage, "postings", f"shard={s}"),
+                  _backup(out_dir, f"postings_shard_{s}"))
+    for s in meta["delete_postings"]:
+        _delete_dir(os.path.join(out_dir, "postings", f"shard={s}"),
+                    _backup(out_dir, f"postings_shard_{s}"))
+    for s in meta["affected"]:
+        _swap_dir(os.path.join(out_dir, "docs", f"shard={s}"),
+                  os.path.join(stage, "docs", f"shard={s}"),
+                  _backup(out_dir, f"docs_shard_{s}"))
+    _swap_dir(os.path.join(out_dir, "term_df"),
+              os.path.join(stage, "term_df"), _backup(out_dir, "term_df"))
+    _swap_dir(os.path.join(out_dir, "_manifest"),
+              os.path.join(stage, "manifest"), _backup(out_dir, "manifest"))
+    if meta.get("drop_positions"):
+        # the sidecar was built from a previous corpus; a stale sidecar
+        # silently serves phrase matches for replaced content (ADVICE r2)
+        _delete_dir(os.path.join(out_dir, "positions"),
+                    _backup(out_dir, "positions"))
+    staged_stats = os.path.join(stage, "stats.json")
+    if os.path.exists(staged_stats):
+        os.replace(staged_stats, os.path.join(out_dir, "stats.json"))
+    os.remove(os.path.join(stage, _COMMIT))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def recover_index(out_dir: str) -> str:
+    """Repair an upsert interrupted at any point. Returns the action taken:
+    ``"forward"`` (commit marker present → finish the swap), ``"back"``
+    (staging incomplete → discard it), or ``"clean"``. Idempotent; called
+    on entry to every :func:`upsert_docs`."""
+    stage = _stage_dir(out_dir)
+    marker = os.path.join(stage, _COMMIT)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        _apply_commit(out_dir, meta)
+        return "forward"
+    acted = False
+    if os.path.exists(out_dir):
+        # stray backups can only exist post-marker; restore any whose live
+        # dir is missing (crash inside a swap), then drop the rest
+        for name in sorted(os.listdir(out_dir)):
+            if not name.startswith(_OLD):
+                continue
+            acted = True
+            suffix = name[len(_OLD):]
+            if suffix.startswith("postings_shard_"):
+                live = os.path.join(out_dir, "postings",
+                                    f"shard={suffix.rsplit('_', 1)[1]}")
+            elif suffix.startswith("docs_shard_"):
+                live = os.path.join(out_dir, "docs",
+                                    f"shard={suffix.rsplit('_', 1)[1]}")
+            elif suffix == "manifest":
+                live = os.path.join(out_dir, "_manifest")
+            else:
+                live = os.path.join(out_dir, suffix)
+            backup = os.path.join(out_dir, name)
+            if os.path.exists(live):
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, live)
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+        return "back"
+    return "back" if acted else "clean"
 
 
 def upsert_docs(
@@ -69,7 +191,13 @@ def upsert_docs(
     Keyed upsert on doc_id (an existing doc with the same id is replaced;
     duplicates within the batch collapse to one row). Returns accounting:
     {received, upserted, replaced, added, affected_shards} — the A9 twin.
+
+    The live index is only READ until every new artifact is staged and the
+    commit marker is written (see module docstring); a crash anywhere
+    leaves an index that :func:`recover_index` restores to exactly the
+    pre-batch or post-batch state.
     """
+    recover_index(out_dir)
     stats = read_stats_json(out_dir)
     cfg = EngineConfig(n_shards=stats["n_shards"],
                        block_size=stats["block_size"],
@@ -82,8 +210,11 @@ def upsert_docs(
     )
     received = new_docs.count()
 
+    stage = _stage_dir(out_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
     # stage the batch once (several consumers: ids, tf, docs rows)
-    batch_tmp = os.path.join(out_dir, "_upsert_batch")
+    batch_tmp = os.path.join(stage, "batch")
     batch.write.mode("overwrite").parquet(batch_tmp)
     batch = spark.read.parquet(batch_tmp)
     try:
@@ -95,7 +226,8 @@ def upsert_docs(
                     "added": 0, "affected_shards": []}
         new_ids = batch.select("doc_id")
 
-        # ---- old state of the affected shards only
+        # ---- old state of the affected shards only (reads live postings —
+        # safe: nothing live is mutated until the commit marker lands)
         old_tf = decompress_blocks(
             load_blocks(spark, out_dir).filter(F.col("shard").isin(affected))
         ).withColumn(
@@ -115,13 +247,11 @@ def upsert_docs(
         )
 
         # ---- exact integer stat deltas (one small agg each, over
-        # batch/affected-shard-sized data only)
+        # batch/affected-shard-sized data only); staged so their lineage
+        # never depends on live postings at swap time
         removed_sum_dl = removed_tf.agg(F.sum("tf")).collect()[0][0] or 0
         new_sum_dl = new_tf.agg(F.sum("tf")).collect()[0][0] or 0
-        # df deltas are STAGED before the postings overwrite below — their
-        # lineage reads the old postings files, which cease to exist after
-        # the dynamic overwrite (batch-proportional tables, cheap writes)
-        deltas_tmp = os.path.join(out_dir, "_upsert_df_deltas")
+        deltas_tmp = os.path.join(stage, "df_deltas")
         (removed_tf.groupBy("term").agg(F.count(F.lit(1)).alias("removed"))
          .write.mode("overwrite").parquet(os.path.join(deltas_tmp, "removed")))
         (new_tf.groupBy("term").agg(F.count(F.lit(1)).alias("added"))
@@ -129,8 +259,10 @@ def upsert_docs(
         removed_df = spark.read.parquet(os.path.join(deltas_tmp, "removed"))
         added_df = spark.read.parquet(os.path.join(deltas_tmp, "added"))
 
-        # ---- stage merged tf, then recompress ONLY the affected shards
-        merged_tmp = os.path.join(out_dir, "_upsert_tf")
+        # ---- stage merged tf, recompress ONLY the affected shards, stage
+        # the resulting shard dirs (a shard with zero merged rows stages no
+        # dir → recorded for explicit deletion in the commit marker)
+        merged_tmp = os.path.join(stage, "tf")
         kept_tf.unionByName(new_tf).write.mode("overwrite").parquet(merged_tmp)
         merged = spark.read.parquet(merged_tmp)
         sorted_runs = merged.repartition(
@@ -140,9 +272,15 @@ def upsert_docs(
             lambda it: _compress_runs(it, cfg.block_size),
             schema=BLOCKS_SCHEMA,
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged_postings = os.path.join(stage, "postings")
         (blocks.write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(out_dir, "postings")))
+         .parquet(staged_postings))
+        staged_shards = {
+            int(d.split("=", 1)[1]) for d in os.listdir(staged_postings)
+            if d.startswith("shard=")
+        }
+        replace_postings = sorted(staged_shards)
+        delete_postings = sorted(set(affected) - staged_shards)
 
         # ---- docs/: replaced rows out, batch rows in (affected shards only)
         doc_cols = [c for c in docs_store.columns if c != "shard"] + ["shard"]
@@ -150,17 +288,13 @@ def upsert_docs(
             *[c for c in doc_cols if c in batch.columns])
         kept_docs = old_docs.join(new_ids, "doc_id", "left_anti").select(
             *batch_doc_rows.columns)
-        docs_tmp = os.path.join(out_dir, "_upsert_docs")
-        kept_docs.unionByName(batch_doc_rows).write.mode(
-            "overwrite").parquet(docs_tmp)
-        (spark.read.parquet(docs_tmp)
+        (kept_docs.unionByName(batch_doc_rows)
          .repartition(len(affected), "shard")
          .write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(out_dir, "docs")))
+         .parquet(os.path.join(stage, "docs")))
 
-        # ---- term_df: exact df deltas, staged swap (small table)
-        term_df_dir = os.path.join(out_dir, "term_df")
-        old_df = spark.read.parquet(term_df_dir)
+        # ---- term_df: exact df deltas
+        old_df = spark.read.parquet(os.path.join(out_dir, "term_df"))
         updated_df = (
             old_df.join(removed_df, "term", "full")
             .join(added_df, "term", "full")
@@ -172,17 +306,14 @@ def upsert_docs(
             )
             .filter(F.col("df") > 0)
         )
-        df_tmp = os.path.join(out_dir, "_upsert_term_df")
-        updated_df.write.mode("overwrite").parquet(df_tmp)
-        shutil.rmtree(term_df_dir)
-        os.rename(df_tmp, term_df_dir)
+        updated_df.write.mode("overwrite").parquet(
+            os.path.join(stage, "term_df"))
 
-        # ---- stats.json + manifest
+        # ---- stats.json (staged) — per-shard counts from the STAGED docs
         n_new = batch.count()
         per_shard_new = {
             int(r["shard"]): int(r["n"]) for r in
-            spark.read.parquet(os.path.join(out_dir, "docs"))
-            .filter(F.col("shard").isin(affected))
+            spark.read.parquet(os.path.join(stage, "docs"))
             .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         shard_docs = {int(k): int(v)
@@ -198,36 +329,52 @@ def upsert_docs(
             "avgdl": float(sum_dl / n_docs) if n_docs else 0.0,
             "shard_docs": shard_docs,
         })
-        write_stats_json(out_dir, stats)
+        with open(os.path.join(stage, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
 
-        manifest_dir = os.path.join(out_dir, "_manifest")
-        old_manifest = spark.read.parquet(manifest_dir).filter(
+        # ---- manifest (staged): unaffected rows + read-back of the staged
+        # shards; a deleted (zero-term) shard gets no row, exactly like a
+        # fresh build where it emits no blocks
+        old_manifest = spark.read.parquet(
+            os.path.join(out_dir, "_manifest")).filter(
             ~F.col("shard").isin(affected))
-        written = spark.read.parquet(
-            os.path.join(out_dir, "postings")
-        ).filter(F.col("shard").isin(affected))
-        ndocs_expr = F.coalesce(
-            *[F.when(F.col("shard") == s, F.lit(shard_docs.get(s, 0)))
-              for s in affected],
-            F.lit(0),
-        )
-        new_rows = shard_metrics(written).select(
-            "shard", ndocs_expr.cast("long").alias("n_docs"),
-            "n_postings", "n_blocks", "bytes_compressed",
-            "content_fingerprint", "n_terms",
-        )
-        man_tmp = os.path.join(out_dir, "_upsert_manifest")
-        old_manifest.unionByName(new_rows).write.mode(
-            "overwrite").parquet(man_tmp)
-        shutil.rmtree(manifest_dir)
-        os.rename(man_tmp, manifest_dir)
+        if replace_postings:
+            written = spark.read.parquet(staged_postings)
+            ndocs_expr = F.coalesce(
+                *[F.when(F.col("shard") == s, F.lit(shard_docs.get(s, 0)))
+                  for s in replace_postings],
+                F.lit(0),
+            )
+            new_rows = shard_metrics(written).select(
+                "shard", ndocs_expr.cast("long").alias("n_docs"),
+                "n_postings", "n_blocks", "bytes_compressed",
+                "content_fingerprint", "n_terms",
+            )
+            staged_manifest = old_manifest.unionByName(new_rows)
+        else:
+            staged_manifest = old_manifest
+        staged_manifest.write.mode("overwrite").parquet(
+            os.path.join(stage, "manifest"))
+
+        # ---- COMMIT: marker last, then swap (roll-forward-able from here)
+        meta = {
+            "affected": affected,
+            "replace_postings": replace_postings,
+            "delete_postings": delete_postings,
+            "drop_positions": os.path.exists(
+                os.path.join(out_dir, "positions")),
+        }
+        with open(os.path.join(stage, _COMMIT), "w") as f:
+            json.dump(meta, f)
+        _apply_commit(out_dir, meta)
 
         return {"received": int(received), "upserted": int(n_new),
                 "replaced": int(n_replaced),
                 "added": int(n_new - n_replaced),
                 "affected_shards": affected}
     finally:
-        for tmp in ("_upsert_batch", "_upsert_tf", "_upsert_docs",
-                    "_upsert_term_df", "_upsert_manifest",
-                    "_upsert_df_deltas"):
-            shutil.rmtree(os.path.join(out_dir, tmp), ignore_errors=True)
+        # clean up only if the commit marker never landed (pure staging
+        # failure → rollback). A stage WITH a marker must survive so the
+        # next upsert's recover_index rolls the half-applied commit forward.
+        if not os.path.exists(os.path.join(stage, _COMMIT)):
+            shutil.rmtree(stage, ignore_errors=True)

@@ -201,3 +201,209 @@ def test_run_index_stream_end_to_end(spark, tmp_path):
     assert metrics[0]["added"] == 30
     assert any(m.get("replaced") == 2 and m.get("added") == 1
                for m in metrics[1:])
+
+
+# ---------------------------------------------------------------------------
+# round 3: crash-atomic multi-artifact commit + stale-empty-shard handling
+# ---------------------------------------------------------------------------
+
+def _fingerprints(spark, d):
+    return {r["shard"]: (r["content_fingerprint"], r["n_postings"],
+                         r["n_blocks"])
+            for r in read_manifest(spark, d).collect()}
+
+
+def test_empty_content_replacement_clears_stale_shard(spark, tmp_path):
+    """Replacing a shard's ONLY doc with zero-token content must delete the
+    shard's postings dir (dynamic overwrite alone leaves the stale dir
+    searchable) and still match a fresh rebuild artifact-for-artifact."""
+    # craft keys until some shard holds exactly one doc
+    from dp_search_data_importer_spark.operators.ingest import (
+        normalize_repo_files,
+    )
+
+    base = _rows(25)
+    d_inc = str(tmp_path / "inc")
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+    norm = normalize_repo_files(spark.createDataFrame(base, SCHEMA)).select(
+        "doc_id", "path",
+        F.pmod(F.col("doc_id"), F.lit(CFG.n_shards)).cast("int").alias("shard"),
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in norm:
+        by_shard.setdefault(r["shard"], []).append(r["path"])
+    # pick the least-populated shard and replace ALL its docs with content
+    # that tokenizes to nothing ("???" has no alnum runs)
+    shard, paths = min(by_shard.items(), key=lambda kv: len(kv[1]))
+    batch = [("r1", p, "c1", "py", "??? !!!") for p in paths]
+    acc = upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    assert shard in acc["affected_shards"]
+    assert not os.path.exists(os.path.join(d_inc, "postings", f"shard={shard}"))
+
+    merged = [r for r in base if r[1] not in set(paths)] + batch
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), d_fresh, CFG,
+                code_aware=True, waves=1)
+    assert _fingerprints(spark, d_inc) == _fingerprints(spark, d_fresh)
+    si, sf_ = read_stats_json(d_inc), read_stats_json(d_fresh)
+    for key in ("n_docs", "sum_dl", "avgdl", "shard_docs"):
+        assert si[key] == sf_[key], key
+    # no stale content: terms that lived only in the replaced docs are gone
+    from dp_search_data_importer_spark.plans.query import load_blocks
+    live_docs = {r["doc_id"] for r in
+                 q.decompress_blocks(load_blocks(spark, d_inc))
+                 .select("doc_id").distinct().collect()}
+    replaced_ids = {r["doc_id"] for r in norm if r["shard"] == shard}
+    assert not (live_docs & replaced_ids)
+
+
+def test_crash_between_swaps_rolls_forward(spark, tmp_path, monkeypatch):
+    """Kill after the commit marker but mid-swap: the next recover_index
+    must roll the whole batch forward — the index equals a fresh rebuild of
+    the merged corpus, never a mix."""
+    from dp_search_data_importer_spark.plans import update_index as ui
+
+    base = _rows(40)
+    replaced = [(r, p, c, lg, "crashtest zebra " + p)
+                for (r, p, c, lg, _) in base[5:9]]
+    added = [("r1", "src/crashnew.py", "c1", "py", "crashtest quokka doc")]
+    batch = replaced + added
+    merged = base[:5] + base[9:] + batch
+
+    d_inc = str(tmp_path / "inc")
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+
+    real_swap = ui._swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(live, staged, backup):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die mid-sequence, after the first swap landed
+            raise RuntimeError("simulated kill between renames")
+        real_swap(live, staged, backup)
+
+    monkeypatch.setattr(ui, "_swap_dir", dying_swap)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    monkeypatch.setattr(ui, "_swap_dir", real_swap)
+
+    # the stage (with its commit marker) must have survived the crash
+    assert os.path.exists(os.path.join(d_inc, ui._STAGE, ui._COMMIT))
+    assert ui.recover_index(d_inc) == "forward"
+    assert not os.path.exists(os.path.join(d_inc, ui._STAGE))
+
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), d_fresh, CFG,
+                code_aware=True, waves=1)
+    assert _fingerprints(spark, d_inc) == _fingerprints(spark, d_fresh)
+    si, sf_ = read_stats_json(d_inc), read_stats_json(d_fresh)
+    for key in ("n_docs", "sum_dl", "avgdl"):
+        assert si[key] == sf_[key], key
+    queries = spark.createDataFrame([(1, "crashtest")],
+                                    "query_id long, query_text string")
+    hits = q.exact_topk(spark, d_inc, queries, CFG, 10).collect()
+    assert len(hits) == 5
+
+
+def test_crash_during_staging_rolls_back(spark, tmp_path, monkeypatch):
+    """A failure BEFORE the commit marker must leave the live index
+    byte-identical to the pre-batch state (no drifted stats, no partial
+    artifacts) — redelivering the batch then applies it exactly once."""
+    from dp_search_data_importer_spark.plans import update_index as ui
+
+    base = _rows(30)
+    d_inc = str(tmp_path / "inc")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+    before = _fingerprints(spark, d_inc)
+    stats_before = read_stats_json(d_inc)
+
+    batch = [("r1", "src/f3.py", "c1", "py", "rollback walrus text")]
+
+    def dying_tokenize(*a, **k):
+        raise RuntimeError("simulated staging failure")
+
+    monkeypatch.setattr(ui, "tokenize_docs", dying_tokenize)
+    with pytest.raises(RuntimeError, match="staging failure"):
+        upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    monkeypatch.undo()
+
+    assert ui.recover_index(d_inc) in ("back", "clean")
+    assert _fingerprints(spark, d_inc) == before
+    assert read_stats_json(d_inc) == stats_before
+
+    # redelivery applies the batch normally
+    acc = upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    assert acc["replaced"] == 1
+    queries = spark.createDataFrame([(1, "walrus")],
+                                    "query_id long, query_text string")
+    assert len(q.exact_topk(spark, d_inc, queries, CFG, 10).collect()) == 1
+
+
+def test_upsert_invalidates_stale_positions_sidecar(spark, tmp_path):
+    """ADVICE r2: a positions sidecar built from a previous corpus must not
+    survive an upsert (stale phrase matches)."""
+    from dp_search_data_importer_spark.operators.phrase import build_positions
+
+    base = _rows(20)
+    d = str(tmp_path / "idx")
+    src = spark.createDataFrame(base, SCHEMA)
+    build_index(spark, src, d, CFG, code_aware=True, waves=1)
+    build_positions(spark, normalize_for(src), d, CFG, code_aware=True)
+    assert os.path.exists(os.path.join(d, "positions"))
+    upsert_docs(spark, d, spark.createDataFrame(
+        [("r1", "src/f0.py", "c1", "py", "new sidecar content")], SCHEMA))
+    assert not os.path.exists(os.path.join(d, "positions"))
+
+
+def normalize_for(src):
+    from dp_search_data_importer_spark.operators.ingest import (
+        normalize_repo_files,
+    )
+
+    return normalize_repo_files(src)
+
+
+def test_fresh_rebuild_removes_positions_sidecar(spark, tmp_path):
+    """ADVICE r2: resume=False cleanup must clear the sidecar too."""
+    from dp_search_data_importer_spark.operators.phrase import build_positions
+
+    base = _rows(15)
+    d = str(tmp_path / "idx")
+    src = spark.createDataFrame(base, SCHEMA)
+    build_index(spark, src, d, CFG, code_aware=True, waves=1)
+    build_positions(spark, normalize_for(src), d, CFG, code_aware=True)
+    build_index(spark, src, d, CFG, code_aware=True, waves=1, resume=False)
+    assert not os.path.exists(os.path.join(d, "positions"))
+
+
+def test_prior_hot_terms_feed_next_rebuild(spark, tmp_path, monkeypatch):
+    """ADVICE r2: the measured hot_terms recorded in stats.json must drive
+    the NEXT build's df salting — including a fresh rebuild (resume=False),
+    which deletes stats.json during cleanup."""
+    import json as _json
+
+    from dp_search_data_importer_spark.plans import build_index as bi
+
+    base = _rows(20)
+    d = str(tmp_path / "idx")
+    src = spark.createDataFrame(base, SCHEMA)
+    build_index(spark, src, d, CFG, code_aware=True, waves=1)
+    stats = read_stats_json(d)
+    stats["hot_terms"] = sorted(set(stats.get("hot_terms", []))
+                                | {"sentinelhotterm"})
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        _json.dump(stats, f)
+
+    seen = {}
+    real = bi.doc_freqs
+
+    def spy(tf, cfg=None, salted=False, hot=None):
+        seen["hot"] = list(hot or [])
+        return real(tf, cfg, salted=salted, hot=hot)
+
+    monkeypatch.setattr(bi, "doc_freqs", spy)
+    build_index(spark, src, d, CFG, code_aware=True, waves=1, resume=False)
+    assert "sentinelhotterm" in seen["hot"]
