@@ -112,15 +112,85 @@ def phrase_score(matches: DataFrame, n_docs: int, avgdl: float,
     )
 
 
+def phrase_matches_batch(pos: DataFrame,
+                         phrases: list[tuple[int, list[str]]]) -> DataFrame:
+    """(query_id, doc_id, phrase_tf, dl) for EVERY phrase in ONE plan — no
+    per-phrase driver loop, no eager actions (the round-2 path ran 2+ Spark
+    jobs per phrase; a 10k-phrase evaluation batch must amortize).
+
+    One broadcast join tags each (doc, term) positions row with every
+    (query_id, idx) slot that wants the term; a doc matches a phrase iff it
+    matched all n_tokens slots and the idx-shifted position sets intersect:
+    start positions = ∩_i { p − i : p ∈ positions(t_i) }, |∩| = phrase tf.
+    The fold is Catalyst ``aggregate``/``array_intersect`` over the per-doc
+    collected slots — set algebra, order-insensitive, zero Python."""
+    from dp_search_data_importer_spark.session import local_df
+
+    spark = pos.sparkSession
+    slot_rows = [(qid, i, t) for qid, toks in phrases for i, t in enumerate(toks)]
+    len_rows = [(qid, len(toks)) for qid, toks in phrases]
+    slots = local_df(spark, slot_rows, "query_id long, idx int, term string")
+    qlens = local_df(spark, len_rows, "query_id long, n_tokens int")
+
+    j = pos.join(F.broadcast(slots), "term")
+    agg = (
+        j.groupBy("query_id", "doc_id")
+        .agg(F.first("dl").alias("dl"),
+             F.count_distinct("idx").alias("n_idx"),
+             F.collect_list(F.struct("idx", "positions")).alias("arr"))
+        .join(F.broadcast(qlens), "query_id")
+        .filter(F.col("n_idx") == F.col("n_tokens"))
+    )
+    shifted = F.transform(
+        "arr", lambda x: F.transform(x["positions"], lambda p: p - x["idx"]))
+    folded = F.aggregate(
+        F.slice(shifted, F.lit(2), F.size(shifted) - F.lit(1)),
+        F.element_at(shifted, 1),
+        lambda acc, s: F.array_intersect(acc, s),
+    )
+    return (
+        agg.select("query_id", "doc_id",
+                   F.size(folded).cast("long").alias("phrase_tf"), "dl")
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_score_batch(matches: DataFrame, n_docs: int, avgdl: float,
+                       cfg: EngineConfig | None = None) -> DataFrame:
+    """BM25 over phrase frequencies with exact per-phrase df computed
+    IN-PLAN as a window count over the matched set (replacing the round-2
+    eager ``matches.count()`` per phrase). Same formula, same rounding
+    discipline downstream."""
+    from pyspark.sql.window import Window
+
+    cfg = cfg or EngineConfig()
+    w = Window.partitionBy("query_id")
+    dfq = F.count(F.lit(1)).over(w).cast("double")
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
+    tf = F.col("phrase_tf").cast("double")
+    norm = tf + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl").cast("double") / avgdl)
+    return matches.select(
+        "query_id", "doc_id",
+        (idf * tf * F.lit(cfg.k1 + 1.0) / norm).alias("score"),
+    )
+
+
 def phrase_topk(spark: SparkSession, out_dir: str,
                 phrases: list[tuple[int, str]],
                 cfg: EngineConfig | None = None,
                 k: int = 10) -> DataFrame:
-    """(query_id, doc_id, score) top-k per phrase over the positional
-    sidecar; analyzer symmetry with the index (stats.json code_aware),
-    rounded-score deterministic ranking like every other query path."""
+    """(query_id, doc_id, score) top-k per phrase over the index's
+    positions; analyzer symmetry with the index (stats.json code_aware),
+    rounded-score deterministic ranking like every other query path.
+
+    ALL phrases evaluate in one plan (``phrase_matches_batch`` +
+    ``phrase_score_batch``): the job count is bounded by a constant, not by
+    |phrases| (regression-tested with a 50-phrase batch)."""
     from dp_search_data_importer_spark.checkpoint import read_stats_json
     from dp_search_data_importer_spark.operators.bm25 import topk
+    from dp_search_data_importer_spark.session import local_df
 
     cfg = cfg or EngineConfig()
     stats = read_stats_json(out_dir)
@@ -131,25 +201,22 @@ def phrase_topk(spark: SparkSession, out_dir: str,
     )
 
     tok_py = _code_tokens_py if stats.get("code_aware") else _simple_tokens_py
-    all_terms = sorted({
-        t for _, p in phrases for t in tok_py(p)
-    })
-    pos = spark.read.parquet(os.path.join(out_dir, "positions")).filter(
-        F.col("term").isin(all_terms))
-    outs = []
-    for qid, phrase in phrases:
-        tokens = tok_py(phrase)
-        if not tokens:
-            continue
-        m = phrase_matches(pos, tokens)
-        scored = phrase_score(m, stats["n_docs"], stats["avgdl"], cfg)
-        outs.append(scored.select(F.lit(qid).cast("long").alias("query_id"),
-                                  "doc_id", "score"))
-    if not outs:
-        from dp_search_data_importer_spark.session import local_df
-
+    qtoks = [(qid, tok_py(p)) for qid, p in phrases]
+    qtoks = [(qid, toks) for qid, toks in qtoks if toks]
+    if not qtoks:
         return local_df(spark, [], "query_id long, doc_id long, score double")
-    union = outs[0]
-    for o in outs[1:]:
-        union = union.unionByName(o)
-    return topk(union, k)
+    all_terms = sorted({t for _, toks in qtoks for t in toks})
+    pos = load_positions(spark, out_dir, terms=all_terms)
+    m = phrase_matches_batch(pos, qtoks)
+    scored = phrase_score_batch(m, stats["n_docs"], stats["avgdl"], cfg)
+    return topk(scored, k)
+
+
+def load_positions(spark: SparkSession, out_dir: str,
+                   terms: list[str] | None = None) -> DataFrame:
+    """(doc_id, term, positions, dl) from the index's positional sidecar;
+    the term filter pushes into the parquet scan (PushedFilters)."""
+    pos = spark.read.parquet(os.path.join(out_dir, "positions"))
+    if terms is not None:
+        pos = pos.filter(F.col("term").isin(terms))
+    return pos

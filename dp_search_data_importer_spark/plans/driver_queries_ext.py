@@ -300,9 +300,10 @@ PHRASES = [(1, "hash join"), (2, "window agg sort"), (3, "the zzznope")]
 
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES match_phrase twin over the documents table: positional adjacency
-    via Catalyst array intersection, BM25 over phrase frequencies (exact
-    phrase df). Oracle: adjacency self-joins + the same formula in SQL."""
+    """ES match_phrase twin over the documents table: ALL phrases evaluate
+    in ONE plan (broadcast slot join + Catalyst array-intersect fold, exact
+    per-phrase df as a window count — no per-phrase driver loop or eager
+    action). Oracle: adjacency self-joins + the same formula in SQL."""
     from dp_search_data_importer_spark.operators import phrase as ph
     from dp_search_data_importer_spark.operators.bm25 import topk
     from dp_search_data_importer_spark.operators.postings import (
@@ -312,23 +313,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pos = ph.doc_positions(docs, code_aware=False)
     srow = corpus_stats_from_docs(docs).collect()[0]
-    outs = []
-    for qid, phrase_text in PHRASES:
-        tokens = phrase_text.split()
-        m = ph.phrase_matches(pos, tokens)
-        scored = ph.phrase_score(m, srow["n_docs"], srow["avgdl"])
-        if scored.isEmpty():
-            continue
-        outs.append(scored.select(
-            F.lit(qid).cast("long").alias("query_id"), "doc_id", "score"))
-    from dp_search_data_importer_spark.session import local_df
-
-    if not outs:
-        return local_df(spark, [], "query_id long, doc_id long, score double")
-    union = outs[0]
-    for o in outs[1:]:
-        union = union.unionByName(o)
-    return topk(union, 10)
+    qtoks = [(qid, phrase_text.split()) for qid, phrase_text in PHRASES]
+    m = ph.phrase_matches_batch(pos, qtoks)
+    scored = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    return topk(scored, 10)
 
 
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -337,3 +337,66 @@ def test_phrase_topk_over_positions_sidecar(spark, corpus, built):
     tp = ph.doc_positions(tiny)
     m = ph.phrase_matches(tp, ["sort", "sort"]).collect()
     assert m[0]["phrase_tf"] == 2
+
+
+def test_phrase_batch_job_count_bounded(spark, corpus, built):
+    """Round-3 contract: a 50-phrase batch runs a CONSTANT number of Spark
+    jobs (one plan: broadcast slot join + window df + topk), not O(|phrases|)
+    — the round-2 path ran 2+ jobs per phrase."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+
+    out, _ = built
+    docs = normalize_repo_files(corpus)
+    ph.build_positions(spark, docs, out, CFG, code_aware=True)
+
+    words = ["import", "def", "merge", "hash", "join", "scan", "sort",
+             "window", "agg", "stream"]
+    phrases = [(i, f"{words[i % 10]} {words[(i * 3 + 1) % 10]}")
+               for i in range(50)]
+    sc = spark.sparkContext
+    sc.setJobGroup("phrase_batch_test", "bounded-jobs assertion")
+    try:
+        res = ph.phrase_topk(spark, out, phrases, CFG, 5).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    job_ids = sc.statusTracker().getJobIdsForGroup("phrase_batch_test")
+    # broadcast exchanges + AQE stages add a few jobs; the point is the
+    # bound is independent of |phrases| (old path: >= 100 jobs here)
+    assert 0 < len(job_ids) <= 12, len(job_ids)
+    assert len(res) > 0
+    assert len({r["query_id"] for r in res}) >= 10
+
+    # batched matcher ≡ per-phrase matcher on (doc, phrase_tf) multisets
+    pos = ph.load_positions(spark, out)
+    sample = phrases[:8]
+    batched = {
+        (r["query_id"], r["doc_id"]): r["phrase_tf"]
+        for r in ph.phrase_matches_batch(
+            pos, [(q_, t.split()) for q_, t in sample]).collect()
+    }
+    solo = {}
+    for q_, t in sample:
+        for r in ph.phrase_matches(pos, t.split()).collect():
+            solo[(q_, r["doc_id"])] = r["phrase_tf"]
+    assert batched == solo
+
+
+def test_phrase_batch_single_token_and_repeats(spark):
+    """Edge cases of the fold: 1-token phrases (empty slice → init value)
+    and repeated tokens at different slots."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+
+    docs = spark.createDataFrame(
+        [(1, "sort sort sort merge"), (2, "merge sort"), (3, "plain text")],
+        "doc_id long, text string")
+    pos = ph.doc_positions(docs)
+    got = {
+        (r["query_id"], r["doc_id"]): r["phrase_tf"]
+        for r in ph.phrase_matches_batch(
+            pos, [(1, ["sort"]), (2, ["sort", "sort"]),
+                  (3, ["merge", "sort"]), (4, ["sort", "merge"])]).collect()
+    }
+    assert got[(1, 1)] == 3 and got[(1, 2)] == 1
+    assert got[(2, 1)] == 2 and (2, 2) not in got
+    assert got[(3, 2)] == 1 and (3, 1) not in got
+    assert got[(4, 1)] == 1
