@@ -53,8 +53,11 @@ def shard_metrics(blocks: DataFrame) -> DataFrame:
     """Aggregate written block rows into per-shard manifest rows. Runs on the
     *read-back* of what landed on disk, so the manifest certifies disk state,
     not intent."""
+    # xxhash64 skips null inputs, so including poss keeps position-free
+    # indexes' fingerprints unchanged while certifying position bytes when
+    # the index is positional
     block_hash = F.xxhash64(
-        "term", "first_doc_id", "doc_gaps", "tfs", "dls"
+        "term", "first_doc_id", "doc_gaps", "tfs", "dls", "poss"
     )
     return blocks.groupBy("shard").agg(
         F.sum("n_docs").cast("long").alias("n_postings"),
@@ -62,6 +65,7 @@ def shard_metrics(blocks: DataFrame) -> DataFrame:
         (
             F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
             + F.sum(F.length("dls"))
+            + F.coalesce(F.sum(F.length("poss")), F.lit(0))
         ).cast("long").alias("bytes_compressed"),
         F.bit_xor(block_hash).alias("content_fingerprint"),
         F.count_distinct("term").alias("n_terms"),

@@ -124,3 +124,54 @@ def code_term_freqs(df, id_col: str = "doc_id", text_col: str = "content"):
         lambda it: _term_freq_batches(it, code_aware=True, id_col=id_col, text_col=text_col),
         schema=TERM_FREQ_SCHEMA,
     )
+
+
+TERM_FREQ_POS_SCHEMA = (
+    "doc_id long, term string, tf long, dl long, positions array<int>"
+)
+
+
+def _term_freq_pos_batches(
+    batches: Iterator[pd.DataFrame], *, code_aware: bool, id_col: str,
+    text_col: str,
+) -> Iterator[pd.DataFrame]:
+    """Positions-carrying twin of :func:`_term_freq_batches`: each (doc,
+    term) row additionally carries the ascending 0-based token positions
+    (len == tf). Used by positions-enabled index builds so phrase queries
+    decode positions straight from the postings blocks."""
+    tok = _code_tokens_py if code_aware else _simple_tokens_py
+    for pdf in batches:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        poss: list[list[int]] = []
+        for doc_id, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+            toks = tok(text or "")
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                by_term.setdefault(t, []).append(i)
+            n = len(by_term)
+            ids.extend([doc_id] * n)
+            terms.extend(by_term.keys())
+            tfs.extend(len(v) for v in by_term.values())
+            poss.extend(by_term.values())
+            dls.extend([len(toks)] * n)
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "term": terms,
+             "tf": pd.Series(tfs, dtype="int64"),
+             "dl": pd.Series(dls, dtype="int64"), "positions": poss}
+        )
+
+
+def term_freqs_with_positions(df, *, code_aware: bool,
+                              id_col: str = "doc_id",
+                              text_col: str = "content"):
+    """(doc_id, term, tf, dl, positions) — map-side Arrow extraction; the
+    positions column makes the shuffle O(tokens) (intrinsic to positional
+    indexing — Lucene's .prx pays the same)."""
+    return df.select(id_col, text_col).mapInPandas(
+        lambda it: _term_freq_pos_batches(
+            it, code_aware=code_aware, id_col=id_col, text_col=text_col),
+        schema=TERM_FREQ_POS_SCHEMA,
+    )

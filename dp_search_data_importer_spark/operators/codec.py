@@ -92,3 +92,41 @@ def decode_block(gap_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
     tfs = (varint_decode(tf_bytes) + np.uint64(1)).astype(np.int64)
     dls = (varint_decode(dl_bytes) + np.uint64(1)).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Token positions for one block, posting-major (Lucene-style .prx
+    layout): ``flat_positions`` concatenates each posting's ascending
+    positions; posting j owns ``tfs[j]`` of them. Delta-encoded WITHIN each
+    posting (first position absolute, then gaps — positions restart per
+    document, unlike doc_ids which are monotone across the block), then one
+    varint stream. No per-posting length table is stored: tf IS the length,
+    which is what makes in-block positions ~half the size of the round-2
+    sidecar (the sidecar re-stored (shard, term, doc_id, dl) keys the
+    blocks already carry)."""
+    flat = np.asarray(flat_positions, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    lens = np.asarray(tfs, dtype=np.int64)
+    g = np.empty(flat.size, dtype=np.uint64)
+    g[0] = flat[0]
+    np.subtract(flat[1:].astype(np.uint64), flat[:-1].astype(np.uint64),
+                out=g[1:])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+    g[starts] = flat[starts].astype(np.uint64)  # absolute at posting starts
+    return varint_encode(g)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`: returns the flat absolute
+    positions array (segment j = posting j's ``tfs[j]`` positions; split
+    with ``np.split(flat, np.cumsum(tfs)[:-1])`` when per-posting arrays
+    are needed). Vectorized segmented cumsum — no per-posting loop."""
+    lens = np.asarray(tfs, dtype=np.int64)
+    flat = varint_decode(buf).astype(np.int64)
+    if flat.size == 0:
+        return flat
+    c = np.cumsum(flat)
+    starts = np.cumsum(lens) - lens
+    seg_base = c[starts] - flat[starts]  # prefix sum before each segment
+    return c - np.repeat(seg_base, lens)

@@ -214,8 +214,29 @@ def phrase_topk(spark: SparkSession, out_dir: str,
 
 def load_positions(spark: SparkSession, out_dir: str,
                    terms: list[str] | None = None) -> DataFrame:
-    """(doc_id, term, positions, dl) from the index's positional sidecar;
-    the term filter pushes into the parquet scan (PushedFilters)."""
+    """(doc_id, term, positions, dl) for phrase evaluation. Positional
+    indexes (stats.json ``positions: true``) decode positions straight
+    from the postings blocks (term filter pushed into the same scan the
+    BM25 path uses — no sidecar, no duplicated keys); otherwise the
+    round-2 ``positions/`` sidecar is read, kept as the oracle twin."""
+    from dp_search_data_importer_spark.checkpoint import read_stats_json
+
+    stats_path = os.path.join(out_dir, "stats.json")
+    in_blocks = False
+    if os.path.exists(stats_path):
+        try:
+            in_blocks = bool(read_stats_json(out_dir).get("positions"))
+        except (OSError, ValueError):
+            in_blocks = False
+    if in_blocks:
+        from dp_search_data_importer_spark.plans.query import (
+            decompress_blocks,
+            load_blocks,
+        )
+
+        return decompress_blocks(
+            load_blocks(spark, out_dir, terms), include_positions=True,
+        ).select("doc_id", "term", "positions", "dl")
     pos = spark.read.parquet(os.path.join(out_dir, "positions"))
     if terms is not None:
         pos = pos.filter(F.col("term").isin(terms))

@@ -60,7 +60,7 @@ from dp_search_data_importer_spark.operators.postings import doc_freqs, hot_term
 BLOCKS_SCHEMA = (
     "shard int, term string, block_id long, first_doc_id long, n_docs long, "
     "doc_gaps binary, tfs binary, dls binary, "
-    "imp_tfs array<bigint>, imp_dls array<bigint>"
+    "imp_tfs array<bigint>, imp_dls array<bigint>, poss binary"
 )
 
 
@@ -87,19 +87,25 @@ def block_impacts(tfs: np.ndarray, dls: np.ndarray) -> tuple[list[int], list[int
 
 def _compress_runs(
     batches: Iterator[pd.DataFrame], block_size: int,
+    with_positions: bool = False,
 ) -> Iterator[pd.DataFrame]:
-    """Consume doc_id-sorted (shard, term, doc_id, tf, dl) runs; emit
-    compressed blocks. Runs may span Arrow batches within a partition, so a
-    partial tail is carried over until the (shard, term) key changes.
+    """Consume doc_id-sorted (shard, term, doc_id, tf, dl[, positions]) runs;
+    emit compressed blocks. Runs may span Arrow batches within a partition,
+    so a partial tail is carried over until the (shard, term) key changes.
 
     Each block carries its impact pairs (see :func:`block_impacts`); the
     build needs NO corpus statistics and no join against the term
     dictionary — WAND bounds assemble at query time from (impacts, idf,
-    avgdl).
+    avgdl). With ``with_positions`` each block additionally carries a
+    ``poss`` varint stream (per-posting delta-encoded token positions,
+    lengths given by the decoded tfs — Lucene .prx-style); without it,
+    ``poss`` is null.
     """
+    from dp_search_data_importer_spark.operators.codec import encode_positions
+
     carry: pd.DataFrame | None = None
     out_cols = ("shard", "term", "block_id", "first_doc_id", "n_docs",
-                "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls")
+                "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls", "poss")
 
     def flush(group: pd.DataFrame, *, final: bool) -> tuple[list, pd.DataFrame | None]:
         """Emit full blocks; keep the (< block_size) tail unless final."""
@@ -109,6 +115,7 @@ def _compress_runs(
         doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
         tfs = group["tf"].to_numpy(dtype=np.int64)
         dls = group["dl"].to_numpy(dtype=np.int64)
+        plists = group["positions"].to_numpy() if with_positions else None
         shard = int(group["shard"].iloc[0])
         term = group["term"].iloc[0]
         for start in range(0, n_full_end, block_size):
@@ -116,9 +123,19 @@ def _compress_runs(
             ids_b, tfs_b, dls_b = doc_ids[start:end], tfs[start:end], dls[start:end]
             g, t, d = encode_block(ids_b, tfs_b, dls_b)
             imp_tf, imp_dl = block_impacts(tfs_b, dls_b)
+            if with_positions:
+                flat = (
+                    np.concatenate(
+                        [np.asarray(x, dtype=np.int64)
+                         for x in plists[start:end]])
+                    if end > start else np.empty(0, dtype=np.int64)
+                )
+                p = encode_positions(flat, tfs_b)
+            else:
+                p = None
             rows.append(
                 (shard, term, start // block_size, int(ids_b[0]), end - start,
-                 g, t, d, imp_tf, imp_dl)
+                 g, t, d, imp_tf, imp_dl, p)
             )
         tail = None if final or n_full_end == n else group.iloc[n_full_end:]
         return rows, tail
@@ -153,11 +170,31 @@ def _compress_runs(
 
 def tokenize_docs(docs: DataFrame, *, code_aware: bool = True,
                   text_col: str = "content",
-                  tokenizer: str = "arrow") -> DataFrame:
-    """Map-side (doc_id, term, tf, dl) extraction. ``tokenizer="arrow"``
-    (default) is the Python/Arrow Counter path; ``"sql"`` is the pure
-    Catalyst twin — row-identical (property-tested), preferable on JVM-only
-    executors. Measured trade-off in BENCH/ANALYSIS.md (round 2)."""
+                  tokenizer: str = "arrow",
+                  positions: bool = False) -> DataFrame:
+    """Map-side (doc_id, term, tf, dl[, positions]) extraction.
+    ``tokenizer="arrow"`` (default) is the Python/Arrow Counter path;
+    ``"sql"`` is the pure Catalyst twin — row-identical (property-tested),
+    preferable on JVM-only executors. Measured trade-off in
+    BENCH/ANALYSIS.md (round 2). ``positions=True`` adds each row's
+    ascending token positions (len == tf) for positional index builds."""
+    if positions:
+        if tokenizer == "sql":
+            from dp_search_data_importer_spark.operators.phrase import (
+                doc_positions,
+            )
+
+            return doc_positions(
+                docs, code_aware=code_aware, text_col=text_col,
+            ).select("doc_id", "term",
+                     F.size("positions").cast("long").alias("tf"),
+                     "dl", "positions")
+        from dp_search_data_importer_spark.functions.tokenize import (
+            term_freqs_with_positions,
+        )
+
+        return term_freqs_with_positions(
+            docs, code_aware=code_aware, text_col=text_col)
     if tokenizer == "sql":
         from dp_search_data_importer_spark.operators.postings import (
             term_freqs_sql,
@@ -182,9 +219,15 @@ def build_index(
     resume: bool = True,
     already_normalized: bool = False,
     check_collisions: bool = False,
+    positions: bool = False,
     verbose: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index under ``out_dir``.
+
+    ``positions=True`` builds a POSITIONAL index: each block carries a
+    varint position stream (``poss``) and phrase queries decode positions
+    straight from the postings — no sidecar, no duplicated keys. ~Half the
+    positional storage of the round-2 sidecar (measured, BENCH/ANALYSIS.md).
 
     Layout:
       out_dir/docs/        doc map (doc_id, repo, path, commit, lang,
@@ -266,7 +309,8 @@ def build_index(
 
     tf_tmp = os.path.join(out_dir, "_tf_tmp")
     tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col,
-                           tokenizer=tokenizer).withColumn(
+                           tokenizer=tokenizer,
+                           positions=positions).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
     )
     # Σdl piggybacks on the spill job via df.observe — no extra tf scan
@@ -338,6 +382,7 @@ def build_index(
                 "k1": cfg.k1, "b": cfg.b,
                 "block_size": cfg.block_size, "n_shards": cfg.n_shards,
                 "code_aware": code_aware,
+                "positions": positions,
                 "shard_docs": {int(s): n for s, n in shard_counts.items()},
             }
             # measured-df-driven salting (SURVEY.md §7 hard part b): static
@@ -379,7 +424,8 @@ def build_index(
                 len(wave_shards), "shard"
             ).sortWithinPartitions("shard", "term", "doc_id")
             blocks = sorted_runs.mapInPandas(
-                lambda it: _compress_runs(it, cfg.block_size),
+                lambda it: _compress_runs(it, cfg.block_size,
+                                          with_positions=positions),
                 schema=BLOCKS_SCHEMA,
             )
             # dynamic partition overwrite, NOT append: a crash in the window

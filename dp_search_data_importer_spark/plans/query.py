@@ -42,35 +42,50 @@ def load_blocks(spark: SparkSession, out_dir: str,
     return df
 
 
-def decompress_blocks(blocks: DataFrame) -> DataFrame:
-    """(shard, term, blocks…) → (doc_id, term, tf, dl) rows via the numpy
-    codec in Arrow batches. Used by the exact path and by index-integrity
-    tests (round-trip vs the original tf pairs)."""
+def decompress_blocks(blocks: DataFrame,
+                      include_positions: bool = False) -> DataFrame:
+    """(shard, term, blocks…) → (doc_id, term, tf, dl[, positions]) rows via
+    the numpy codec in Arrow batches. Used by the exact path and by
+    index-integrity tests (round-trip vs the original tf pairs).
+    ``include_positions`` decodes each posting's token positions from the
+    block's ``poss`` stream (positional indexes only)."""
     import numpy as np
     import pandas as pd
 
-    from dp_search_data_importer_spark.operators.codec import decode_block
+    from dp_search_data_importer_spark.operators.codec import (
+        decode_block,
+        decode_positions,
+    )
 
     def gen(batches):
         for pdf in batches:
             ids_all, terms_all, tfs_all, dls_all = [], [], [], []
-            for term, g, t, d in zip(pdf["term"], pdf["doc_gaps"],
-                                     pdf["tfs"], pdf["dls"]):
+            pos_all: list = []
+            cols = zip(pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                       pdf["poss"] if include_positions else pdf["term"])
+            for term, g, t, d, p in cols:
                 ids, tfs, dls = decode_block(g, t, d)
                 ids_all.append(ids)
                 terms_all.extend([term] * len(ids))
                 tfs_all.append(tfs)
                 dls_all.append(dls)
+                if include_positions:
+                    flat = decode_positions(p, tfs)
+                    pos_all.extend(np.split(flat, np.cumsum(tfs)[:-1]))
             if not ids_all:
                 continue
-            yield pd.DataFrame(
-                {"doc_id": np.concatenate(ids_all),
-                 "term": terms_all,
-                 "tf": np.concatenate(tfs_all),
-                 "dl": np.concatenate(dls_all)}
-            )
+            out = {"doc_id": np.concatenate(ids_all),
+                   "term": terms_all,
+                   "tf": np.concatenate(tfs_all),
+                   "dl": np.concatenate(dls_all)}
+            if include_positions:
+                out["positions"] = pos_all
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(gen, schema="doc_id long, term string, tf long, dl long")
+    schema = "doc_id long, term string, tf long, dl long"
+    if include_positions:
+        schema += ", positions array<int>"
+    return blocks.mapInPandas(gen, schema=schema)
 
 
 def _stats_df(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:

@@ -203,6 +203,7 @@ def upsert_docs(
                        block_size=stats["block_size"],
                        k1=stats["k1"], b=stats["b"])
     code_aware = bool(stats.get("code_aware", False))
+    has_pos = bool(stats.get("positions", False))
 
     batch = new_docs if already_normalized else normalize_repo_files(new_docs)
     batch = batch.dropDuplicates(["doc_id"]).withColumn(
@@ -229,7 +230,8 @@ def upsert_docs(
         # ---- old state of the affected shards only (reads live postings —
         # safe: nothing live is mutated until the commit marker lands)
         old_tf = decompress_blocks(
-            load_blocks(spark, out_dir).filter(F.col("shard").isin(affected))
+            load_blocks(spark, out_dir).filter(F.col("shard").isin(affected)),
+            include_positions=has_pos,
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
         )
@@ -241,7 +243,7 @@ def upsert_docs(
         kept_tf = old_tf.join(new_ids, "doc_id", "left_anti")
         new_tf = tokenize_docs(
             batch, code_aware=code_aware, text_col=text_col,
-            tokenizer=tokenizer,
+            tokenizer=tokenizer, positions=has_pos,
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
         )
@@ -269,7 +271,8 @@ def upsert_docs(
             len(affected), "shard"
         ).sortWithinPartitions("shard", "term", "doc_id")
         blocks = sorted_runs.mapInPandas(
-            lambda it: _compress_runs(it, cfg.block_size),
+            lambda it: _compress_runs(it, cfg.block_size,
+                                      with_positions=has_pos),
             schema=BLOCKS_SCHEMA,
         )
         staged_postings = os.path.join(stage, "postings")

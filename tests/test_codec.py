@@ -78,3 +78,50 @@ def test_compression_ratio_dense():
     g, t, d = encode_block(ids, np.ones(len(ids), dtype=np.int64),
                            np.full(len(ids), 50, dtype=np.int64))
     assert len(g) / len(ids) < 2.0  # avg gap ~10 → 1 byte + bias overhead
+
+
+# ---------------------------------------------------------------------------
+# round 3: in-block position streams (Lucene .prx-style)
+# ---------------------------------------------------------------------------
+
+def test_positions_roundtrip_and_golden():
+    import numpy as np
+
+    from dp_search_data_importer_spark.operators.codec import (
+        decode_positions,
+        encode_positions,
+        varint_decode,
+    )
+
+    # posting 0: [3, 7, 260]; posting 1: [0]; posting 2: [5, 6]
+    flat = np.array([3, 7, 260, 0, 5, 6], dtype=np.int64)
+    tfs = np.array([3, 1, 2], dtype=np.int64)
+    buf = encode_positions(flat, tfs)
+    # within-posting deltas, absolute at posting starts:
+    # [3, 4, 253, 0, 5, 1] → varint
+    assert list(varint_decode(buf)) == [3, 4, 253, 0, 5, 1]
+    out = decode_positions(buf, tfs)
+    assert list(out) == list(flat)
+
+    # empty stream
+    assert encode_positions(np.empty(0, dtype=np.int64), np.empty(0)) == b""
+    assert len(decode_positions(b"", np.empty(0, dtype=np.int64))) == 0
+
+
+def test_positions_roundtrip_random():
+    import numpy as np
+
+    from dp_search_data_importer_spark.operators.codec import (
+        decode_positions,
+        encode_positions,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n_postings = int(rng.integers(1, 40))
+        tfs = rng.integers(1, 12, size=n_postings)
+        parts = [np.sort(rng.choice(10_000, size=t, replace=False))
+                 for t in tfs]
+        flat = np.concatenate(parts).astype(np.int64)
+        out = decode_positions(encode_positions(flat, tfs), tfs)
+        assert np.array_equal(out, flat)

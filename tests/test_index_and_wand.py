@@ -400,3 +400,67 @@ def test_phrase_batch_single_token_and_repeats(spark):
     assert got[(2, 1)] == 2 and (2, 2) not in got
     assert got[(3, 2)] == 1 and (3, 1) not in got
     assert got[(4, 1)] == 1
+
+
+def test_positional_index_blocks_vs_sidecar(spark, corpus, tmp_path):
+    """Round 3: positions fold INTO the postings blocks (positions=True).
+    Phrase results from block-decoded positions must equal the sidecar
+    twin's, and the in-block position stream must be smaller than the
+    sidecar it replaces (it stores no duplicate keys)."""
+    import os as _os
+
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.plans.build_index import build_index
+
+    out = str(tmp_path / "posidx")
+    stats = build_index(spark, corpus, out, CFG, code_aware=True, waves=1,
+                        positions=True)
+    assert stats["positions"] is True
+    # sidecar twin on the same corpus (the round-2 oracle layout)
+    docs = normalize_repo_files(corpus)
+    ph.build_positions(spark, docs, out, CFG, code_aware=True)
+
+    phrases = [(1, "import def"), (2, "def getUserName"), (3, "zzz nope")]
+    from_blocks = _ranked(ph.phrase_topk(spark, out, phrases, CFG, 10).collect())
+    # force the sidecar path by reading it directly
+    side = spark.read.parquet(_os.path.join(out, "positions"))
+    m = ph.phrase_matches_batch(
+        side, [(q_, t.lower().split()) for q_, t in phrases])
+    from dp_search_data_importer_spark.operators.bm25 import topk
+
+    scored = ph.phrase_score_batch(m, stats["n_docs"], stats["avgdl"], CFG)
+    from_sidecar = _ranked(topk(scored, 10).collect())
+    assert from_blocks == from_sidecar
+    assert 1 in from_blocks
+
+    # storage: Σ poss bytes < sidecar parquet bytes (no duplicated keys)
+    poss_bytes = spark.read.parquet(_os.path.join(out, "postings")).agg(
+        F.sum(F.length("poss"))).collect()[0][0]
+    sidecar_bytes = sum(
+        _os.path.getsize(_os.path.join(dp, f))
+        for dp, _, fs in _os.walk(_os.path.join(out, "positions"))
+        for f in fs if f.endswith(".parquet"))
+    assert poss_bytes and poss_bytes < sidecar_bytes, (poss_bytes, sidecar_bytes)
+
+    # BM25 paths are unaffected by the extra stream
+    queries = spark.createDataFrame(
+        [(1, "import"), (2, "getUserName handler")],
+        "query_id long, query_text string")
+    e = _ranked(q.exact_topk(spark, out, queries, CFG, 10).collect())
+    w = _ranked(q.wand_topk(spark, out, queries, CFG, 10).collect())
+    assert e == w and 1 in e
+
+
+def test_positional_tokenizer_twins_identical(spark, corpus):
+    """Arrow and SQL positions tokenizers produce identical
+    (doc, term, tf, dl, positions) rows."""
+    from dp_search_data_importer_spark.plans.build_index import tokenize_docs
+
+    docs = normalize_repo_files(corpus).limit(40)
+    a = {(r["doc_id"], r["term"]): (r["tf"], r["dl"], list(r["positions"]))
+         for r in tokenize_docs(docs, code_aware=True, positions=True,
+                                tokenizer="arrow").collect()}
+    s = {(r["doc_id"], r["term"]): (r["tf"], r["dl"], list(r["positions"]))
+         for r in tokenize_docs(docs, code_aware=True, positions=True,
+                                tokenizer="sql").collect()}
+    assert a == s

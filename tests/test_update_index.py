@@ -407,3 +407,33 @@ def test_prior_hot_terms_feed_next_rebuild(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(bi, "doc_freqs", spy)
     build_index(spark, src, d, CFG, code_aware=True, waves=1, resume=False)
     assert "sentinelhotterm" in seen["hot"]
+
+
+def test_positional_upsert_identical_to_fresh_rebuild(spark, tmp_path):
+    """Incremental upsert of a POSITIONAL index (positions in the blocks)
+    stays byte-identical to a fresh positional rebuild — fingerprints now
+    cover the poss stream — and phrase queries see the new content."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+
+    base = _rows(50)
+    replaced = [(r, p, c, lg, "zebra phrase target " + p)
+                for (r, p, c, lg, _) in base[7:11]]
+    added = [("r1", "src/posnew.py", "c1", "py", "zebra phrase target fresh")]
+    batch = replaced + added
+    merged = base[:7] + base[11:] + batch
+
+    d_inc = str(tmp_path / "inc")
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1, positions=True)
+    upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), d_fresh, CFG,
+                code_aware=True, waves=1, positions=True)
+
+    assert _fingerprints(spark, d_inc) == _fingerprints(spark, d_fresh)
+    got = ph.phrase_topk(spark, d_inc, [(1, "zebra phrase target")], CFG, 10)
+    assert got.count() == 5
+    fresh = ph.phrase_topk(spark, d_fresh, [(1, "zebra phrase target")],
+                           CFG, 10)
+    assert sorted((r["doc_id"], r["score"]) for r in got.collect()) == \
+        sorted((r["doc_id"], r["score"]) for r in fresh.collect())
