@@ -65,6 +65,86 @@ LANG_PROFILES: dict[str, tuple[tuple[str, ...], str]] = {
 # would split accented words apart); identical RE2/Java semantics
 LANGID_SPLIT_REGEX = r"[^\p{L}0-9]+"
 
+# ---------------------------------------------------------------------------
+# v3 profiles: 25 languages incl. non-Latin scripts (round-3 upgrade).
+# Evidence model, all public linguistic knowledge (Cavnar–Trenkle-style
+# rank evidence, simplified to three Catalyst-friendly signal classes):
+#   score = 2·function-word hits + 1·diacritic chars
+#         + Σ_script weight·script-block chars + 3·distinctive-letter chars
+# argmax with declaration-order tie-break, 'und' on zero/negative evidence.
+# Scripts are Unicode block ranges — countable by one regexp_count per
+# class in BOTH Java regex (Spark) and RE2 (DuckDB), so the oracle twin is
+# generated from these same tables.
+# ---------------------------------------------------------------------------
+
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "han": ((0x4E00, 0x9FFF),),
+    "kana": ((0x3040, 0x309F), (0x30A0, 0x30FF)),
+    "hangul": ((0xAC00, 0xD7AF),),
+    "arabic": ((0x0600, 0x06FF),),
+    "hebrew": ((0x0590, 0x05FF),),
+    "cyrillic": ((0x0400, 0x04FF),),
+    "greek": ((0x0370, 0x03FF),),
+    "devanagari": ((0x0900, 0x097F),),
+    "thai": ((0x0E00, 0x0E7F),),
+}
+
+# lang → (function words ×2, diacritics ×1, {script: weight}, markers ×3)
+LANG_PROFILES_V3: dict[str, tuple[tuple[str, ...], str, dict[str, int], str]] = {
+    "en": (LANG_PROFILES["en"][0], "", {}, ""),
+    "de": (LANG_PROFILES["de"][0], "äöüß", {}, ""),
+    "es": (LANG_PROFILES["es"][0], "ñ¿¡áéíóú", {}, ""),
+    "fr": (LANG_PROFILES["fr"][0], "éèêàçôû", {}, ""),
+    "it": (LANG_PROFILES["it"][0], "àèìòù", {}, ""),
+    "pt": (LANG_PROFILES["pt"][0], "ãõçâê", {}, ""),
+    "nl": (LANG_PROFILES["nl"][0], "", {}, ""),
+    "sv": (LANG_PROFILES["sv"][0], "åäö", {}, ""),
+    "da": (("og", "i", "at", "det", "er", "en", "til", "på", "de", "af",
+            "den", "for", "med", "som", "der", "ikke", "han", "hun", "var",
+            "et", "om", "men", "sig", "har", "vi", "kan", "jeg", "du",
+            "skal", "vil"), "æø", {}, ""),
+    "fi": (("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun",
+            "ovat", "olla", "myös", "niin", "kuin", "jos", "tämä", "mitä",
+            "ole", "sen", "vain", "joka", "hyvin", "minä", "sinä", "me",
+            "he", "nyt", "sitten", "vielä", "jo"), "äö", {}, ""),
+    "pl": (("i", "w", "z", "na", "się", "jest", "nie", "do", "że", "to",
+            "co", "jak", "po", "ale", "za", "od", "dla", "przez", "przy",
+            "być", "są", "było", "tak", "ten", "ta", "już", "czy", "tylko",
+            "może", "bardzo"), "ąćęłńśźż", {}, ""),
+    "tr": (("ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok",
+            "daha", "gibi", "en", "ama", "veya", "sonra", "kadar", "her",
+            "ne", "olan", "var", "yok", "ben", "sen", "biz", "onlar",
+            "değil", "mi", "evet", "hayır", "ya"), "çğışöü", {}, ""),
+    "ro": (("și", "în", "de", "la", "cu", "este", "pentru", "care", "pe",
+            "nu", "se", "o", "un", "mai", "din", "sau", "dar", "ca", "să",
+            "fi", "fost", "sunt", "am", "are", "el", "ea", "noi", "voi",
+            "ei", "acest"), "ăâîșț", {}, ""),
+    "cs": (("a", "v", "na", "je", "se", "že", "s", "z", "do", "o", "to",
+            "jako", "ale", "i", "po", "od", "pro", "za", "při", "jsem",
+            "byl", "být", "má", "co", "když", "tak", "ten", "už", "jen",
+            "můžeme"), "ěščřžýáíéůú", {}, ""),
+    # Cyrillic: shared-script base + language-specific letters + words
+    "ru": (("и", "в", "не", "на", "я", "что", "он", "как", "это", "но",
+            "ты", "мы", "его", "она", "так", "же", "был", "для", "с", "к",
+            "у", "о", "из", "по", "а", "то", "все", "они", "есть", "быть"),
+           "", {"cyrillic": 2}, "ыэъё"),
+    "uk": (("і", "в", "не", "на", "що", "він", "як", "це", "але", "ти",
+            "ми", "його", "вона", "так", "був", "для", "з", "у", "про",
+            "та", "й", "до", "за", "або", "коли", "вже", "також", "може",
+            "бути", "є"), "", {"cyrillic": 2}, "іїєґ"),
+    "el": (("και", "το", "η", "ο", "του", "της", "να", "με", "για", "από",
+            "στο", "είναι", "που", "τα", "δεν", "θα", "μια", "ένα", "αυτό",
+            "τον"), "", {"greek": 2}, ""),
+    "he": ((), "", {"hebrew": 2}, ""),
+    "ar": ((), "", {"arabic": 2}, "ةيأإءؤ"),
+    "fa": ((), "", {"arabic": 2}, "پچژگیک"),
+    "hi": ((), "", {"devanagari": 2}, ""),
+    "th": ((), "", {"thai": 2}, ""),
+    "ko": ((), "", {"hangul": 2}, ""),
+    "ja": ((), "", {"kana": 2, "han": 1}, ""),
+    "zh": ((), "", {"han": 2, "kana": -3}, ""),
+}
+
 
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     wl = F.array(*[F.lit(w) for w in words])
@@ -103,13 +183,54 @@ def langid_expr_full(text: Column) -> Column:
     return out
 
 
+def script_class_regex(ranges: tuple[tuple[int, int], ...]) -> str:
+    """Java-regex character class for a set of code-point ranges (the
+    DuckDB oracle emits the same ranges in RE2 ``\\x{...}`` syntax)."""
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+
+
+def langid_expr_v3(text: Column) -> Column:
+    """25-language ID (round 3): function words + diacritics + Unicode
+    script-block evidence + distinctive letters (see LANG_PROFILES_V3).
+    Join-free Catalyst projection; argmax with declaration-order
+    tie-break; 'und' on zero evidence. Handles CJK (zh/ja split on kana),
+    Korean, Arabic vs Persian (distinctive letters), Hebrew, Cyrillic
+    (ru/uk), Greek, Devanagari, Thai, and 14 Latin-script languages."""
+    lowered = F.lower(text)
+    toks = F.filter(F.split(lowered, LANGID_SPLIT_REGEX),
+                    lambda t: t != F.lit(""))
+    script_counts = {
+        name: F.regexp_count(lowered, F.lit(script_class_regex(ranges)))
+        for name, ranges in SCRIPT_RANGES.items()
+    }
+    score_cols = []
+    for lang, (words, chars, scripts, markers) in LANG_PROFILES_V3.items():
+        s = F.lit(0)
+        if words:
+            s = s + _hits(toks, words) * 2
+        if chars:
+            s = s + F.regexp_count(lowered, F.lit(f"[{chars}]"))
+        for script, wgt in scripts.items():
+            s = s + script_counts[script] * F.lit(wgt)
+        if markers:
+            s = s + F.regexp_count(lowered, F.lit(f"[{markers}]")) * 3
+        score_cols.append((lang, s))
+    m = F.greatest(*[s for _, s in score_cols])
+    out = F.lit("und")
+    for lang, s in reversed(score_cols):
+        out = F.when((s == m) & (m > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                profile: str = "full") -> DataFrame:
-    """(doc_id, lang_guess). ``profile="full"`` (default) scores 8 languages
-    with 30-word function-word profiles + diacritics; ``"markers"`` is the
-    round-1 4×10-marker fallback (cheaper, ascii-only analyzers)."""
-    expr = langid_expr_full if profile == "full" else langid_expr
+                profile: str = "v3") -> DataFrame:
+    """(doc_id, lang_guess). ``profile="v3"`` (default) scores 25 languages
+    incl. CJK/Arabic/Hebrew/Cyrillic/Greek/Devanagari/Thai via script +
+    marker + function-word evidence; ``"full"`` is the round-2 8-language
+    Latin profile; ``"markers"`` the round-1 4×10-marker fallback."""
+    expr = {"v3": langid_expr_v3, "full": langid_expr_full,
+            "markers": langid_expr}[profile]
     return df.select(F.col(id_col).alias("doc_id"),
                      expr(F.col(text_col)).alias("lang_guess"))
 

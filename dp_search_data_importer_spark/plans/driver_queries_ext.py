@@ -381,18 +381,38 @@ EXT_QUERIES = {
 
 
 def _langid_sql() -> str:
-    """SQL twin of ts.langid_expr_full: 2×function-word hits + diacritic
-    hits per language, argmax with declaration-order tie-break."""
-    from dp_search_data_importer_spark.operators.textstats import LANG_PROFILES
+    """SQL twin of ts.langid_expr_v3, generated from the SAME profile
+    tables (LANG_PROFILES_V3 / SCRIPT_RANGES): 2×function-word hits +
+    diacritic chars + weighted script-block chars (RE2 ``\\x{..}`` ranges)
+    + 3×distinctive-letter chars, argmax with declaration-order
+    tie-break."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        LANG_PROFILES_V3,
+        SCRIPT_RANGES,
+    )
+
+    def cls(ranges):
+        return "[" + "".join(
+            rf"\x{{{lo:04X}}}-\x{{{hi:04X}}}" for lo, hi in ranges) + "]"
 
     hit_cols = []
-    for lang, (ws, chars) in LANG_PROFILES.items():
-        lst = ", ".join(f"'{w}'" for w in ws)
-        expr = f"2 * len(list_filter(arr, x -> x <> '' AND list_contains([{lst}], x)))"
+    for lang, (ws, chars, scripts, markers) in LANG_PROFILES_V3.items():
+        parts = []
+        if ws:
+            lst = ", ".join(f"'{w}'" for w in ws)
+            parts.append("2 * len(list_filter(arr, x -> x <> '' "
+                         f"AND list_contains([{lst}], x)))")
         if chars:
-            expr += f" + len(regexp_extract_all(lt, '[{chars}]'))"
+            parts.append(f"len(regexp_extract_all(lt, '[{chars}]'))")
+        for script, wgt in scripts.items():
+            parts.append(
+                f"({wgt}) * len(regexp_extract_all(lt, "
+                f"'{cls(SCRIPT_RANGES[script])}'))")
+        if markers:
+            parts.append(f"3 * len(regexp_extract_all(lt, '[{markers}]'))")
+        expr = " + ".join(parts) if parts else "0"
         hit_cols.append(f"{expr} AS h_{lang}")
-    langs = list(LANG_PROFILES)
+    langs = list(LANG_PROFILES_V3)
     m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
     case = "CASE "
     for lg in langs:
