@@ -81,12 +81,26 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+                        threshold: float = 0.5,
+                        max_docs: int = 20_000) -> DataFrame:
+    """TINY-CORPUS DIAGNOSTIC — near-dup pairs by exact n-gram Jaccard ≥
+    threshold via a GLOBAL shingle self-join (quadratic in docs sharing a
+    shingle). The scale path is :func:`ngram_jaccard_lsh`; this form exists
+    to validate it on small corpora and REFUSES larger inputs (``max_docs``
+    guard, one cheap count) so nobody points the quadratic plan at a real
+    corpus by accident (VERDICT r2).
 
     |A∩B| from a self-join on shingle; |A|,|B| from per-doc counts;
     J = inter / (|A|+|B|-inter). Output (doc_a, doc_b, jaccard), doc_a<doc_b.
     """
+    n_docs = df.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is a tiny-corpus diagnostic (got {n_docs} "
+            f"docs > max_docs={max_docs}); use ngram_jaccard_lsh for real "
+            "corpora (MinHash-LSH candidates, exact Jaccard on candidates "
+            "only)"
+        )
     sh = shingle_sets(df, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

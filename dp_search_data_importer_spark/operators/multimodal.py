@@ -84,25 +84,74 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (arr.astype(np.float64) / 2**32).tolist()
 
 
-def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+def _real_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image branch (round 3): decode the payload with PIL and emit
+    [width, height, n_channels, mean_R, mean_G, mean_B, std_gray, aspect]
+    — real pixels flow when the decoder lib exists. Callers gate on
+    :func:`_real_decoder_available`."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    rgb = img.convert("RGB")
+    arr = np.asarray(rgb, dtype=np.float64)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    gray = arr.mean(axis=2)
+    feats = [float(img.width), float(img.height),
+             float(len(img.getbands())),
+             float(means[0]), float(means[1]), float(means[2]),
+             float(gray.std() / 255.0),
+             float(img.width / img.height) if img.height else 0.0]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
+def decode_features(media: DataFrame, strict: bool = False,
+                    decoder: str = "fake") -> DataFrame:
     """(media_id, kind, features array<double>) via one Arrow pass.
 
-    ``strict=True`` demands a real decoder (raises NotImplementedError when
-    the media libs are absent — clearly marking the stub boundary);
-    otherwise the deterministic fake keeps the pipeline testable end-to-end.
+    ``decoder``:
+    - ``"fake"`` (default): the deterministic payload-hash kernel — stable
+      across machines, replayed exactly by the ``media_features`` DuckDB
+      oracle; keeps the pipeline testable end-to-end with no media libs.
+    - ``"real"``: decode actual pixels — images via PIL (dimensions, mean
+      channels, gray std, aspect); audio/video stay gated behind
+      ``NotImplementedError`` until librosa/av exist in the image.
+    - ``"auto"``: real when the decoder lib is importable, else fake.
+
+    ``strict=True`` (back-compat) forces ``"real"`` and raises
+    ``NotImplementedError`` when the libs are absent — clearly marking the
+    stub boundary.
     """
+    if strict:
+        decoder = "real"
+    if decoder == "auto":
+        decoder = "real" if _real_decoder_available() else "fake"
+    use_real = decoder == "real"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict and not _real_decoder_available():
+        if use_real and not _real_decoder_available():
             raise NotImplementedError(
                 "real media decode requires PIL/librosa/av — not installed; "
-                "run with strict=False for the deterministic stub"
+                "use decoder='fake' (default) for the deterministic stub"
             )
         for pdf in batches:
+            if use_real:
+                feats = []
+                for kind, p in zip(pdf["kind"], pdf["payload"]):
+                    if kind != "image":
+                        raise NotImplementedError(
+                            f"real {kind} decode requires librosa/av — "
+                            "not installed; filter to kind='image' or use "
+                            "decoder='fake'"
+                        )
+                    feats.append(_real_image_features(p))
+            else:
+                feats = [_fake_features(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype("int64"),
                 "kind": pdf["kind"],
-                "features": [_fake_features(p) for p in pdf["payload"]],
+                "features": feats,
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(

@@ -360,7 +360,7 @@ EXT_QUERIES = {
     "resize_plan": q_resize_plan,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_keep_representatives": q_dedup_keep_representatives,
-    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_global_diag": q_ngram_jaccard,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "minhash_est_jaccard": q_minhash_est_jaccard,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -598,7 +598,7 @@ EXT_ORACLES = {
         SELECT a.doc_id, length(a.text)::BIGINT AS text_len
         FROM aug a JOIN keep USING (doc_id)
     """,
-    "ngram_jaccard": f"""
+    "ngram_jaccard_global_diag": f"""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
                  generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos

@@ -242,24 +242,58 @@ def run_index_stream(
     return writer.start()
 
 
-def dedup_stream(events: DataFrame, key_col: str = "uid") -> DataFrame:
+_DURATION_UNITS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(ttl: str | int) -> int:
+    """'10 minutes' / '500 ms' / 1500 → milliseconds (PySpark's
+    GroupState.setTimeoutDuration only accepts an int)."""
+    if isinstance(ttl, int):
+        return ttl
+    parts = ttl.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _DURATION_UNITS:
+        raise ValueError(f"unparseable duration {ttl!r}")
+    return int(float(parts[0]) * _DURATION_UNITS[parts[1]])
+
+
+def dedup_stream(events: DataFrame, key_col: str = "uid",
+                 ttl: str | int | None = None) -> DataFrame:
     """Cross-batch streaming dedup: emit only the FIRST occurrence of each
-    key, ever — a custom stateful operator via ``applyInPandasWithState``
+    key — a custom stateful operator via ``applyInPandasWithState``
     (state = one marker row per key, surviving restarts through the stream
     checkpoint). The at-least-once-source twin: where ``upsert_batch``
     makes redelivery idempotent at the SINK, this makes it invisible
     mid-pipeline, so downstream stages see an exactly-once stream.
 
     Within a batch, the first row of the key wins (input order); across
-    batches, previously-seen keys are dropped entirely. Keys are the state
-    axis — state size is O(distinct keys); at 10^12 keys you would swap the
-    marker state for a TTL'd bloom layer, same operator shape."""
+    batches, previously-seen keys are dropped entirely.
+
+    ``ttl`` (e.g. ``"10 minutes"`` or milliseconds) BOUNDS the state
+    (round-3, the 10^12-key answer): each key's marker expires after that
+    much processing-time inactivity and is removed by the state store's
+    timeout sweep, so steady-state size is O(keys active within one TTL
+    window), not O(all keys ever). The trade-off is explicit and standard
+    (Kafka Streams / Flink dedup TTLs make the same one): a key
+    re-arriving AFTER expiry is emitted again — exact dedup within the
+    window, at-least-once beyond it, which composes safely with the
+    idempotent keyed sink. ``ttl=None`` keeps exact forever-dedup."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = events.schema
+    use_ttl = ttl is not None
+    ttl_ms = _duration_ms(ttl) if use_ttl else 0
 
     def fn(key, pdfs, state: GroupState):
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            return
         seen = state.exists
         first: pd.DataFrame | None = None
         for pdf in pdfs:
@@ -267,6 +301,10 @@ def dedup_stream(events: DataFrame, key_col: str = "uid") -> DataFrame:
                 first = pdf.iloc[[0]]
         if not seen:
             state.update((1,))
+        if use_ttl:
+            # re-arm on every arrival: the deadline is TTL past the key's
+            # LAST activity (a hot key never expires; an idle one does)
+            state.setTimeoutDuration(ttl_ms)
         if first is not None:
             yield first
 
@@ -275,7 +313,8 @@ def dedup_stream(events: DataFrame, key_col: str = "uid") -> DataFrame:
         outputStructType=schema,
         stateStructType="n long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if use_ttl
+                     else GroupStateTimeout.NoTimeout),
     )
 
 

@@ -66,3 +66,47 @@ def test_media_stats_projection(spark):
     rows = {r["kind"]: r for r in media_stats(media).collect()}
     assert set(rows) == {"image", "audio", "video"}
     assert all(r["total_bytes"] > 0 for r in rows.values())
+
+
+def test_decode_features_real_branch_when_pil_available(spark):
+    """Round 3: the real image branch decodes actual pixels (dimensions,
+    mean channels) when PIL exists — skipped cleanly otherwise, like the
+    spark-avro jar test."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import PIL.Image
+
+    from dp_search_data_importer_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (32, 16), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [(1, 1, "image", bytearray(png),
+             {"mime": "image/png", "width": 32, "height": 16,
+              "duration_ms": 0})]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.decode_features(media, decoder="real").collect()[0]
+    f = got["features"]
+    assert f[0] == 32.0 and f[1] == 16.0           # real decoded dims
+    assert abs(f[3] - 1.0) < 1e-9 and f[4] == 0.0  # solid red: mean_R=1
+    assert abs(f[7] - 2.0) < 1e-9                   # aspect ratio
+
+
+def test_decode_features_real_branch_gated_without_pil(spark):
+    """Without PIL, decoder='real'/strict=True must raise the documented
+    NotImplementedError and the fake default must be unaffected."""
+    import pytest
+
+    from dp_search_data_importer_spark.operators import multimodal as mm
+
+    if mm._real_decoder_available():
+        pytest.skip("PIL present: gate test not applicable")
+    media = mm.synthetic_media(spark, 6)
+    with pytest.raises(Exception) as ei:
+        mm.decode_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+    assert mm.decode_features(media, decoder="auto").count() == 6

@@ -246,3 +246,88 @@ def test_dedup_stream_exactly_once_across_batches(spark, tmp_path):
     assert got == ["a", "b", "c", "d"]
     # and the survivor for redelivered keys is the FIRST-batch row
     assert next(r["title"] for r in rows if r["uid"] == "a") == "T-a"
+
+
+def test_dedup_stream_ttl_suppresses_within_window(spark, tmp_path):
+    """With a TTL far longer than the drain gap, redelivered keys stay
+    suppressed across drains — same contract as the no-TTL operator."""
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "ttlw_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "ttlw_out")
+    ckpt = str(tmp_path / "ttlw_ck")
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (dedup_stream(stream, ttl="10 minutes")
+             .writeStream.format("parquet")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .option("path", out_dir).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"uid": "a", "title": "T1-a", "seq": 1}) + "\n")
+        f.write(json.dumps({"uid": "b", "title": "T1-b", "seq": 1}) + "\n")
+    drain()
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"uid": "a", "title": "T2-a", "seq": 2}) + "\n")
+    drain()
+    assert sorted(r["uid"] for r in spark.read.parquet(out_dir).collect()) \
+        == ["a", "b"]
+
+
+def test_dedup_stream_ttl_bounds_state(spark, tmp_path):
+    """Round 3: ttl'd dedup state — idle keys expire and are REMOVED from
+    the state store (bounded state under key churn); a key re-arriving
+    after expiry is emitted again (exact dedup within the TTL window, the
+    documented trade-off that composes with the idempotent keyed sink)."""
+    import time as _time
+
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ck")
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (dedup_stream(stream, ttl=1000).writeStream.format("parquet")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .option("path", out_dir).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"uid": "a", "title": "T1-a", "seq": 1}) + "\n")
+        f.write(json.dumps({"uid": "b", "title": "T1-b", "seq": 1}) + "\n")
+    drain()
+    assert sorted(r["uid"] for r in spark.read.parquet(out_dir).collect()) \
+        == ["a", "b"]
+
+    # let both keys idle past the TTL; a churn batch with a fresh key
+    # triggers the timeout sweep that removes them (hasTimedOut branch →
+    # state.remove(); proven below by 'a' being emitted AGAIN, which can
+    # only happen if its marker row is gone — the state-metrics reader
+    # does not surface applyInPandasWithState row counts in this Spark)
+    _time.sleep(2.0)
+    with open(src / "b3.json", "w") as f:
+        f.write(json.dumps({"uid": "c", "title": "T3-c", "seq": 3}) + "\n")
+    drain()
+
+    # 'a' re-arrives after expiry -> emitted again
+    _time.sleep(2.0)
+    with open(src / "b4.json", "w") as f:
+        f.write(json.dumps({"uid": "a", "title": "T4-a", "seq": 4}) + "\n")
+    drain()
+    uids = sorted(r["uid"] for r in spark.read.parquet(out_dir).collect())
+    assert uids == ["a", "a", "b", "c"]
+    titles_a = {r["title"] for r in spark.read.parquet(out_dir).collect()
+                if r["uid"] == "a"}
+    assert titles_a == {"T1-a", "T4-a"}
