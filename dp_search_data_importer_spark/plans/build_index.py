@@ -8,10 +8,24 @@ built internally:
   repo_files ──normalize (A3-A6: key filter, doc_id, sha256)──▶ docs
     docs ──code tokenizer, map-side (term, tf, dl) [Arrow]──▶ tf pairs
       tf ──salted agg──▶ term_df dictionary;  docs ──agg──▶ N, avgdl
-      tf ──repartitionByRange(shard, term, doc_id) + sortWithinPartitions──▶
-         sorted runs ──mapInPandas block compressor (delta+varint, block-max
-         metadata)──▶ postings blocks, parquet dir-partitioned by shard
-      + per-shard manifest (lineage/metrics, resume)
+      tf ──repartition(shard) + sortWithinPartitions(shard, term, doc_id)──▶
+         sorted runs ──mapInPandas block compressor (delta+varint, impacts,
+         optional positions)──▶ postings blocks, parquet dir-partitioned
+         by shard + per-shard manifest (lineage/metrics, resume)
+
+Two dataflows, selected by ``build_index(dataflow=)`` and measured
+head-to-head in BENCH/ANALYSIS.md (round 3):
+
+- ``"spill"`` (default): tf pairs are materialized once to a compact
+  parquet intermediate consumed by stats/term_df/waves. On the bench host
+  the spill is page-cache-buffered (it is NOT an extra disk round-trip in
+  practice) and keeps every stage homogeneous — best measured local[32]
+  throughput and 8→32 scaling.
+- ``"fused"``: each wave tokenizes its own disjoint doc slice straight
+  into the shuffle (no spill; term_df/Σdl derived from block metadata).
+  Strictly less I/O — wins at fixed 8-core budgets, the realistic
+  per-executor shape — but loses inside one big local JVM where 32 tasks
+  + as many Python workers contend for a single heap.
 
 Scale design (the part that must survive 10^12 files / 1000 executors):
 
@@ -60,7 +74,7 @@ from dp_search_data_importer_spark.operators.postings import doc_freqs, hot_term
 BLOCKS_SCHEMA = (
     "shard int, term string, block_id long, first_doc_id long, n_docs long, "
     "doc_gaps binary, tfs binary, dls binary, "
-    "imp_tfs array<bigint>, imp_dls array<bigint>, poss binary"
+    "imp_tfs array<bigint>, imp_dls array<bigint>, poss binary, sum_tf long"
 )
 
 
@@ -105,7 +119,8 @@ def _compress_runs(
 
     carry: pd.DataFrame | None = None
     out_cols = ("shard", "term", "block_id", "first_doc_id", "n_docs",
-                "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls", "poss")
+                "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls", "poss",
+                "sum_tf")
 
     def flush(group: pd.DataFrame, *, final: bool) -> tuple[list, pd.DataFrame | None]:
         """Emit full blocks; keep the (< block_size) tail unless final."""
@@ -135,7 +150,7 @@ def _compress_runs(
                 p = None
             rows.append(
                 (shard, term, start // block_size, int(ids_b[0]), end - start,
-                 g, t, d, imp_tf, imp_dl, p)
+                 g, t, d, imp_tf, imp_dl, p, int(tfs_b.sum()))
             )
         tail = None if final or n_full_end == n else group.iloc[n_full_end:]
         return rows, tail
@@ -220,6 +235,7 @@ def build_index(
     already_normalized: bool = False,
     check_collisions: bool = False,
     positions: bool = False,
+    dataflow: str = "spill",
     verbose: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index under ``out_dir``.
@@ -254,6 +270,13 @@ def build_index(
 
     import shutil as _shutil
 
+    if dataflow == "fused":
+        return _build_index_fused(
+            spark, repo_files, out_dir, cfg, code_aware=code_aware,
+            text_col=text_col, tokenizer=tokenizer, waves=waves,
+            resume=resume, already_normalized=already_normalized,
+            check_collisions=check_collisions, positions=positions,
+            verbose=verbose)
     cfg = cfg or EngineConfig()
     os.makedirs(out_dir, exist_ok=True)
     # measured-df feedback: capture the PREVIOUS build's heavy hitters
@@ -459,3 +482,257 @@ def build_index(
         return stats
     finally:
         _shutil.rmtree(tf_tmp, ignore_errors=True)
+
+
+def _build_index_fused(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    *,
+    code_aware: bool = True,
+    text_col: str = "content",
+    tokenizer: str = "arrow",
+    waves: int = 2,
+    resume: bool = True,
+    already_normalized: bool = False,
+    check_collisions: bool = False,
+    positions: bool = False,
+    verbose: bool = False,
+) -> dict:
+    """Fused single-shuffle dataflow (round 3, ``dataflow="fused"``):
+    each wave tokenizes its own disjoint doc slice straight into the one
+    wide shuffle — no tf spill, strictly less I/O than the spill dataflow
+    (the build's largest intermediate never round-trips storage), and
+    term_df/Σdl derive from block METADATA (column-pruned read-back,
+    shard-partial agg = structurally skew-free). Measured head-to-head
+    (BENCH/ANALYSIS.md round 3): wins at fixed 8-core budgets (the real
+    per-executor shape) but loses at local[32], where one JVM heap serving
+    32 tasks + as many Python workers contends — hence selectable, not
+    default, on this host.
+
+    ``positions=True`` builds a POSITIONAL index: each block carries a
+    varint position stream (``poss``) and phrase queries decode positions
+    straight from the postings — no sidecar, no duplicated keys. ~Half the
+    positional storage of the round-2 sidecar (measured, BENCH/ANALYSIS.md).
+
+    Layout:
+      out_dir/docs/        doc map (doc_id, repo, path, commit, lang,
+                           content_sha256, shard) — parquet by shard
+      out_dir/term_df/     global term dictionary (term, df)
+      out_dir/postings/    block rows (BLOCKS_SCHEMA) — parquet by shard
+      out_dir/_manifest/   per-shard lineage + metrics (checkpoint.py)
+      out_dir/stats.json   n_docs, avgdl, config echo
+
+    Returns the stats dict.
+    """
+    import time as _time
+
+    _t = _time.time()
+    _phases: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        if verbose:
+            now = _time.time()
+            _phases[name] = round(now - _t, 2)
+            print(f"[build_index] {name}: {_phases[name]}s", flush=True)
+            _t = now
+
+    import shutil as _shutil
+
+    cfg = cfg or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    stats_path = os.path.join(out_dir, "stats.json")
+    if not resume:
+        # a fresh build into an existing out_dir must not inherit stale
+        # postings/manifest rows (re-run with resume=False used to APPEND
+        # postings on top of committed blocks — duplicated scores). The
+        # positions sidecar belongs to the previous corpus too.
+        for sub in ("postings", "_manifest", "docs", "term_df", "positions"):
+            _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        for fn in ("stats.json",):
+            try:
+                os.remove(os.path.join(out_dir, fn))
+            except FileNotFoundError:
+                pass
+    docs = repo_files if already_normalized else normalize_repo_files(repo_files)
+    if check_collisions and not already_normalized:
+        from dp_search_data_importer_spark.operators.ingest import (
+            assert_no_doc_id_collisions,
+        )
+
+        assert_no_doc_id_collisions(docs)
+    docs = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
+    )
+
+    done = completed_shards(spark, out_dir) if (
+        resume and os.path.exists(out_dir)
+    ) else set()
+    if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
+        return read_stats_json(out_dir)
+
+    # ---- docs table FIRST (one pass over the source; N and per-shard doc
+    # counts come from the WRITTEN docs table, not from tf: a doc whose
+    # content tokenizes to zero terms is still a document — Lucene's BM25
+    # docCount includes it, so idf/avgdl must divide by it too, and the
+    # manifest must agree with docs/).
+    # repartition to one task per shard before the partitioned write:
+    # writing K shard dirs from T unrelated tasks creates T×K file
+    # fragments and a per-task partition sort (measured 25× slower at
+    # local[32]); post-shuffle each task owns exactly one shard dir.
+    # per-shard doc counts piggyback on the write via observe (observe
+    # supports only global aggs, so the breakdown is a when-sum per shard —
+    # fine for shard counts in the hundreds; beyond that, fall back to
+    # counting the written dirs).
+    from pyspark.sql import Observation
+
+    docs_done = resume and os.path.exists(
+        os.path.join(out_dir, "docs", "_SUCCESS"))
+    shard_counts: dict[int, int]
+    if not docs_done:
+        docs_obs = Observation() if cfg.n_shards <= 256 else None
+        to_write = docs.drop(text_col, "content", "dl")
+        if docs_obs is not None:
+            to_write = to_write.observe(docs_obs, *[
+                F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
+                for s in range(cfg.n_shards)
+            ])
+        (to_write.repartition(cfg.n_shards, "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "docs")))
+        _mark("docs_write")
+        if docs_obs is not None:
+            got = docs_obs.get
+            shard_counts = {s: int(got[f"s{s}"] or 0)
+                            for s in range(cfg.n_shards)}
+        else:
+            shard_counts = {}
+    else:
+        shard_counts = {}
+    if not shard_counts:
+        shard_counts = {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(os.path.join(out_dir, "docs"))
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        shard_counts = {s: shard_counts.get(s, 0)
+                        for s in range(cfg.n_shards)}
+
+    # ---- postings waves (unit of resume). Round-3 dataflow: each wave
+    # tokenizes ITS OWN docs straight into the one wide shuffle — the
+    # round-2 design spilled the full tf table to parquet first and then
+    # re-read + re-shuffled it per wave, sending the build's largest
+    # intermediate through the (single, shared) disk twice. Because waves
+    # partition DOCS disjointly, per-wave tokenization does zero duplicate
+    # work, and the map stage (Python tokenizer) overlaps the reduce
+    # stage's sort/compress/write across tasks inside one job. Corpus
+    # statistics that round 2 harvested from the tf spill (Σdl, term df)
+    # now derive from block METADATA read back from the written index —
+    # a column-pruned scan ~128× smaller than the tf rows (see below).
+    shards_per_wave = max(1, -(-cfg.n_shards // waves))
+    for w in range(waves):
+        wave_shards = [
+            s for s in range(w * shards_per_wave,
+                             min((w + 1) * shards_per_wave, cfg.n_shards))
+            if s not in done
+        ]
+        if not wave_shards:
+            continue
+        wave_docs = docs.filter(F.col("shard").isin(wave_shards))
+        tf_src = tokenize_docs(
+            wave_docs.select("doc_id", text_col),
+            code_aware=code_aware, text_col=text_col,
+            tokenizer=tokenizer, positions=positions,
+        ).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
+        )
+        # one task per shard: shuffle on the shard key (no sampling pass,
+        # unlike repartitionByRange) and sort (term, doc_id) within. Task
+        # sizes are uniform because shard = hash(doc_id) — hot TERMS
+        # cannot skew a doc-partitioned build. Output files align 1:1
+        # with the partitionBy(shard) dirs.
+        sorted_runs = tf_src.repartition(
+            len(wave_shards), "shard"
+        ).sortWithinPartitions("shard", "term", "doc_id")
+        blocks = sorted_runs.mapInPandas(
+            lambda it: _compress_runs(it, cfg.block_size,
+                                      with_positions=positions),
+            schema=BLOCKS_SCHEMA,
+        )
+        # dynamic partition overwrite, NOT append: a crash in the window
+        # between the postings commit and append_manifest leaves the wave
+        # un-manifested; the resume rebuilds it, and overwrite replaces
+        # the stale shard=s dirs instead of appending duplicate blocks
+        # (duplicated postings would double exact scores and inflate WAND).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (blocks.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "postings")))
+        _mark(f"wave{w}_tokenize_compress_write")
+        # manifest from read-back: certifies disk state (checkpoint.py)
+        written = spark.read.parquet(
+            os.path.join(out_dir, "postings")
+        ).filter(F.col("shard").isin(wave_shards))
+        ndocs_expr = F.coalesce(
+            *[F.when(F.col("shard") == s, F.lit(int(shard_counts.get(s, 0))))
+              for s in wave_shards],
+            F.lit(0),
+        )
+        append_manifest(
+            shard_metrics(written).select(
+                "shard",
+                ndocs_expr.cast("long").alias("n_docs"),
+                "n_postings", "n_blocks", "bytes_compressed",
+                "content_fingerprint", "n_terms",
+            ),
+            out_dir,
+        )
+        _mark(f"wave{w}_manifest")
+
+    # ---- term dictionary + corpus stats from block METADATA (read-back:
+    # certifies disk, like the manifest). Block rows are pre-aggregated
+    # per (shard, term): df(term) = Σ n_docs, Σdl = Σ sum_tf — a
+    # column-pruned scan of (term, n_docs, sum_tf) that never touches the
+    # compressed binary columns. Skew is handled STRUCTURALLY: the
+    # map-side partial agg runs per shard partition, so even a term
+    # present in every document contributes at most n_shards partial rows
+    # to the final shuffle — no salting, no measured hot list needed on
+    # this path (doc_freqs keeps both for tf-table consumers).
+    postings_dir = os.path.join(out_dir, "postings")
+    n_docs_total = sum(shard_counts.values())
+    if os.path.exists(postings_dir):
+        meta = spark.read.parquet(postings_dir)
+        tdf = meta.groupBy("term").agg(
+            F.sum("n_docs").cast("long").alias("df"))
+        tdf.write.mode("overwrite").parquet(os.path.join(out_dir, "term_df"))
+        sum_dl_total = int(
+            meta.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+    else:  # corpus tokenized to nothing at all
+        from dp_search_data_importer_spark.session import local_df
+
+        local_df(spark, [], "term string, df long").write.mode(
+            "overwrite").parquet(os.path.join(out_dir, "term_df"))
+        sum_dl_total = 0
+    _mark("term_df_write")
+
+    stats = {
+        "n_docs": int(n_docs_total),
+        "sum_dl": int(sum_dl_total),  # exact int: incremental upserts
+        # adjust it by ±deltas instead of reconstructing from float avgdl
+        "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
+        "k1": cfg.k1, "b": cfg.b,
+        "block_size": cfg.block_size, "n_shards": cfg.n_shards,
+        "code_aware": code_aware,
+        "positions": positions,
+        "shard_docs": {int(s): int(n) for s, n in shard_counts.items()},
+    }
+    stats["hot_terms"] = hot_terms(
+        spark.read.parquet(os.path.join(out_dir, "term_df")),
+        n_docs_total, cfg,
+    )
+    # stats.json is written LAST — its presence plus a full manifest is the
+    # build's commit marker (resume returns early on it above)
+    write_stats_json(out_dir, stats)
+    return stats

@@ -57,7 +57,8 @@ def _make_vocab(seed: int, size: int = 5000) -> tuple[list[str], np.ndarray]:
 
 
 def _gen_batches(
-    batches: Iterator[pd.DataFrame], seed: int, min_words: int, max_words: int
+    batches: Iterator[pd.DataFrame], seed: int, min_words: int,
+    max_words: int, bursty: bool = False,
 ) -> Iterator[pd.DataFrame]:
     import hashlib
 
@@ -73,8 +74,31 @@ def _gen_batches(
             repo = f"org{i % 7}/project{i % 41}"
             path = f"src/pkg{i % 13}/module_{i % 97}.{_EXT[lang]}"
             commit = hashlib.sha1(f"{repo}|{path}|{i}".encode()).hexdigest()
-            n_words = min_words + int(rng.integers(0, max_words - min_words + 1))
+            if bursty:
+                # heavy-tail doc lengths (lognormal, clipped to the range):
+                # most docs short, a fat tail of huge ones — realistic web
+                # corpora, and exactly the dl variance that gives BM25
+                # block-max bounds discrimination headroom
+                span = max_words - min_words
+                n_words = min_words + int(min(
+                    span, rng.lognormal(mean=np.log(max(span, 2) / 12.0),
+                                        sigma=1.1)))
+            else:
+                n_words = min_words + int(
+                    rng.integers(0, max_words - min_words + 1))
             words = vocab_arr[np.searchsorted(cum, rng.random(n_words))]
+            if bursty and n_words > 8:
+                # term burstiness (Church/Gale): a few content terms repeat
+                # far above their corpus rate in the docs they occur in —
+                # the tf variance that makes per-block max impacts differ
+                # sharply between blocks (low-variance tf was why WAND's
+                # win was modest in round 2; BENCH/ANALYSIS.md)
+                n_burst = int(rng.integers(1, 4))
+                for _ in range(n_burst):
+                    t = vocab_arr[int(rng.integers(20, len(vocab_arr)))]
+                    reps = int(rng.integers(5, 60))
+                    pos = rng.integers(0, n_words, size=reps)
+                    words[pos] = t
             # line structure: a keyword-led statement every ~8 words
             lines, cur = [], []
             for w in words:
@@ -105,14 +129,22 @@ def synthetic_repo_files(
     min_words: int = 120,
     max_words: int = 2400,
     num_partitions: int | None = None,
+    bursty: bool = False,
 ) -> DataFrame:
     """Deterministic corpus with the BASELINE.json ``input_hint`` shape.
 
     Values depend only on ``(seed, row id)`` — partitioning-invariant, so
     local[8] and local[32] runs index the identical corpus.
+
+    ``bursty=True`` (round 3) switches to heavy-tail doc lengths
+    (lognormal) and bursty within-doc term repetition — the high-variance
+    tf/dl regime where block-max bounds actually discriminate (the uniform
+    default yields low tf variance, which caps WAND's pruning headroom;
+    measured in BENCH/ANALYSIS.md).
     """
     base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
     return base.mapInPandas(
-        lambda it: _gen_batches(it, seed, min_words, max_words),
+        lambda it: _gen_batches(it, seed, min_words, max_words,
+                                bursty=bursty),
         schema=REPO_FILES_SCHEMA,
     )

@@ -379,10 +379,41 @@ def test_fresh_rebuild_removes_positions_sidecar(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, "positions"))
 
 
+def test_fused_dataflow_identical_to_spill(spark, tmp_path):
+    """Round 3: the fused single-shuffle dataflow (per-wave tokenize into
+    the shuffle, term_df/Σdl from block metadata) produces an index
+    artifact-identical to the default spill dataflow — fingerprints,
+    stats, term dictionary, and query results."""
+    base = _rows(30)
+    src = spark.createDataFrame(base, SCHEMA)
+    d_spill = str(tmp_path / "spill")
+    d_fused = str(tmp_path / "fused")
+    s1 = build_index(spark, src, d_spill, CFG, code_aware=True, waves=2)
+    s2 = build_index(spark, src, d_fused, CFG, code_aware=True, waves=2,
+                     dataflow="fused")
+    assert _fingerprints(spark, d_spill) == _fingerprints(spark, d_fused)
+    for key in ("n_docs", "sum_dl", "avgdl", "shard_docs"):
+        assert s1[key] == s2[key], key
+    tdf1 = {(r["term"], r["df"]) for r in
+            spark.read.parquet(os.path.join(d_spill, "term_df")).collect()}
+    tdf2 = {(r["term"], r["df"]) for r in
+            spark.read.parquet(os.path.join(d_fused, "term_df")).collect()}
+    assert tdf1 == tdf2
+    queries = spark.createDataFrame([(1, "import def"), (2, "merge hash")],
+                                    "query_id long, query_text string")
+    r1 = sorted((r["query_id"], r["doc_id"], r["score"]) for r in
+                q.exact_topk(spark, d_spill, queries, CFG, 10).collect())
+    r2 = sorted((r["query_id"], r["doc_id"], r["score"]) for r in
+                q.exact_topk(spark, d_fused, queries, CFG, 10).collect())
+    assert r1 == r2
+    # every word appears in >5% of these docs → all measured hot
+    assert set(s2["hot_terms"]) >= set(WORDS)
+
+
 def test_prior_hot_terms_feed_next_rebuild(spark, tmp_path, monkeypatch):
     """ADVICE r2: the measured hot_terms recorded in stats.json must drive
-    the NEXT build's df salting — including a fresh rebuild (resume=False),
-    which deletes stats.json during cleanup."""
+    the NEXT (spill-dataflow) build's df salting — including a fresh
+    rebuild (resume=False), which deletes stats.json during cleanup."""
     import json as _json
 
     from dp_search_data_importer_spark.plans import build_index as bi

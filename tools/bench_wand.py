@@ -5,7 +5,11 @@ The index is built once and cached under /tmp (keyed by n_docs/shards);
 each query runs as its own job so the numbers are per-query latencies,
 not one batched fan-out. Results land in BENCH/wand_120k.json.
 
-Run:  taskset -c 0-(N-1) python tools/bench_wand.py [n_docs] [cpus] [reps]
+Run:  taskset -c 0-(N-1) python tools/bench_wand.py [n_docs] [cpus] [reps] [bursty]
+
+``bursty=1`` uses the heavy-tail/bursty corpus mode (high tf/dl
+variance), the regime where block-max bounds have pruning headroom —
+the round-2 verdict asked for one measurement there.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    bursty = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 
     from dp_search_data_importer_spark.config import EngineConfig
     from dp_search_data_importer_spark.plans import query as qp
@@ -52,15 +57,18 @@ def main() -> None:
     cfg = EngineConfig(n_shards=16)
     spark = get_spark(master=f"local[{cpus}]", app_name="bench_wand",
                       shuffle_partitions=cpus)
+    tag = "b" if bursty else ""
     out = os.path.join(tempfile.gettempdir(),
-                       f"wand_idx_{n_docs}_{cfg.n_shards}")
+                       f"wand_idx_{n_docs}_{cfg.n_shards}{tag}")
     t0 = time.time()
-    src = os.path.join(tempfile.gettempdir(), f"tok_corpus_{n_docs}")
+    src = os.path.join(tempfile.gettempdir(), f"tok_corpus_{n_docs}{tag}")
     if os.path.exists(os.path.join(src, "_SUCCESS")):
         corpus = spark.read.parquet(src)
     else:
-        corpus = synthetic_repo_files(spark, n_docs=n_docs, seed=42,
-                                      num_partitions=128)
+        synthetic_repo_files(spark, n_docs=n_docs, seed=42,
+                             num_partitions=128, bursty=bursty
+                             ).write.mode("overwrite").parquet(src)
+        corpus = spark.read.parquet(src)
     stats = build_index(spark, corpus, out, cfg, resume=True)
     build_sec = round(time.time() - t0, 1)
     assert stats["n_docs"] == n_docs, stats["n_docs"]
@@ -101,6 +109,7 @@ def main() -> None:
     wd = [v["wand_sec"] for v in per_query.values()]
     result = {
         "n_docs": n_docs, "cpus": cpus, "n_shards": cfg.n_shards,
+        "bursty": bursty,
         "build_sec": build_sec,
         "exact_p50": _p(ex, 0.5), "exact_p95": _p(ex, 0.95),
         "wand_p50": _p(wd, 0.5), "wand_p95": _p(wd, 0.95),
@@ -112,7 +121,7 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH",
-            f"wand_{n_docs // 1000}k.json"), "w") as f:
+            f"wand_{n_docs // 1000}k{'_bursty' if bursty else ''}.json"), "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
     assert identical, "WAND must be rank-identical to exact at scale"
 
