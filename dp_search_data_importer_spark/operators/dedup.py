@@ -242,3 +242,92 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over an undirected pair
+    graph, cluster_id = the component's minimum doc_id.
+
+    Near-dup PAIRS are not a dedup decision: transitivity (A≈B, B≈C) must
+    collapse {A,B,C} to one representative even when A≉C directly — every
+    production dedup pipeline clusters before dropping. Implementation is
+    min-label propagation to a fixpoint: each iteration one shuffle join
+    (neighbor-min) + one convergence count, labels localCheckpoint'd so
+    lineage stays O(1). Iterations needed = component diameter, which for
+    near-dup graphs is tiny (dup clusters are dense cliques-ish); the
+    alternating large-star/small-star form (Kiveris et al., 2014) has the
+    same join shapes if adversarial diameters ever matter.
+
+    ``nodes`` (optional, one ``doc_id`` column) adds isolated docs — each
+    becomes its own singleton cluster.
+    """
+    a, b = F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cluster_id"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"),
+                              F.col("cluster_id").alias("ncl")), "dst")
+            .groupBy("src").agg(F.min("ncl").alias("ncl"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("ncl"), F.col("cluster_id"))
+                        ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.5, n_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY input doc: transitive near-dup
+    clusters over the scale-safe LSH pair graph
+    (:func:`ngram_jaccard_lsh`); docs with no near-dup become singleton
+    clusters. cluster_id = min doc_id of the cluster — the canonical
+    representative."""
+    pairs = ngram_jaccard_lsh(df, text_col, id_col, n, threshold,
+                              n_hashes, bands)
+    all_nodes = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return connected_components(pairs, nodes=all_nodes)
+
+
+def dedup_near(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Keep one representative (the min-doc_id member) per near-dup
+    cluster — the end-to-end near-dedup pass (cluster + drop), the
+    transitive twin of :func:`dedup_exact`."""
+    clusters = near_dup_clusters(df, text_col, id_col, **kwargs)
+    reps = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return df.join(reps.withColumnRenamed("doc_id", id_col), id_col,
+                   "left_semi")

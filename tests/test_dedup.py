@@ -127,3 +127,52 @@ def test_ngram_jaccard_lsh_no_global_shingle_self_join(spark):
     for cond in re.findall(r"Join [a-zA-Z]+, (\(.*\))", plan):
         if "shingle" in cond:
             assert "doc_" in cond, f"shingle-only join found: {cond}"
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a 6-node chain (diameter 5 — several
+    propagation rounds), a separate pair, and an isolated node."""
+    from dp_search_data_importer_spark.operators.dedup import (
+        connected_components,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    pairs = local_df(
+        spark,
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (20, 21)],
+        "doc_a long, doc_b long")
+    nodes = local_df(spark, [(i,) for i in
+                             [10, 11, 12, 13, 14, 15, 20, 21, 30]],
+                     "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 30: 30}
+
+
+def test_near_dup_clusters_and_dedup_near(spark):
+    """Transitive clustering over LSH pairs: exact copies + truncated
+    near-copies collapse into their original's cluster; dedup_near keeps
+    exactly one representative per cluster."""
+    from dp_search_data_importer_spark.operators.dedup import (
+        dedup_near,
+        near_dup_clusters,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight with friends")
+    rows = [(1, base),
+            (2, base),                                  # exact dup of 1
+            (3, base.rsplit(" ", 3)[0]),                # near-dup of 1
+            (4, "completely different text about spark shuffles and "
+                "partitions and executors and very large clusters"),
+            (5, "another unrelated document mentioning benchmarks "
+                "latency throughput scaling and single disk hosts")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(df, threshold=0.4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4 and got[5] == 5
+    kept = sorted(r["doc_id"] for r in
+                  dedup_near(df, threshold=0.4).collect())
+    assert kept == [1, 4, 5]
