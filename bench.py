@@ -54,6 +54,10 @@ def main() -> None:
         "doc_term_freqs", "term_df", "bm25_topk", "ingest_normalize",
         "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
         "events_hourly",
+        # round 3: the batched phrase path and the 25-language ID joined
+        # the headline set (new/upgraded this round; totals across rounds
+        # compare per-query, not on the sum)
+        "phrase_search", "language_id",
     ]
     # best-of-2 per query: the host shows hypervisor steal (identical runs
     # vary up to ±40% — BENCH/ANALYSIS.md "Noise"); min is the standard
