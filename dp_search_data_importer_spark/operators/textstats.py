@@ -472,3 +472,72 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         "doc_id", F.explode(F.array_distinct(mins)).alias("min_hx")
     )
     return out.select("doc_id", hex16_to_long(F.col("min_hx")).alias("fp"))
+
+
+def curation_verdicts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      keep_langs: tuple[str, ...] = ("en",),
+                      min_quality: float = 0.7,
+                      max_dup_line_frac: float = 0.3) -> DataFrame:
+    """The composed curation PASS (round 3): language gate + quality bands
+    + PII screen + repetition screen fused into ONE Catalyst projection —
+    zero joins, zero shuffles, one scan over the corpus. Output per doc:
+    (doc_id, lang_guess, quality_score, pii_total, dup_line_frac,
+    keep 0/1, reasons) where ``reasons`` is the comma-joined subset of
+    {lang, quality, pii, repetition} that failed. This is the operator a
+    100 TB pre-training pipeline actually runs: individual signals exist
+    as separate operators for analysis, but filtering must not pay one
+    pass per rule."""
+    t = F.col(text_col)
+    toks = tokenize_expr(t)
+    sw = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOPWORDS)])
+    n = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, n_sw.cast("double") / n).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.when((n >= 20) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), F.lit(0.3)).otherwise(F.lit(0.0)),
+        2)
+    lang = langid_expr_v3(t)
+    pii_total = (
+        F.regexp_count(t, F.lit(PII_EMAIL_RE))
+        + F.regexp_count(t, F.lit(PII_IPV4_RE))
+        + F.regexp_count(t, F.lit(PII_PHONE_RE))
+    ).cast("long")
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    dup_line = F.when(
+        F.size(lines) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
+                / F.size(lines).cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        lang.alias("lang_guess"),
+        quality.alias("quality_score"),
+        pii_total.alias("pii_total"),
+        dup_line.alias("dup_line_frac"),
+    )
+    bad_lang = ~F.col("lang_guess").isin(list(keep_langs))
+    bad_quality = F.col("quality_score") < F.lit(min_quality)
+    bad_pii = F.col("pii_total") > 0
+    bad_rep = F.col("dup_line_frac") > F.lit(max_dup_line_frac)
+    # concat_ws skips NULLs in BOTH Spark and the DuckDB oracle, so the
+    # reasons string composes without array machinery
+    reasons = F.concat_ws(
+        ",",
+        F.when(bad_lang, F.lit("lang")),
+        F.when(bad_quality, F.lit("quality")),
+        F.when(bad_pii, F.lit("pii")),
+        F.when(bad_rep, F.lit("repetition")),
+    )
+    return out.select(
+        "*",
+        (~(bad_lang | bad_quality | bad_pii | bad_rep)).cast("long").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -120,6 +120,14 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.language_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused curation pass: language gate + quality bands + PII +
+    repetition screen in ONE projection; keep/reasons per doc. Oracle
+    composes the individual signal oracles (lang/quality/pii/dup-line)
+    and reproduces the same rule thresholds."""
+    return ts.curation_verdicts(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -378,6 +386,7 @@ EXT_QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dups": q_simhash_near_dups,
     "language_id": q_language_id,
+    "curation_verdicts": q_curation_verdicts,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
@@ -1172,3 +1181,51 @@ def _phrase_search_sql() -> str:
 
 
 EXT_ORACLES["phrase_search"] = _phrase_search_sql()
+
+
+# ---------------------------------------------------------------------------
+# fused curation pass: compose the signal oracles (lang subquery is the
+# generated 25-language twin; quality reuses the {SW}-injected SQL; PII runs
+# the raw-text patterns; dup-line matches repetition_stats' linestats CTE)
+
+_PII_RAW_SQL = r"""
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+            + len(regexp_extract_all(text, '\+?\d[\d\s().-]{7,}\d')))::BIGINT AS pii_total
+    FROM documents
+"""
+
+EXT_ORACLES["curation_verdicts"] = f"""
+    WITH lang AS ({_langid_sql()}),
+    q AS ({EXT_ORACLES["quality_scores"]}),
+    p AS ({_PII_RAW_SQL}),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) > 0
+                  THEN round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+            FROM documents)
+    ),
+    j AS (
+      SELECT lang.doc_id, lang.lang_guess, q.quality_score, p.pii_total,
+             r.dup_line_frac,
+             (lang.lang_guess <> 'en') AS bad_lang,
+             (q.quality_score < 0.7) AS bad_quality,
+             (p.pii_total > 0) AS bad_pii,
+             (r.dup_line_frac > 0.3) AS bad_rep
+      FROM lang JOIN q USING (doc_id) JOIN p USING (doc_id)
+      JOIN r USING (doc_id)
+    )
+    SELECT doc_id, lang_guess, quality_score, pii_total, dup_line_frac,
+           (CASE WHEN bad_lang OR bad_quality OR bad_pii OR bad_rep
+                 THEN 0 ELSE 1 END)::BIGINT AS keep,
+           concat_ws(',',
+             CASE WHEN bad_lang THEN 'lang' END,
+             CASE WHEN bad_quality THEN 'quality' END,
+             CASE WHEN bad_pii THEN 'pii' END,
+             CASE WHEN bad_rep THEN 'repetition' END) AS reasons
+    FROM j
+"""

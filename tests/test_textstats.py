@@ -334,3 +334,30 @@ def test_language_id_v3_und_on_noise(spark):
     got = {r["doc_id"]: r["lang_guess"]
            for r in ts.language_id(df, profile="v3").collect()}
     assert got == {1: "und", 2: "und", 3: "und"}
+
+
+def test_curation_verdicts_rules_and_single_pass(spark):
+    """Fused curation pass: each rule fires on its crafted doc, a clean
+    English doc keeps, reasons compose in fixed order, and the plan is one
+    projection (no joins/exchanges)."""
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the house with friends because this is a fine normal day "
+            "in the park and everyone is happy about the weather today")
+    rows = [
+        (1, good),
+        (2, "der hund und die katze ist nicht im garten mit einem ball "
+            "und das wetter ist heute auch wieder nicht gut hier"),  # lang
+        (3, good + " contact me at someone@example.com please"),      # pii
+        (4, ("dup line\n" * 30) + good),                       # repetition
+        (5, "x " * 5),                                 # quality (too short)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.curation_verdicts(df).collect()}
+    assert got[1]["keep"] == 1 and got[1]["reasons"] == ""
+    assert got[2]["keep"] == 0 and "lang" in got[2]["reasons"]
+    assert got[3]["keep"] == 0 and got[3]["reasons"] == "pii"
+    assert got[4]["keep"] == 0 and "repetition" in got[4]["reasons"]
+    assert got[5]["keep"] == 0 and "quality" in got[5]["reasons"]
+
+    plan = ts.curation_verdicts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
