@@ -127,3 +127,49 @@ def bm25_topk(
     stats = corpus_stats(tf) if stats is None else stats
     scores = bm25_scores(tf, qt, dfs, stats, cfg)
     return topk(scores, k or cfg.k)
+
+
+def multi_match_topk(
+    docs: DataFrame,
+    field_boosts: dict[str, float],
+    queries: DataFrame,
+    cfg: EngineConfig | None = None,
+    k: int | None = None,
+    code_aware: bool = False,
+) -> DataFrame:
+    """ES ``multi_match`` (``most_fields``) twin — the reference's ES index
+    holds multiple searchable fields per document (title, summary,
+    keywords: ``/root/reference/models/elastic.go:4-28``), and multi-field
+    scoring is bread-and-butter ES usage this engine must cover.
+
+    Lucene ``most_fields`` semantics: each field is scored as an
+    independent BM25 index (its OWN df, dl, avgdl — a term rare in titles
+    but common in bodies gets a high title idf), and the document score is
+    Σ_field boost_f · BM25_f. Pure Catalyst: per-field tf/df/stats reuse
+    the existing building blocks, the per-field score frames union, and
+    one (query, doc) hash agg sums them — fields are independent plan
+    branches over the same scan, no extra shuffle beyond the final agg."""
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+
+    cfg = cfg or EngineConfig()
+    qt = query_terms(queries, code_aware=code_aware)
+    per_field = []
+    for field, boost in field_boosts.items():
+        tf = term_freqs_sql(docs, id_col="doc_id", text_col=field,
+                            code_aware=code_aware)
+        dfs = doc_freqs(tf)
+        stats = corpus_stats_from_docs(docs, text_col=field,
+                                       code_aware=code_aware)
+        s = bm25_scores(tf, qt, dfs, stats, cfg).withColumn(
+            "score", F.col("score") * F.lit(float(boost)))
+        per_field.append(s)
+    union = per_field[0]
+    for s in per_field[1:]:
+        union = union.unionByName(s)
+    summed = union.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"))
+    return topk(summed, k or cfg.k)

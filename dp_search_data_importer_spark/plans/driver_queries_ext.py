@@ -120,6 +120,24 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.language_id(load_table(spark, sf_dir, "documents"))
 
 
+MM_QUERIES = [(1, "hash join merge"), (2, "window agg"),
+              (3, "scan batch stream"), (4, "the zzznope")]
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match/most_fields twin: a derived title field (first 80
+    chars — identical derivation in both engines) boosted 2x over the
+    body; each field scored as an independent BM25 index (own df/avgdl),
+    summed per doc. Oracle replicates the per-field chains in SQL."""
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+    qdf = local_df(spark, MM_QUERIES, "query_id long, query_text string")
+    return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
+
+
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused curation pass: language gate + quality bands + PII +
     repetition screen in ONE projection; keep/reasons per doc. Oracle
@@ -387,6 +405,7 @@ EXT_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "language_id": q_language_id,
     "curation_verdicts": q_curation_verdicts,
+    "multi_match_topk": q_multi_match,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
@@ -1228,4 +1247,83 @@ EXT_ORACLES["curation_verdicts"] = f"""
              CASE WHEN bad_pii THEN 'pii' END,
              CASE WHEN bad_rep THEN 'repetition' END) AS reasons
     FROM j
+"""
+
+EXT_ORACLES["multi_match_topk"] = """
+    WITH q(query_id, query_text) AS (VALUES (1, 'hash join merge'), (2, 'window agg'), (3, 'scan batch stream'), (4, 'the zzznope')),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    docs_body AS (SELECT doc_id, text FROM documents),
+    docs_title AS (SELECT doc_id, substring(text, 1, 80) AS text FROM documents),
+    toks_body AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM docs_body
+    ),
+    tn_body AS (SELECT doc_id, term FROM toks_body WHERE term <> ''),
+    tf_body AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tn_body GROUP BY doc_id, term),
+    dl_body AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> ''))::BIGINT AS dl
+      FROM docs_body
+    ),
+    stats_body AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_body),
+    dfs_body AS (SELECT term, count(*)::BIGINT AS df FROM tf_body GROUP BY term),
+    scored_body AS (
+      SELECT qt2.query_id, t.doc_id,
+             1.0 * sum(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs_body d USING (term)
+      JOIN tf_body t USING (term)
+      JOIN dl_body dl ON t.doc_id = dl.doc_id
+      CROSS JOIN stats_body s
+      GROUP BY qt2.query_id, t.doc_id
+    ),
+    toks_title AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM docs_title
+    ),
+    tn_title AS (SELECT doc_id, term FROM toks_title WHERE term <> ''),
+    tf_title AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tn_title GROUP BY doc_id, term),
+    dl_title AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> ''))::BIGINT AS dl
+      FROM docs_title
+    ),
+    stats_title AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_title),
+    dfs_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY term),
+    scored_title AS (
+      SELECT qt2.query_id, t.doc_id,
+             2.0 * sum(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs_title d USING (term)
+      JOIN tf_title t USING (term)
+      JOIN dl_title dl ON t.doc_id = dl.doc_id
+      CROSS JOIN stats_title s
+      GROUP BY qt2.query_id, t.doc_id
+    ),
+    summed AS (
+      SELECT query_id, doc_id, sum(score) AS score
+      FROM (SELECT * FROM scored_body UNION ALL SELECT * FROM scored_title)
+      GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM summed
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
 """

@@ -95,3 +95,42 @@ def test_query_terms_distinct(spark):
         [(1, "Sort SORT sort!")], "query_id long, query_text string"
     )
     assert [tuple(r) for r in query_terms(q).collect()] == [(1, "sort")]
+
+
+def test_multi_match_most_fields_semantics(spark):
+    """ES multi_match/most_fields twin: per-field independent BM25 (own
+    df/avgdl) summed with boosts — a title hit outranks an equal body hit
+    under title boost, and the single-field degenerate case equals
+    bm25_topk ranking."""
+    from pyspark.sql import functions as F
+
+    from dp_search_data_importer_spark.operators import postings as po
+    from dp_search_data_importer_spark.operators.bm25 import (
+        bm25_topk,
+        multi_match_topk,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    rows = [
+        (1, "zebra manual", "common words about other business entirely"),
+        (2, "plain title", "the zebra appears once in this body text"),
+        (3, "plain title", "no relevant terms at all in here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    qdf = local_df(spark, [(1, "zebra")], "query_id long, query_text string")
+    got = multi_match_topk(docs, {"body": 1.0, "title": 2.0}, qdf, k=10)
+    ranked = [r["doc_id"] for r in got.orderBy(F.desc("score")).collect()]
+    assert ranked[0] == 1          # boosted title hit wins
+    assert set(ranked) == {1, 2}   # doc 3 matches nowhere
+
+    # degenerate single-field multi_match == plain bm25 ranking
+    body_docs = docs.select("doc_id", F.col("body").alias("text"))
+    tf = po.term_freqs_sql(body_docs, id_col="doc_id", text_col="text")
+    plain = bm25_topk(tf, qdf, k=10,
+                      stats=po.corpus_stats_from_docs(body_docs))
+    mm = multi_match_topk(docs.select("doc_id", "body"), {"body": 1.0},
+                          qdf, k=10)
+    assert sorted((r["query_id"], r["doc_id"], r["score"])
+                  for r in plain.collect()) == \
+        sorted((r["query_id"], r["doc_id"], r["score"])
+               for r in mm.collect())
