@@ -284,3 +284,159 @@ def embedding_near_dup_pairs(df: DataFrame, planes: np.ndarray,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ) — the memory-compression ANN family
+# (Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). A D-dim vector becomes M sub-codes (argmin against
+# a per-subspace codebook): 64 float32 dims → 8 one-byte codes here (32×).
+# Queries score candidates with an Asymmetric Distance Computation (ADC)
+# table — per subspace, the query-to-centroid distances — so the stored
+# index never needs the original vectors. This is the third ANN family
+# next to hyperplane-LSH and IVF, and composes with IVF's cell pruning.
+
+
+def train_pq_codebooks(df: DataFrame, m: int = 8, ks: int = 8,
+                       iters: int = 8, seed: int = 42, sample_mod: int = 1,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> np.ndarray:
+    """(m, ks, D/m) codebooks: per-subspace seeded Lloyd's k-means on the
+    id-ordered sample — deterministic like :func:`train_ivf_centroids`, so
+    the DuckDB oracle replays training bit-identically. Driver-side on a
+    bounded sample; encoding (the data-sized pass) stays distributed."""
+    sample = (
+        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col).collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    d = x.shape[1]
+    assert d % m == 0, (d, m)
+    ds = d // m
+    return np.stack([
+        kmeans(x[:, i * ds:(i + 1) * ds], ks, iters=iters, seed=seed + i)
+        for i in range(m)
+    ])
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, codes array<int>): per-subspace nearest-centroid argmin in
+    one vectorized Arrow pass (first-min tie-break, matching the oracle's
+    CASE chain)."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ks, ds)
+    m, ks, ds = cb.shape
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for i in range(m):
+                sub = x[:, i * ds:(i + 1) * ds]
+                cents = cb[i]
+                d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ cents.T) \
+                    + (cents * cents).sum(1)[None, :]
+                # snap before argmin: Lloyd's can converge near-duplicate
+                # sub-centroids, and a 1e-16 summation-order difference
+                # between engines would flip the assignment on such ties;
+                # rounding makes them exact ties, resolved first-min in
+                # both engines (the oracle rounds identically)
+                codes[:, i] = np.round(d2, 6).argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "codes": list(codes),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, codes array<int>")
+
+
+def pq_adc_table(codebooks: np.ndarray, query_vec) -> np.ndarray:
+    """(m, ks) table of squared L2 distances from the query's subvectors
+    to every sub-centroid — the ADC lookup table, computed once per query
+    on the driver and shipped as plan literals."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, ds = cb.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    return np.stack([
+        ((cb[i] - qv[i * ds:(i + 1) * ds][None, :]) ** 2).sum(axis=1)
+        for i in range(m)
+    ])
+
+
+def pq_adc_expr(codes_col, dtable: np.ndarray):
+    """Approximate squared L2 as a pure Catalyst expression: Σ_m
+    table[m][codes[m]] over the literal ADC table — an aggregate over a
+    sequence of subspace indices, whole-stage-codegen'd, no Python."""
+    dt = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in dtable
+    ])
+    m = len(dtable)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, i: acc + F.element_at(
+            F.element_at(dt, i), F.element_at(codes_col, i) + 1),
+    )
+
+
+def pq_topk(codes: DataFrame, codebooks: np.ndarray, query_vec,
+            k: int = 10) -> DataFrame:
+    """(vec_id, adc) top-k by ascending approximate squared L2 over PQ
+    codes — compressed-domain scan, the original vectors are never read."""
+    dtable = pq_adc_table(codebooks, query_vec)
+    return (
+        codes.select(
+            "vec_id",
+            F.round(pq_adc_expr(F.col("codes"), dtable), 4).alias("adc"),
+        )
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
+    )
+
+
+def write_ivfpq_index(df: DataFrame, path: str, centroids: np.ndarray,
+                      codebooks: np.ndarray, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """IVF-PQ store: (vec_id, codes) partitioned by coarse cell — the
+    original vectors are NOT stored (that is the point: 32× less storage
+    at (64-dim float32, m=8)); centroids + codebooks ride alongside as
+    JSON. Queries prune cells (partition filter) then ADC-scan codes."""
+    import json
+    import os
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    coded = pq_encode(assigned, cb, vec_col, id_col)
+    out = assigned.select("vec_id", "cell").join(coded, "vec_id")
+    (out.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_quantizers.json"), "w") as f:
+        json.dump({"centroids": cents.tolist(),
+                   "codebooks": cb.tolist()}, f)
+
+
+def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
+               nprobe: int = 4) -> DataFrame:
+    """IVF-PQ query: probe the nprobe nearest cells (parquet partition
+    pruning) and ADC-rank their codes — compressed-domain end to end."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizers.json")) as f:
+        qz = json.load(f)
+    cents = np.asarray(qz["centroids"], dtype=np.float64)
+    cb = np.asarray(qz["codebooks"], dtype=np.float64)
+    probes = ivf_probes(cents, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    dtable = pq_adc_table(cb, query_vec)
+    return (
+        cand.select(
+            "vec_id",
+            F.round(pq_adc_expr(F.col("codes"), dtable), 4).alias("adc"),
+        )
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
+    )

@@ -228,6 +228,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CELLS = 8
 IVF_NPROBE = 3
+PQ_M = 16
+PQ_KS = 8
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +251,19 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(20)
     )
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) as pure dataflow:
+    deterministic per-subspace k-means codebooks → Arrow argmin encoding
+    (16 one-byte codes per 64-dim vector) → Catalyst ADC scan (Σ_m
+    table[m][code_m] over literal query-distance tables) → top-20 by
+    ascending approximate L2. The oracle replays codebook training
+    bit-identically and expresses encode+ADC in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.train_pq_codebooks(emb, m=PQ_M, ks=PQ_KS, iters=8, seed=42)
+    codes = sim.pq_encode(emb, cb)
+    return sim.pq_topk(codes, cb, _query_vec(spark, sf_dir), k=20)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +431,7 @@ EXT_QUERIES = {
     "embedding_cosine_topk": q_cosine_topk,
     "embedding_ann_topk": q_ann_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -1145,6 +1161,70 @@ def _embedding_ivf_topk_sql() -> str | None:
 _ivf_sql = _embedding_ivf_topk_sql()
 if _ivf_sql is not None:
     EXT_ORACLES["embedding_ivf_topk"] = _ivf_sql
+
+
+def _embedding_pq_topk_sql() -> str | None:
+    """Replay PQ codebook training (per-subspace seeded k-means on the
+    id-ordered rows ⇒ bit-identical codebooks), then express encoding
+    (first-min CASE per subspace) + the ADC sum (code → literal
+    query-distance) in SQL."""
+    import os
+
+    import numpy as _np
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):  # oracle only runs at sf0.01
+        return None
+    import duckdb as _duck
+
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    x = _np.asarray([r[1] for r in rows], dtype=_np.float64)
+    d = x.shape[1]
+    ds = d // PQ_M
+    cbs = _np.stack([
+        sim.kmeans(x[:, i * ds:(i + 1) * ds], PQ_KS, iters=8, seed=42 + i)
+        for i in range(PQ_M)
+    ])
+    qv = x[next(i for i, r in enumerate(rows) if r[0] == 0)]
+    dtable = sim.pq_adc_table(cbs, qv)
+
+    sub_cols = ", ".join(
+        f"e[{i * ds + 1}:{(i + 1) * ds}] AS s{i}" for i in range(PQ_M))
+    d_exprs = []
+    for i in range(PQ_M):
+        for c in range(PQ_KS):
+            cent = cbs[i][c]
+            c2 = repr(float((cent * cent).sum()))
+            d_exprs.append(
+                f"round(list_dot_product(s{i}, s{i})"
+                f" - 2 * list_dot_product(s{i}, {_plane_sql(cent)})"
+                f" + {c2}, 6) AS d{i}_{c}")
+    adc_terms = []
+    for i in range(PQ_M):
+        whens = []
+        for c in range(PQ_KS):
+            conds = ([f"d{i}_{c} < d{i}_{j}" for j in range(c)]
+                     + [f"d{i}_{c} <= d{i}_{j}"
+                        for j in range(c + 1, PQ_KS)])
+            whens.append("WHEN " + " AND ".join(conds)
+                         + f" THEN {repr(float(dtable[i][c]))}")
+        adc_terms.append("(CASE " + " ".join(whens) + " END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, {sub_cols} FROM b),
+    dd AS (SELECT vec_id, {', '.join(d_exprs)} FROM s)
+    SELECT vec_id, round(({adc})::DOUBLE, 4) AS adc
+    FROM dd
+    ORDER BY adc ASC, vec_id ASC LIMIT 20
+    """
+
+
+_pq_sql = _embedding_pq_topk_sql()
+if _pq_sql is not None:
+    EXT_ORACLES["embedding_pq_topk"] = _pq_sql
 
 
 def _phrase_search_sql() -> str:

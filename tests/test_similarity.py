@@ -132,3 +132,47 @@ def test_ivf_index_pruning_and_recall(spark, tmp_path):
     assert len(got & brute) / len(brute) >= 0.9
     # every stored row is assigned to exactly one cell and none are lost
     assert spark.read.parquet(path).count() == N
+
+
+def test_pq_adc_and_ivfpq_index(spark, tmp_path):
+    """PQ compression path (round 3): codes are 16 ints per 64-dim vector,
+    ADC ranks the query's own vector first, ADC-then-exact-rerank recovers
+    most of the exact top-k, and the stored IVF-PQ index (no embeddings on
+    disk) prunes cells yet still finds the target."""
+    import numpy as np
+
+    from dp_search_data_importer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    qv = [float(v) for v in x[list(ids).index(0)]]
+
+    cb = sim.train_pq_codebooks(emb, m=16, ks=8, iters=8, seed=42)
+    assert cb.shape == (16, 8, 4)
+    codes = sim.pq_encode(emb, cb)
+    first = codes.limit(1).collect()[0]
+    assert len(first["codes"]) == 16
+
+    top = sim.pq_topk(codes, cb, qv, k=20).collect()
+    assert top[0]["vec_id"] == 0  # own vector ranks first
+
+    # ADC candidates + exact re-rank (the standard PQ pipeline): recall of
+    # the exact L2 top-10 from a 5x candidate pool
+    d2 = ((x - np.asarray(qv)[None, :]) ** 2).sum(1)
+    exact10 = set(ids[np.argsort(d2, kind="stable")[:10]])
+    cand = {r["vec_id"] for r in sim.pq_topk(codes, cb, qv, k=50).collect()}
+    assert len(cand & exact10) / 10 >= 0.5
+
+    # stored IVF-PQ: compressed-only storage, cell-pruned scan
+    cents = sim.train_ivf_centroids(emb, n_cells=4, iters=6, seed=42)
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(emb, path, cents, cb)
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns  # vectors are NOT stored
+    got = sim.ivfpq_topk(spark, path, qv, k=10, nprobe=2).collect()
+    assert got[0]["vec_id"] == 0
+    full = sim.pq_topk(codes, cb, qv, k=10).collect()
+    # pruned result ⊆ compressed-domain full scan ranking semantics
+    assert {r["vec_id"] for r in got} & {r["vec_id"] for r in full}
