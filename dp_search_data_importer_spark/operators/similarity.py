@@ -440,3 +440,113 @@ def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
         )
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
     )
+
+
+def train_ivfpq(df: DataFrame, n_cells: int = 8, m: int = 16, ks: int = 8,
+                iters: int = 8, seed: int = 42, sample_mod: int = 1,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) for RESIDUAL IVF-PQ — the Jégou et al. 2011
+    formulation: the coarse quantizer removes the cell mean and PQ encodes
+    the residual ``x − c(x)``, which has far less variance than x itself,
+    so the same code budget quantizes much finer. Both quantizers train on
+    the deterministic id-ordered sample (driver-side, bounded)."""
+    sample = (
+        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col).collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    cents = kmeans(x, n_cells, iters=iters, seed=seed)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = x - cents[np.round(d2, 6).argmin(axis=1)]
+    d = x.shape[1]
+    ds = d // m
+    cbs = np.stack([
+        kmeans(resid[:, i * ds:(i + 1) * ds], ks, iters=iters, seed=seed + i)
+        for i in range(m)
+    ])
+    return cents, cbs
+
+
+def ivfpq_encode(df: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell, codes): assign + residual + PQ-encode in ONE Arrow
+    pass (no second scan, no join)."""
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, ds = cb.shape
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) \
+                + (cents * cents).sum(1)[None, :]
+            cell = np.round(d2, 6).argmin(axis=1)
+            resid = x - cents[cell]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for i in range(m):
+                sub = resid[:, i * ds:(i + 1) * ds]
+                cc = cb[i]
+                sd2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ cc.T) \
+                    + (cc * cc).sum(1)[None, :]
+                codes[:, i] = np.round(sd2, 6).argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "cell": cell.astype("int32"),
+                "codes": list(codes),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, cell int, codes array<int>")
+
+
+def write_ivfpq_residual_index(df: DataFrame, path: str,
+                               centroids: np.ndarray,
+                               codebooks: np.ndarray,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> None:
+    """Residual IVF-PQ store: (vec_id, codes) partitioned by cell, no
+    vectors on disk; quantizers ride alongside, tagged residual."""
+    import json
+    import os
+
+    out = ivfpq_encode(df, centroids, codebooks, vec_col, id_col)
+    (out.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_quantizers.json"), "w") as f:
+        json.dump({"centroids": np.asarray(centroids).tolist(),
+                   "codebooks": np.asarray(codebooks).tolist(),
+                   "residual": True}, f)
+
+
+def ivfpq_residual_topk(spark, path: str, query_vec, k: int = 10,
+                        nprobe: int = 4) -> DataFrame:
+    """Residual IVF-PQ query: per probed cell the ADC table is built
+    against the query's OWN residual (q − c_cell); scoring stays pure
+    Catalyst — a when-chain selects the probed cell's literal table."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizers.json")) as f:
+        qz = json.load(f)
+    cents = np.asarray(qz["centroids"], dtype=np.float64)
+    cb = np.asarray(qz["codebooks"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = ivf_probes(cents, qv, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    # when-chain over the probed cells: every candidate row's cell is in
+    # `probes` (partition filter above), so exactly one branch fires
+    chain = F.lit(None).cast("double")
+    for c in probes:
+        dtable = pq_adc_table(cb, qv - cents[c])
+        chain = F.when(F.col("cell") == c,
+                       pq_adc_expr(F.col("codes"), dtable)).otherwise(chain)
+    return (
+        cand.select("vec_id",
+                    F.round(chain, 4).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
+    )
