@@ -223,3 +223,98 @@ def resolve_docs(spark: SparkSession, out_dir: str, results: DataFrame) -> DataF
     return F.broadcast(results).join(
         docs.select("doc_id", "repo", "path", "commit", "lang"), "doc_id", "inner"
     )
+
+
+def build_fielded_index(spark: SparkSession, docs: DataFrame, out_dir: str,
+                        field_boosts: dict[str, float],
+                        cfg: EngineConfig | None = None,
+                        **build_kwargs) -> dict:
+    """Multi-field STORED index (ES parity: the reference's documents are
+    multi-field — title/summary/keywords): one independent sub-index per
+    field under ``<out>/fields/<name>/`` (own postings/df/avgdl, exactly
+    Lucene's per-field statistics), boosts recorded alongside. ``docs``
+    must carry ``doc_id`` plus one text column per field; rows where a
+    field is empty simply index no terms there."""
+    import json
+
+    from dp_search_data_importer_spark.plans.build_index import build_index
+
+    cfg = cfg or EngineConfig()
+    stats = {}
+    for field in field_boosts:
+        stats[field] = build_index(
+            spark, docs.select("doc_id", F.col(field).alias("content")),
+            os.path.join(out_dir, "fields", field), cfg,
+            already_normalized=True, **build_kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "fields.json"), "w") as f:
+        json.dump({"boosts": {k: float(v) for k, v in field_boosts.items()}},
+                  f, indent=2, sort_keys=True)
+    return stats
+
+
+def fielded_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
+                 cfg: EngineConfig | None = None,
+                 k: int | None = None) -> DataFrame:
+    """ES ``multi_match``/``most_fields`` over the stored fielded index:
+    each field scores independently through the standard exact path (term
+    filter pushed into ITS postings scan), boost-weighted scores sum per
+    (query, doc), rounded-score deterministic top-k."""
+    import json
+
+    from dp_search_data_importer_spark.operators.bm25 import topk
+
+    cfg = cfg or EngineConfig()
+    with open(os.path.join(out_dir, "fields.json")) as f:
+        boosts = json.load(f)["boosts"]
+    per_field = []
+    for field, boost in boosts.items():
+        fdir = os.path.join(out_dir, "fields", field)
+        stats = read_stats_json(fdir)
+        qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        tf = decompress_blocks(load_blocks(spark, fdir, terms))
+        dfs = spark.read.parquet(os.path.join(fdir, "term_df")).filter(
+            F.col("term").isin(terms))
+        stats_sdf, _ = _stats_df(spark, fdir)
+        s = bm25_scores(tf, qt, dfs, stats_sdf, cfg).withColumn(
+            "score", F.col("score") * F.lit(float(boost)))
+        per_field.append(s)
+    union = per_field[0]
+    for s in per_field[1:]:
+        union = union.unionByName(s)
+    summed = union.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"))
+    return topk(summed, k or cfg.k)
+
+
+def filtered_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
+                  doc_filter, cfg: EngineConfig | None = None,
+                  k: int | None = None) -> DataFrame:
+    """ES bool-query ``filter`` twin: score only documents matching a
+    metadata predicate (e.g. ``F.col("lang") == "py"``) — the filter does
+    NOT contribute to the score, exactly like ES filter context.
+
+    Plan shape at scale: the predicate evaluates on the docs table
+    (content-free, column-pruned), the surviving doc_id set broadcasts
+    into a left-semi join against the candidate postings BEFORE scoring —
+    candidates are term-pruned already, so the semi-join input is small,
+    and the window top-k runs on filtered rows only (a post-filter would
+    under-fill k)."""
+    cfg = cfg or EngineConfig()
+    stats = read_stats_json(out_dir)
+    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    allowed = (
+        spark.read.parquet(os.path.join(out_dir, "docs"))
+        .filter(doc_filter).select("doc_id")
+    )
+    tf = tf.join(F.broadcast(allowed), "doc_id", "left_semi")
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms))
+    stats_sdf, _ = _stats_df(spark, out_dir)
+    from dp_search_data_importer_spark.operators.bm25 import topk
+
+    scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
+    return topk(scores, k or cfg.k)

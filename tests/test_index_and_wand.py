@@ -4,6 +4,7 @@ round-trip through the real index, and kill-and-resume identity
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -464,3 +465,48 @@ def test_positional_tokenizer_twins_identical(spark, corpus):
          for r in tokenize_docs(docs, code_aware=True, positions=True,
                                 tokenizer="sql").collect()}
     assert a == s
+
+
+def test_fielded_stored_index_matches_dataflow_multi_match(spark, tmp_path):
+    """ES multi_match over the STORED fielded index (per-field sub-indexes
+    + boosts) ranks identically to the dataflow multi_match_topk on the
+    same docs."""
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+    from dp_search_data_importer_spark.session import local_df
+
+    rows = [(i, f"title word{i % 3} zebra" if i % 4 == 0 else f"title word{i % 3}",
+             " ".join(["body", "text", f"tok{i % 7}", "zebra"] * (2 + i % 5)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    qdf = local_df(spark, [(1, "zebra"), (2, "tok1 word1")],
+                   "query_id long, query_text string")
+
+    out = str(tmp_path / "fielded")
+    q.build_fielded_index(spark, docs, out, {"title": 2.0, "body": 1.0},
+                          CFG, code_aware=False, waves=1)
+    stored = _ranked(q.fielded_topk(spark, out, qdf, CFG, 10).collect())
+    flow = _ranked(multi_match_topk(docs, {"title": 2.0, "body": 1.0}, qdf,
+                                    CFG, 10).collect())
+    assert stored == flow
+    assert 1 in stored and 2 in stored
+
+
+def test_filtered_topk_es_filter_context(spark, corpus, built):
+    """ES bool-filter twin: only docs matching the metadata predicate are
+    ranked; scoring statistics stay GLOBAL (filter context does not change
+    scores — shared docs keep their unfiltered score)."""
+    out, _ = built
+    queries = spark.createDataFrame([(1, "import def")],
+                                    "query_id long, query_text string")
+    full = {r["doc_id"]: r["score"]
+            for r in q.exact_topk(spark, out, queries, CFG, 50).collect()}
+    flt = q.filtered_topk(spark, out, queries, F.col("lang") == "py",
+                          CFG, 10).collect()
+    assert len(flt) == 10
+    py_ids = {r["doc_id"] for r in
+              spark.read.parquet(os.path.join(out, "docs"))
+              .filter(F.col("lang") == "py").collect()}
+    assert {r["doc_id"] for r in flt} <= py_ids
+    for r in flt:  # unchanged scores for docs present in the global top-50
+        if r["doc_id"] in full:
+            assert r["score"] == full[r["doc_id"]]
