@@ -1,13 +1,15 @@
-"""Phrase queries (ES ``match_phrase`` twin) over a positional sidecar.
+"""Phrase queries (ES ``match_phrase`` twin) and highlights over positions.
 
 The reference's Elasticsearch index stores term positions and answers
 phrase queries by verifying adjacency; this module is the Spark-native
-equivalent, kept as an OPTIONAL sidecar table next to the main index so the
-block codec stays position-free:
+equivalent. Positions live in two layouts (``load_positions`` routes):
 
-  positions/   (shard, term, doc_id, positions array<int>, dl)
-               parquet partitioned by shard; term filter pushes into the
-               scan exactly like the postings table.
+  - IN the postings blocks (round 3, ``build_index(positions=True)``,
+    the primary): each block carries a ``poss`` varint stream decoded by
+    the same term-pruned scan BM25 uses;
+  - a ``positions/`` sidecar table (round 2, kept as the oracle twin):
+    (shard, term, doc_id, positions array<int>, dl), parquet partitioned
+    by shard, term filter pushed into the scan.
 
 Phrase evaluation is pure Catalyst set algebra — no Python on the data
 path: for tokens t1..tn, S1 = positions(t1) and
@@ -241,3 +243,40 @@ def load_positions(spark: SparkSession, out_dir: str,
     if terms is not None:
         pos = pos.filter(F.col("term").isin(terms))
     return pos
+
+
+def term_snippets(docs: DataFrame, terms: list[str], window: int = 5,
+                  *, code_aware: bool = False, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """ES ``highlight`` twin at token granularity: for each (doc, query
+    term) present, the FIRST occurrence position and a ±window-token
+    snippet around it — the fragment a search UI shows under each hit.
+
+    One Catalyst projection per doc: ``array_position`` finds the first
+    occurrence in the analyzed token array (same analyzer as the index —
+    analyzer symmetry, or highlights would miss camelCase hits),
+    ``slice``+``concat_ws`` cut the fragment. The terms frame is a
+    broadcast literal array; docs with no occurrence produce no row.
+    Output: (doc_id, term, pos, snippet), pos 0-based."""
+    tok = tokenize_code_expr if code_aware else tokenize_expr
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tok(text_col).alias("toks"))
+    hits = toks.select(
+        "doc_id", "toks",
+        F.explode(
+            F.transform(
+                F.array(*[F.lit(t) for t in terms]),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.array_position("toks", t).alias("pos1")),
+            )
+        ).alias("h"),
+    ).filter(F.col("h.pos1") > 0)
+    start = F.greatest(F.col("h.pos1") - window, F.lit(1))
+    return hits.select(
+        "doc_id",
+        F.col("h.term").alias("term"),
+        (F.col("h.pos1") - 1).cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("toks", start, 2 * window + 1)).alias("snippet"),
+    )

@@ -138,6 +138,19 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+HL_TERMS = ["hash", "window", "batch", "zzznope"]
+
+
+def q_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight twin: first-occurrence position + ±5-token snippet per
+    (doc, query term) — array_position/slice/concat_ws, one projection.
+    Oracle: list_position + list slicing over the same analyzed tokens."""
+    from dp_search_data_importer_spark.operators.phrase import term_snippets
+
+    return term_snippets(load_table(spark, sf_dir, "documents"), HL_TERMS,
+                         window=5)
+
+
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused curation pass: language gate + quality bands + PII +
     repetition screen in ONE projection; keep/reasons per doc. Oracle
@@ -421,6 +434,7 @@ EXT_QUERIES = {
     "language_id": q_language_id,
     "curation_verdicts": q_curation_verdicts,
     "multi_match_topk": q_multi_match,
+    "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
@@ -1406,4 +1420,22 @@ EXT_ORACLES["multi_match_topk"] = """
       FROM summed
     )
     SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+
+EXT_ORACLES["search_highlights"] = """
+    WITH t(term) AS (VALUES ('hash'), ('window'), ('batch'), ('zzznope')),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, term, tk, list_position(tk, term) AS pos1
+      FROM toks CROSS JOIN t
+    )
+    SELECT doc_id, term, (pos1 - 1)::BIGINT AS pos,
+           array_to_string(tk[greatest(pos1 - 5, 1) : greatest(pos1 - 5, 1) + 10], ' ') AS snippet
+    FROM h WHERE pos1 > 0
 """

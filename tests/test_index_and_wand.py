@@ -510,3 +510,29 @@ def test_filtered_topk_es_filter_context(spark, corpus, built):
     for r in flt:  # unchanged scores for docs present in the global top-50
         if r["doc_id"] in full:
             assert r["score"] == full[r["doc_id"]]
+
+
+def test_term_snippets_highlight(spark):
+    """ES highlight twin: first-occurrence token position + windowed
+    snippet; analyzer symmetry (code-aware finds camelCase parts);
+    absent terms produce no row."""
+    from dp_search_data_importer_spark.operators.phrase import term_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "nothing relevant here at all"),
+         (3, "x getUserName y")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): (r["pos"], r["snippet"])
+           for r in term_snippets(docs, ["delta", "kappa", "zzz"],
+                                  window=2).collect()}
+    assert got[(1, "delta")] == (3, "beta gamma delta epsilon zeta")
+    assert got[(1, "kappa")][0] == 9
+    assert got[(1, "kappa")][1].endswith("kappa")  # window clipped at end
+    assert not any(d == 2 for d, _ in got)
+    assert not any(t == "zzz" for _, t in got)
+
+    code = {(r["doc_id"], r["term"]): r["pos"]
+            for r in term_snippets(docs, ["user"], window=1,
+                                   code_aware=True).collect()}
+    assert code[(3, "user")] == 2  # x get user name y → idx 2
