@@ -92,6 +92,15 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transitive near-dedup: keep one representative (min
+    doc_id) per near-dup cluster; output (doc_id, text_len). Oracle: the
+    clustering recursive CTE restricted to self-labelled nodes."""
+    out = dd.dedup_near(_augmented_docs(spark, sf_dir), n=3, threshold=0.5,
+                        n_hashes=N_HASHES, bands=BANDS)
+    return out.select("doc_id", F.length("text").cast("long").alias("text_len"))
+
+
 def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_docs(spark, sf_dir)
     sigs = dd.minhash_signatures(aug, n_hashes=N_HASHES, shingle_n=3)
@@ -428,6 +437,7 @@ EXT_QUERIES = {
     "ngram_jaccard_global_diag": q_ngram_jaccard,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "near_dup_clusters": q_near_dup_clusters,
+    "dedup_near_representatives": q_dedup_near_representatives,
     "minhash_est_jaccard": q_minhash_est_jaccard,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dups": q_simhash_near_dups,
@@ -954,6 +964,43 @@ EXT_ORACLES["near_dup_clusters"] = f"""
            coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id
     FROM (SELECT doc_id FROM ({_AUG_SQL})) d
     LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+EXT_ORACLES["dedup_near_representatives"] = f"""
+    WITH reps AS (    WITH RECURSIVE {_MINHASH_CTES},
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id::BIGINT AS doc_id,
+               coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id
+        FROM (SELECT doc_id FROM ({_AUG_SQL})) d
+        LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT d.doc_id, length(d.text)::BIGINT AS text_len
+    FROM ({_AUG_SQL}) d
+    JOIN reps ON reps.doc_id = d.doc_id AND reps.cluster_id = d.doc_id
 """
 
 # ---------------------------------------------------------------------------
