@@ -91,3 +91,36 @@ def test_rollup_partial_aggregates(spark, sf_dir):
     plan = _explain(q_order_rollup(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_filtered_topk_broadcasts_allowed_set(spark, idx):
+    """Round 3: the filter-context path pushes the term filter into the
+    postings scan and broadcasts the allowed doc_id set (semi-join) — no
+    sort-merge join against postings-sized data."""
+    from pyspark.sql import functions as F
+
+    queries = local_df(spark, [(1, "import def")],
+                       "query_id long, query_text string")
+    plan = _explain(qp.filtered_topk(spark, idx, queries,
+                                     F.col("lang") == "py", CFG, 10))
+    assert "PushedFilters: [In(term," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_match_no_shuffle_before_final_agg(spark, sf_dir):
+    """Round 3: multi_match's per-field branches join only broadcast
+    sides; the single wide shuffle is the final (query, doc) score agg."""
+    from pyspark.sql import functions as F
+
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+    from dp_search_data_importer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 40).alias("title"))
+    qdf = local_df(spark, [(1, "alpha")], "query_id long, query_text string")
+    plan = _explain(multi_match_topk(docs, {"text": 1.0, "title": 2.0},
+                                     qdf, CFG, 10))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
