@@ -82,5 +82,15 @@ def write_stats_json(out_dir: str, stats: dict) -> None:
 
 
 def read_stats_json(out_dir: str) -> dict:
+    # roll an interrupted upsert commit forward BEFORE serving stats:
+    # stats.json is the last artifact swapped, so a mid-commit crash
+    # otherwise leaves new shards scored with stale N/avgdl (one
+    # os.path.exists when no marker is present; local import — this
+    # module has no plan-level deps)
+    from dp_search_data_importer_spark.plans.update_index import (
+        recover_for_read,
+    )
+
+    recover_for_read(out_dir)
     with open(os.path.join(out_dir, "stats.json")) as f:
         return json.load(f)

@@ -129,6 +129,114 @@ def bm25_topk(
     return topk(scores, k or cfg.k)
 
 
+class BoolSpec:
+    """One ES ``bool`` query: term clauses by occurrence type.
+
+    ES 7.10 bool semantics (public docs; the reference delegates ALL
+    querying to ES 7.10 — ``/root/reference/handler/handler.go:95`` — and
+    ``bool`` is ES's primary compound query):
+
+    - ``must``: every clause must match; matching clauses score.
+    - ``should``: optional clauses that score when they match; at least
+      ``minimum_should_match`` of them must match. ES defaults msm to 1
+      when the query has no must/filter context and 0 otherwise — the
+      constructor reproduces that default.
+    - ``must_not``: matching any of these excludes the doc; never scores.
+    """
+
+    def __init__(self, query_id: int, must: list[str] | None = None,
+                 should: list[str] | None = None,
+                 must_not: list[str] | None = None,
+                 minimum_should_match: int | None = None):
+        self.query_id = int(query_id)
+        self.must = list(must or [])
+        self.should = list(should or [])
+        self.must_not = list(must_not or [])
+        if minimum_should_match is None:
+            minimum_should_match = 0 if self.must else (1 if self.should else 0)
+        self.minimum_should_match = int(minimum_should_match)
+        if not self.must and not self.should:
+            # a pure must_not query matches (almost) the whole corpus with
+            # score 0 — that is a scan, not a ranked search; candidate
+            # generation here is driven by the scoring clauses
+            raise ValueError(
+                "bool query needs at least one must or should clause "
+                "(pure must_not is unbounded); compose with filtered_topk "
+                "for pure filter-context queries"
+            )
+
+
+def bool_topk(
+    tf: DataFrame,
+    specs: list[BoolSpec],
+    dfs: DataFrame,
+    stats: DataFrame,
+    cfg: EngineConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``bool`` compound query twin — must (AND) + should with
+    ``minimum_should_match`` + must_not, over a tf table, in ONE plan.
+
+    Physical shape (the 100 TB shape): the clause table is a driver-side
+    literal pre-joined with the per-term df rows and broadcast, so the
+    postings-sized side never shuffles for a join; per-(query, doc) clause
+    counts ride as conditional aggregates INSIDE the same single hash
+    aggregation that sums the score — no second agg, no self-join, no
+    sort-merge anywhere (plan-regression-tested). must_not needs no
+    anti-join: a matched not-clause is just another conditional flag the
+    HAVING filter rejects.
+
+    Scoring is exactly ES: matched must/should clauses sum their BM25
+    contributions (a term listed in two clauses is two clauses and scores
+    twice, as in Lucene); must_not and the clause-count gates never score.
+    """
+    from dp_search_data_importer_spark.session import local_df
+
+    cfg = cfg or EngineConfig()
+    spark = tf.sparkSession
+    clause_rows = []
+    tot_rows = []
+    for s in specs:
+        for t in s.must:
+            clause_rows.append((s.query_id, t, "must"))
+        for t in s.should:
+            clause_rows.append((s.query_id, t, "should"))
+        for t in s.must_not:
+            clause_rows.append((s.query_id, t, "not"))
+        tot_rows.append((s.query_id, len(set(s.must)),
+                         s.minimum_should_match))
+    clauses = local_df(spark, clause_rows,
+                       "query_id long, term string, role string")
+    totals = local_df(spark, tot_rows, "query_id long, n_must long, msm long")
+
+    cdf = clauses.join(dfs, "term", "inner")  # unseen terms drop out, as ES
+    j = tf.join(F.broadcast(cdf), "term").join(F.broadcast(stats))
+    scored = j.withColumn(
+        "term_score",
+        F.when(
+            F.col("role") != "not",
+            bm25_term_score(F.col("tf"), F.col("dl"), F.col("df"),
+                            F.col("n_docs"), F.col("avgdl"), cfg),
+        ).otherwise(F.lit(0.0)),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count_distinct(
+            F.when(F.col("role") == "must", F.col("term"))).alias("nm"),
+        F.count_distinct(
+            F.when(F.col("role") == "should", F.col("term"))).alias("ns"),
+        F.max((F.col("role") == "not").cast("int")).alias("has_not"),
+    )
+    keep = (
+        agg.join(F.broadcast(totals), "query_id")
+        .filter((F.col("nm") == F.col("n_must"))
+                & (F.col("ns") >= F.col("msm"))
+                & (F.col("has_not") == 0))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(keep, k)
+
+
 def multi_match_topk(
     docs: DataFrame,
     field_boosts: dict[str, float],

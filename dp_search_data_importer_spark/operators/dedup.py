@@ -276,6 +276,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("doc_id").cast("long").alias("cluster_id"),
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -303,6 +304,18 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent non-fixpoint exit returns SPLIT cluster labels, and the
+        # dedup keep-pass then retains multiple representatives of one
+        # near-dup cluster with no signal anything went wrong — fail loudly
+        # instead (a component diameter > max_iter is pathological for
+        # near-dup graphs; raise max_iter or switch to the
+        # large-star/small-star scheme noted above if it ever fires)
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} "
+            f"iterations ({changed} labels still changing); the pair graph "
+            "has a component with diameter > max_iter"
+        )
     return labels
 
 

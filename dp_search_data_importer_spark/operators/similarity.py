@@ -160,22 +160,53 @@ def ann_topk_stored(spark, path: str, query_vec: list[float], k: int = 10,
 # the LSH index: parquet partitioned by cell, centroids stored alongside.
 
 
-def train_ivf_centroids(df: DataFrame, n_cells: int = 16, sample_mod: int = 1,
-                        iters: int = 10, seed: int = 42,
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> np.ndarray:
-    """Deterministic Lloyd's k-means on a seeded sample (vec_id % mod == 0),
-    trained driver-side — the quantizer is tiny and global; assignment (the
-    data-sized pass) stays distributed. At 10^9 vectors you sample ~10^5
-    rows; the collect is bounded by the sample, never the table."""
+DEFAULT_TRAIN_SAMPLE_ROWS = 100_000
+
+
+def _derive_sample_mod(df: DataFrame, sample_mod: int | None,
+                       target_sample_rows: int) -> int:
+    """Explicit ``sample_mod`` wins; otherwise derive it from one cheap
+    ``count()`` so the driver-side training collect is bounded by
+    ``target_sample_rows`` REGARDLESS of table size — a 10^9-vector table
+    must never default to collecting itself onto the driver. Mod-based
+    selection (``id % mod == 0``) is kept because it is order-independent:
+    any engine replaying training over the same ids gets the same sample
+    (the ANN oracles depend on this). The bound is exact for dense ids and
+    proportional for sparse ones."""
+    if sample_mod is not None:
+        return int(sample_mod)
+    n = df.count()
+    return max(1, -(-n // target_sample_rows))  # ceil(n / target)
+
+
+def _train_sample(df: DataFrame, sample_mod: int | None,
+                  target_sample_rows: int, id_col: str,
+                  vec_col: str) -> np.ndarray:
+    """id-ordered training matrix from the deterministic mod-sample.
+    Sorting by id makes the trained quantizers independent of scan order,
+    so any engine replaying this procedure gets bit-identical results."""
+    mod = _derive_sample_mod(df, sample_mod, target_sample_rows)
     sample = (
-        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        df.filter(F.pmod(F.col(id_col), F.lit(mod)) == 0)
         .select(id_col, vec_col).collect()
     )
-    # sort by id: the trained centroids are then independent of scan order,
-    # so any engine replaying this procedure gets bit-identical centroids
     sample.sort(key=lambda r: r[0])
-    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    return np.asarray([r[1] for r in sample], dtype=np.float64)
+
+
+def train_ivf_centroids(df: DataFrame, n_cells: int = 16,
+                        sample_mod: int | None = None,
+                        iters: int = 10, seed: int = 42,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        target_sample_rows: int = DEFAULT_TRAIN_SAMPLE_ROWS,
+                        ) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a seeded sample (vec_id % mod == 0),
+    trained driver-side — the quantizer is tiny and global; assignment (the
+    data-sized pass) stays distributed. The default derives the mod from
+    ``target_sample_rows``, so at 10^9 vectors the collect pulls ~10^5
+    rows; pass ``sample_mod`` explicitly to pin the sample instead."""
+    x = _train_sample(df, sample_mod, target_sample_rows, id_col, vec_col)
     return kmeans(x, n_cells, iters=iters, seed=seed)
 
 
@@ -298,19 +329,19 @@ def embedding_near_dup_pairs(df: DataFrame, planes: np.ndarray,
 
 
 def train_pq_codebooks(df: DataFrame, m: int = 8, ks: int = 8,
-                       iters: int = 8, seed: int = 42, sample_mod: int = 1,
+                       iters: int = 8, seed: int = 42,
+                       sample_mod: int | None = None,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> np.ndarray:
+                       id_col: str = "vec_id",
+                       target_sample_rows: int = DEFAULT_TRAIN_SAMPLE_ROWS,
+                       ) -> np.ndarray:
     """(m, ks, D/m) codebooks: per-subspace seeded Lloyd's k-means on the
     id-ordered sample — deterministic like :func:`train_ivf_centroids`, so
     the DuckDB oracle replays training bit-identically. Driver-side on a
-    bounded sample; encoding (the data-sized pass) stays distributed."""
-    sample = (
-        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-        .select(id_col, vec_col).collect()
-    )
-    sample.sort(key=lambda r: r[0])
-    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    sample bounded by ``target_sample_rows`` (see
+    :func:`_derive_sample_mod`); encoding (the data-sized pass) stays
+    distributed."""
+    x = _train_sample(df, sample_mod, target_sample_rows, id_col, vec_col)
     d = x.shape[1]
     assert d % m == 0, (d, m)
     ds = d // m
@@ -362,6 +393,7 @@ def pq_adc_table(codebooks: np.ndarray, query_vec) -> np.ndarray:
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ks, ds = cb.shape
     qv = np.asarray(query_vec, dtype=np.float64)
+    assert len(qv) == m * ds, (len(qv), m, ds)  # no silently-dropped dims
     return np.stack([
         ((cb[i] - qv[i * ds:(i + 1) * ds][None, :]) ** 2).sum(axis=1)
         for i in range(m)
@@ -443,24 +475,27 @@ def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
 
 
 def train_ivfpq(df: DataFrame, n_cells: int = 8, m: int = 16, ks: int = 8,
-                iters: int = 8, seed: int = 42, sample_mod: int = 1,
+                iters: int = 8, seed: int = 42,
+                sample_mod: int | None = None,
                 vec_col: str = "embedding",
-                id_col: str = "vec_id") -> tuple[np.ndarray, np.ndarray]:
+                id_col: str = "vec_id",
+                target_sample_rows: int = DEFAULT_TRAIN_SAMPLE_ROWS,
+                ) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, codebooks) for RESIDUAL IVF-PQ — the Jégou et al. 2011
     formulation: the coarse quantizer removes the cell mean and PQ encodes
     the residual ``x − c(x)``, which has far less variance than x itself,
     so the same code budget quantizes much finer. Both quantizers train on
-    the deterministic id-ordered sample (driver-side, bounded)."""
-    sample = (
-        df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-        .select(id_col, vec_col).collect()
-    )
-    sample.sort(key=lambda r: r[0])
-    x = np.asarray([r[1] for r in sample], dtype=np.float64)
+    the deterministic id-ordered sample (driver-side, bounded by
+    ``target_sample_rows``)."""
+    x = _train_sample(df, sample_mod, target_sample_rows, id_col, vec_col)
     cents = kmeans(x, n_cells, iters=iters, seed=seed)
     d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     resid = x - cents[np.round(d2, 6).argmin(axis=1)]
     d = x.shape[1]
+    # train_pq_codebooks asserts this; silently flooring here would drop
+    # the trailing d % m dims from training/encoding/ADC and quietly
+    # degrade rankings
+    assert d % m == 0, (d, m)
     ds = d // m
     cbs = np.stack([
         kmeans(resid[:, i * ds:(i + 1) * ds], ks, iters=iters, seed=seed + i)

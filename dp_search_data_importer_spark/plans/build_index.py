@@ -703,12 +703,33 @@ def _build_index_fused(
     postings_dir = os.path.join(out_dir, "postings")
     n_docs_total = sum(shard_counts.values())
     if os.path.exists(postings_dir):
-        meta = spark.read.parquet(postings_dir)
+        # mergeSchema: a resumed build can keep shards written by an older
+        # engine whose blocks predate the sum_tf column — footer-sampled
+        # schema would then silently yield nulls for those files and
+        # undercount sum_dl (skewing avgdl/BM25). Merge schemas and fail
+        # LOUDLY on any null sum_tf instead of serving wrong stats.
+        meta = spark.read.option("mergeSchema", "true").parquet(postings_dir)
+        if "sum_tf" not in meta.columns:
+            raise ValueError(
+                f"postings under {postings_dir} carry no sum_tf column "
+                "(pre-positions-era schema); rebuild with resume=False"
+            )
         tdf = meta.groupBy("term").agg(
             F.sum("n_docs").cast("long").alias("df"))
         tdf.write.mode("overwrite").parquet(os.path.join(out_dir, "term_df"))
-        sum_dl_total = int(
-            meta.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+        agg = meta.agg(
+            F.sum("sum_tf").alias("s"),
+            F.sum(F.when(F.col("sum_tf").isNull(), 1).otherwise(0))
+            .alias("n_null"),
+        ).collect()[0]
+        if int(agg["n_null"] or 0) > 0:
+            raise ValueError(
+                f"{int(agg['n_null'])} block rows under {postings_dir} have "
+                "null sum_tf (mixed-schema postings: some shards predate "
+                "the sum_tf column); rebuild those shards (resume=False) "
+                "before trusting metadata-derived stats"
+            )
+        sum_dl_total = int(agg["s"] or 0)
     else:  # corpus tokenized to nothing at all
         from dp_search_data_importer_spark.session import local_df
 

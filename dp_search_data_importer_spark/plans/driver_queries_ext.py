@@ -424,9 +424,108 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.topk(scores.join(matched, ["query_id", "doc_id"]), 10)
 
 
+# ES bool compound queries (must + should/minimum_should_match + must_not):
+# the composed form nearly every real ES consumer sends. BoolSpec resolves
+# ES's msm default (1 with no must, else 0); both engines derive from the
+# SAME spec objects.
+def _bool_specs():
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec
+
+    return [
+        BoolSpec(1, must=["hash"], should=["join", "merge"]),
+        BoolSpec(2, should=["window", "agg", "sort"],
+                 minimum_should_match=2),
+        BoolSpec(3, must=["scan"], must_not=["window"]),
+        BoolSpec(4, must=["the"], should=["zzznope"]),
+        BoolSpec(5, should=["stream", "batch"], must_not=["merge"]),
+    ]
+
+
+def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query twin over the documents table: one broadcast clause
+    join + ONE hash agg carrying score and per-role matched-clause counts
+    as conditional aggregates; HAVING-style gates apply must/msm/must_not.
+    Oracle: the same per-clause matched sets + clause-count HAVING in
+    SQL."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    dfs = postings_ops.doc_freqs(tf)
+    stats = postings_ops.corpus_stats_from_docs(docs)
+    return bm25_ops.bool_topk(tf, _bool_specs(), dfs, stats, k=10)
+
+
+def _bool_search_sql() -> str:
+    specs = _bool_specs()
+    clause_vals = ", ".join(
+        f"({s.query_id}, '{t}', '{role}')"
+        for s in specs
+        for role, terms in (("must", s.must), ("should", s.should),
+                            ("not", s.must_not))
+        for t in terms
+    )
+    tot_vals = ", ".join(
+        f"({s.query_id}, {len(set(s.must))}, {s.minimum_should_match})"
+        for s in specs
+    )
+    return f"""
+    WITH clauses(query_id, term, role) AS (VALUES {clause_vals}),
+    tot(query_id, n_must, msm) AS (VALUES {tot_vals}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    j AS (
+      SELECT c.query_id, t.doc_id, c.role, c.term, t.tf, dl.dl, d.df
+      FROM clauses c
+      JOIN dfs d USING (term)
+      JOIN tf t USING (term)
+      JOIN dl ON t.doc_id = dl.doc_id
+    ),
+    agg AS (
+      SELECT j.query_id, j.doc_id,
+             sum(CASE WHEN j.role <> 'not' THEN
+                   ln(1.0 + (s.n_docs - j.df + 0.5) / (j.df + 0.5))
+                   * j.tf * (1.2 + 1.0)
+                   / (j.tf + 1.2 * ((1.0 - 0.75) + 0.75 * j.dl / s.avgdl))
+                 ELSE 0.0::DOUBLE END) AS score,
+             count(DISTINCT CASE WHEN j.role = 'must' THEN j.term END) AS nm,
+             count(DISTINCT CASE WHEN j.role = 'should' THEN j.term END) AS ns,
+             max(CASE WHEN j.role = 'not' THEN 1 ELSE 0 END) AS has_not
+      FROM j CROSS JOIN stats s
+      GROUP BY j.query_id, j.doc_id
+    ),
+    keep AS (
+      SELECT a.query_id, a.doc_id, a.score
+      FROM agg a JOIN tot USING (query_id)
+      WHERE a.nm = tot.n_must AND a.ns >= tot.msm AND a.has_not = 0
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM keep
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """
+
+
 EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bool_search": q_bool_search,
     "phrase_search": q_phrase_search,
     "windowed_event_counts": q_windowed_event_counts,
     "media_features": q_media_features,
@@ -710,6 +809,7 @@ EXT_ORACLES = {
     """,
     "minhash_est_jaccard": None,  # assigned below from _MINHASH_CTES
     "ngram_jaccard_lsh": None,    # assigned below from _MINHASH_CTES
+    "bool_search": _bool_search_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

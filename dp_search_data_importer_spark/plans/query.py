@@ -36,6 +36,14 @@ from dp_search_data_importer_spark.operators.wand import wand_partition
 
 def load_blocks(spark: SparkSession, out_dir: str,
                 terms: list[str] | None = None) -> DataFrame:
+    # a crash mid-commit of an incremental upsert must not serve a MIXED
+    # pre/post index from the read path: roll the staged commit forward
+    # first (one os.path.exists in the common case — see update_index)
+    from dp_search_data_importer_spark.plans.update_index import (
+        recover_for_read,
+    )
+
+    recover_for_read(out_dir)
     df = spark.read.parquet(os.path.join(out_dir, "postings"))
     if terms is not None:
         df = df.filter(F.col("term").isin(terms))
@@ -103,7 +111,7 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
     """Exact path over the compressed index. The query analyzer follows the
     index's recorded analyzer (stats.json code_aware) — analyzer symmetry."""
     cfg = cfg or EngineConfig()
-    _, stats = _stats_df(spark, out_dir)
+    stats_sdf, stats = _stats_df(spark, out_dir)
     qt = query_terms(queries, code_aware=stats.get("code_aware", False))
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     blocks = load_blocks(spark, out_dir, terms)
@@ -111,7 +119,6 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
     dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
         F.col("term").isin(terms)
     )
-    stats_sdf, _ = _stats_df(spark, out_dir)
     scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
     return topk(scores, k or cfg.k)
 
@@ -160,6 +167,11 @@ def expand_terms(spark: SparkSession, out_dir: str, pattern: str,
     early length-window prune. Expansion is capped like ES's
     ``max_expansions`` (highest-df terms win: most selective rankings need
     the common completions first)."""
+    from dp_search_data_importer_spark.plans.update_index import (
+        recover_for_read,
+    )
+
+    recover_for_read(out_dir)  # never expand against a mid-commit term_df
     tdf = spark.read.parquet(os.path.join(out_dir, "term_df"))
     if mode == "prefix":
         hits = tdf.filter(F.col("term").startswith(pattern))
@@ -213,6 +225,27 @@ def fuzzy_topk(spark: SparkSession, out_dir: str, tokens: list[str],
     """ES fuzzy-query twin (edit distance ≤ max_edits via Catalyst
     levenshtein over the dictionary, length-window pruned)."""
     return _expanded_topk(spark, out_dir, tokens, "fuzzy", cfg, k, max_edits)
+
+
+def bool_topk_indexed(spark: SparkSession, out_dir: str, specs,
+                      cfg: EngineConfig | None = None,
+                      k: int | None = None) -> DataFrame:
+    """ES ``bool`` query over the STORED index: same operator as
+    :func:`operators.bm25.bool_topk`, fed from the compressed postings
+    with the full clause term set (must + should + must_not — the
+    not-clauses need their postings too, to flag exclusions) pushed into
+    the scan as a term filter."""
+    from dp_search_data_importer_spark.operators.bm25 import bool_topk
+
+    cfg = cfg or EngineConfig()
+    stats_sdf, _ = _stats_df(spark, out_dir)
+    terms = sorted({
+        t for s in specs for t in (s.must + s.should + s.must_not)
+    })
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms))
+    return bool_topk(tf, specs, dfs, stats_sdf, cfg, k or cfg.k)
 
 
 def resolve_docs(spark: SparkSession, out_dir: str, results: DataFrame) -> DataFrame:
@@ -290,17 +323,23 @@ def fielded_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
 
 def filtered_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
                   doc_filter, cfg: EngineConfig | None = None,
-                  k: int | None = None) -> DataFrame:
+                  k: int | None = None,
+                  broadcast_limit: int = 2_000_000) -> DataFrame:
     """ES bool-query ``filter`` twin: score only documents matching a
     metadata predicate (e.g. ``F.col("lang") == "py"``) — the filter does
     NOT contribute to the score, exactly like ES filter context.
 
     Plan shape at scale: the predicate evaluates on the docs table
-    (content-free, column-pruned), the surviving doc_id set broadcasts
-    into a left-semi join against the candidate postings BEFORE scoring —
-    candidates are term-pruned already, so the semi-join input is small,
-    and the window top-k runs on filtered rows only (a post-filter would
-    under-fill k)."""
+    (content-free, column-pruned), the surviving doc_id set joins
+    left-semi against the candidate postings BEFORE scoring — candidates
+    are term-pruned already, so the semi-join input is small, and the
+    window top-k runs on filtered rows only (a post-filter would
+    under-fill k). The broadcast hint is GATED on size: a broad filter
+    (e.g. a language matching most of a web corpus) can survive with
+    millions of ids, and force-broadcasting that OOMs the driver — when
+    the corpus (or, if needed, a count of the surviving set) exceeds
+    ``broadcast_limit``, the hint is dropped and AQE picks the join
+    strategy (shuffle semi-join with runtime stats)."""
     cfg = cfg or EngineConfig()
     stats = read_stats_json(out_dir)
     qt = query_terms(queries, code_aware=stats.get("code_aware", False))
@@ -310,7 +349,14 @@ def filtered_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
         spark.read.parquet(os.path.join(out_dir, "docs"))
         .filter(doc_filter).select("doc_id")
     )
-    tf = tf.join(F.broadcast(allowed), "doc_id", "left_semi")
+    # cheap gate first: |allowed| ≤ n_docs, so a small corpus needs no
+    # count job at all; only a big corpus pays one count over the pushed
+    # predicate on the content-free docs table
+    small = stats.get("n_docs", 0) <= broadcast_limit
+    if not small:
+        small = allowed.count() <= broadcast_limit
+    allowed = F.broadcast(allowed) if small else allowed
+    tf = tf.join(allowed, "doc_id", "left_semi")
     dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
         F.col("term").isin(terms))
     stats_sdf, _ = _stats_df(spark, out_dir)

@@ -135,6 +135,29 @@ def _apply_commit(out_dir: str, meta: dict) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def recover_for_read(out_dir: str) -> bool:
+    """The read-safe half of :func:`recover_index`: roll an interrupted
+    commit FORWARD iff the commit marker exists, else do nothing.
+
+    Called from every query/stats entry point (``plans.query.load_blocks``
+    / ``expand_terms``, ``checkpoint.read_stats_json``) so a crash inside
+    :func:`_apply_commit` can never leave queries serving a MIXED pre/post
+    index until the next upsert happens — the 'never a mix' guarantee
+    holds for readers too. Unlike :func:`recover_index` this never rolls
+    BACK: a marker-less stage may belong to an upsert that is still
+    staging, and readers must not destroy it (the live index is untouched
+    until the marker lands, so it is consistent regardless). Cost in the
+    common case: one ``os.path.exists``.
+    """
+    marker = os.path.join(_stage_dir(out_dir), _COMMIT)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        _apply_commit(out_dir, meta)
+        return True
+    return False
+
+
 def recover_index(out_dir: str) -> str:
     """Repair an upsert interrupted at any point. Returns the action taken:
     ``"forward"`` (commit marker present → finish the swap), ``"back"``

@@ -134,3 +134,53 @@ def test_multi_match_most_fields_semantics(spark):
                   for r in plain.collect()) == \
         sorted((r["query_id"], r["doc_id"], r["score"])
                for r in mm.collect())
+
+
+def test_bool_topk_semantics(spark):
+    """ES bool semantics on a hand-built corpus: must gates, should
+    scores and gates via minimum_should_match, must_not excludes, and
+    msm defaults (1 with only-should, 0 with must present)."""
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec, bool_topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = local_df(spark, [
+        (1, "apple banana cherry"),
+        (2, "apple banana"),
+        (3, "apple cherry poison"),
+        (4, "banana cherry"),
+        (5, "apple"),
+    ], "doc_id long, text string")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    dfs = doc_freqs(tf)
+    stats = corpus_stats_from_docs(docs)
+
+    def hits(spec):
+        rows = bool_topk(tf, [spec], dfs, stats, k=10).collect()
+        return sorted(r["doc_id"] for r in rows)
+
+    # must AND must
+    assert hits(BoolSpec(1, must=["apple", "banana"])) == [1, 2]
+    # must + must_not
+    assert hits(BoolSpec(2, must=["apple"], must_not=["poison"])) == [1, 2, 5]
+    # only should, default msm=1
+    assert hits(BoolSpec(3, should=["banana", "poison"])) == [1, 2, 3, 4]
+    # should with msm=2
+    assert hits(BoolSpec(4, should=["apple", "banana", "cherry"],
+                         minimum_should_match=2)) == [1, 2, 3, 4]
+    # must + optional should: doc 1 outranks doc 2 (extra matched should)
+    scored = bool_topk(tf, [BoolSpec(5, must=["apple"], should=["cherry"])],
+                       dfs, stats, k=10).collect()
+    assert sorted(r["doc_id"] for r in scored) == [1, 2, 3, 5]
+    by_doc = {r["doc_id"]: r["score"] for r in scored}
+    assert by_doc[1] > by_doc[2]
+    # unseen must term ⇒ no results
+    assert hits(BoolSpec(6, must=["zzznope"], should=["apple"])) == []
+    # pure must_not is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must or should"):
+        BoolSpec(7, must_not=["apple"])

@@ -176,3 +176,22 @@ def test_near_dup_clusters_and_dedup_near(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup_near(df, threshold=0.4).collect())
     assert kept == [1, 4, 5]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """ADVICE r3: exiting the propagation loop without a fixpoint must fail
+    loudly — silent split labels would leak duplicate representatives."""
+    import pytest as _pytest
+
+    from dp_search_data_importer_spark.operators.dedup import (
+        connected_components,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    chain = local_df(spark, [(i, i + 1) for i in range(12)],
+                     "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough iterations the same graph converges to one cluster
+    labels = connected_components(chain, max_iter=20).collect()
+    assert {r["cluster_id"] for r in labels} == {0}

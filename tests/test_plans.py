@@ -124,3 +124,31 @@ def test_multi_match_no_shuffle_before_final_agg(spark, sf_dir):
                                      qdf, CFG, 10))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bool_topk_broadcast_only_single_agg(spark, sf_dir, idx):
+    """Round 4: the ES bool path must stay broadcast-only (the clause
+    table pre-joined with df rows broadcasts into the tf side) with the
+    clause-count gates riding the single score aggregation — no
+    sort-merge join, and the stored form pushes the full clause term set
+    (incl. must_not) into the postings scan."""
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec, bool_topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    specs = [BoolSpec(1, must=["hash"], should=["join"], must_not=["sort"])]
+    plan = _explain(bool_topk(tf, specs, doc_freqs(tf),
+                              corpus_stats_from_docs(docs), k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    stored_plan = _explain(qp.bool_topk_indexed(
+        spark, idx, [BoolSpec(1, must=["import"], must_not=["def"])], CFG, 10))
+    assert "PushedFilters: [In(term," in stored_plan
+    assert "SortMergeJoin" not in stored_plan

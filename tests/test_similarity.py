@@ -209,3 +209,27 @@ def test_residual_ivfpq_index(spark, tmp_path):
         exact = set(ids[np.argsort(d2, kind="stable")[:10]])
         recalls.append(len({r["vec_id"] for r in got_rows} & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_trainer_sample_bounded_by_target(spark):
+    """ADVICE r3: the ANN trainers must never default to collecting the
+    full vector table onto the driver — sample_mod derives from
+    target_sample_rows, and the collected matrix stays within the cap
+    (exactly, for dense ids)."""
+    from dp_search_data_importer_spark.operators import similarity as sim
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("float")
+                  for i in range(8)]).alias("embedding"),
+    )
+    assert sim._derive_sample_mod(df, None, 100) == 10
+    assert sim._derive_sample_mod(df, 7, 100) == 7   # explicit wins
+    x = sim._train_sample(df, None, 100, "vec_id", "embedding")
+    assert len(x) == 100  # ceil(1000/100)=10 → ids 0,10,…,990
+    # small corpora are unaffected: derived mod is 1 ⇒ identical training
+    small = df.filter(F.col("vec_id") < 200)
+    full = sim.train_ivf_centroids(small, n_cells=4, iters=3, seed=1)
+    pinned = sim.train_ivf_centroids(small, n_cells=4, iters=3, seed=1,
+                                     sample_mod=1)
+    assert (full == pinned).all()

@@ -468,3 +468,70 @@ def test_positional_upsert_identical_to_fresh_rebuild(spark, tmp_path):
                            CFG, 10)
     assert sorted((r["doc_id"], r["score"]) for r in got.collect()) == \
         sorted((r["doc_id"], r["score"]) for r in fresh.collect())
+
+
+def test_read_path_rolls_commit_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r3: a crash mid-_apply_commit (marker present) must be
+    repaired by the QUERY path itself — without any upsert running first —
+    so readers never serve the mixed pre/post state."""
+    from dp_search_data_importer_spark.plans import update_index as ui
+
+    base = _rows(40)
+    replaced = [(r, p, c, lg, "readrepair zebra " + p)
+                for (r, p, c, lg, _) in base[5:9]]
+    batch = replaced + [("r1", "src/rrnew.py", "c1", "py",
+                         "readrepair quokka doc")]
+    merged = base[:5] + base[9:] + batch
+
+    d_inc = str(tmp_path / "inc")
+    d_fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+
+    real_swap = ui._swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(live, staged, backup):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill between renames")
+        real_swap(live, staged, backup)
+
+    monkeypatch.setattr(ui, "_swap_dir", dying_swap)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        upsert_docs(spark, d_inc, spark.createDataFrame(batch, SCHEMA))
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(d_inc, ui._STAGE, ui._COMMIT))
+
+    # query straight away — NO recover_index call: the read path repairs
+    queries = spark.createDataFrame([(1, "readrepair")],
+                                    "query_id long, query_text string")
+    hits = q.exact_topk(spark, d_inc, queries, CFG, 10).collect()
+    assert len(hits) == 5
+    assert not os.path.exists(os.path.join(d_inc, ui._STAGE))
+
+    build_index(spark, spark.createDataFrame(merged, SCHEMA), d_fresh, CFG,
+                code_aware=True, waves=1)
+    assert _fingerprints(spark, d_inc) == _fingerprints(spark, d_fresh)
+
+
+def test_read_path_leaves_markerless_stage_alone(spark, tmp_path):
+    """recover_for_read must NOT destroy a marker-less stage: it may belong
+    to an upsert that is still staging (the live index is untouched until
+    the marker lands, so reads are consistent either way)."""
+    from dp_search_data_importer_spark.plans import update_index as ui
+
+    base = _rows(20)
+    d_inc = str(tmp_path / "inc")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+    stage = os.path.join(d_inc, ui._STAGE)
+    os.makedirs(os.path.join(stage, "postings"))
+    with open(os.path.join(stage, "inflight.txt"), "w") as f:
+        f.write("staging in progress")
+
+    assert ui.recover_for_read(d_inc) is False
+    queries = spark.createDataFrame([(1, "import")],
+                                    "query_id long, query_text string")
+    q.exact_topk(spark, d_inc, queries, CFG, 5).collect()
+    assert os.path.exists(os.path.join(stage, "inflight.txt"))
