@@ -86,11 +86,41 @@ def bm25_scores(
     )
 
 
-def topk(scores: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
+def topk(scores: DataFrame, k: int, round_digits: int = 4,
+         after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
     """Per-query top-k, deterministically ordered by (round(score) desc,
     doc_id asc). Rounding before ranking makes rank stable under float
-    summation-order differences between engines/paths."""
+    summation-order differences between engines/paths.
+
+    ``after`` is the ES ``search_after`` cursor twin: per query_id, the
+    (rounded score, doc_id) of the LAST hit of the previous page. The
+    next page is the SAME plan plus one pushed strict-after predicate on
+    the total order — because the ordering is total and deterministic
+    (rounded score, then doc_id), cursor pagination is exact: page n+1 is
+    precisely ranks nk+1..nk+k of the unpaginated ranking, with no
+    skipped or duplicated hits, and unlike from+size the query never
+    materializes earlier pages. The cursor rows broadcast as a literal
+    frame; queries absent from ``after`` paginate from the top."""
     rounded = scores.withColumn("score", F.round(F.col("score"), round_digits))
+    if after:
+        from dp_search_data_importer_spark.session import local_df
+
+        cur = local_df(
+            rounded.sparkSession,
+            [(int(qid), round(float(s), round_digits), int(d))
+             for qid, (s, d) in after.items()],
+            "query_id long, c_score double, c_doc long",
+        )
+        rounded = (
+            rounded.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("c_score").isNull()
+                | (F.col("score") < F.col("c_score"))
+                | ((F.col("score") == F.col("c_score"))
+                   & (F.col("doc_id") > F.col("c_doc")))
+            )
+            .drop("c_score", "c_doc")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -101,6 +131,20 @@ def topk(scores: DataFrame, k: int, round_digits: int = 4) -> DataFrame:
     )
 
 
+def page_cursor(rows) -> dict[int, tuple[float, int]]:
+    """Build a ``search_after`` cursor from a collected page: per query,
+    the LAST hit in the total order (lowest rounded score, then highest
+    doc_id) — feed to ``topk(after=…)`` for the next page."""
+    best: dict[int, tuple[float, int]] = {}
+    for r in rows:
+        qid = int(r["query_id"])
+        cand = (float(r["score"]), int(r["doc_id"]))
+        if qid not in best or (cand[0], -cand[1]) < (best[qid][0],
+                                                     -best[qid][1]):
+            best[qid] = cand
+    return best
+
+
 def bm25_topk(
     tf: DataFrame,
     queries: DataFrame,
@@ -108,6 +152,7 @@ def bm25_topk(
     k: int | None = None,
     code_aware: bool = False,
     stats: DataFrame | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """End-to-end exact path: tf table + (query_id, query_text) → top-k.
 
@@ -126,7 +171,7 @@ def bm25_topk(
     dfs = doc_freqs(tf)
     stats = corpus_stats(tf) if stats is None else stats
     scores = bm25_scores(tf, qt, dfs, stats, cfg)
-    return topk(scores, k or cfg.k)
+    return topk(scores, k or cfg.k, after=after)
 
 
 class BoolSpec:
@@ -244,19 +289,32 @@ def multi_match_topk(
     cfg: EngineConfig | None = None,
     k: int | None = None,
     code_aware: bool = False,
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """ES ``multi_match`` (``most_fields``) twin — the reference's ES index
-    holds multiple searchable fields per document (title, summary,
-    keywords: ``/root/reference/models/elastic.go:4-28``), and multi-field
-    scoring is bread-and-butter ES usage this engine must cover.
+    """ES ``multi_match`` twin — the reference's ES index holds multiple
+    searchable fields per document (title, summary, keywords:
+    ``/root/reference/models/elastic.go:4-28``), and multi-field scoring
+    is bread-and-butter ES usage this engine must cover. All three
+    documented ES 7.10 modes:
 
-    Lucene ``most_fields`` semantics: each field is scored as an
-    independent BM25 index (its OWN df, dl, avgdl — a term rare in titles
-    but common in bodies gets a high title idf), and the document score is
-    Σ_field boost_f · BM25_f. Pure Catalyst: per-field tf/df/stats reuse
-    the existing building blocks, the per-field score frames union, and
-    one (query, doc) hash agg sums them — fields are independent plan
-    branches over the same scan, no extra shuffle beyond the final agg."""
+    - ``most_fields``: each field scores as an independent BM25 index
+      (its OWN df, dl, avgdl), document score = Σ_field boost_f·BM25_f.
+    - ``best_fields``: the single best field wins; other matching fields
+      contribute through ``tie_breaker``: score = max_f + tb·Σ(others)
+      — Lucene's DisMax combination. tb=0 is pure dis-max, tb=1 equals
+      most_fields.
+    - ``cross_fields``: term statistics BLEND across fields — implemented
+      as the BM25F-style combined field (ES exposes the same shape as the
+      ``combined_fields`` query): tf' = Σ_f boost_f·tf_f, dl' = Σ_f
+      boost_f·dl_f, df' = docs containing the term in ANY field, one BM25
+      over the blended stats. Fixes most/best_fields' failure mode where
+      a name split across fields ("first: John", "last: Smith") can't
+      out-score one field containing both.
+
+    Pure Catalyst throughout: per-field branches over the same scan union
+    into one (query, doc) hash agg (most/best), or the weighted tf union
+    feeds a single blended scorer (cross)."""
     from dp_search_data_importer_spark.operators.postings import (
         corpus_stats_from_docs,
         doc_freqs,
@@ -265,6 +323,11 @@ def multi_match_topk(
 
     cfg = cfg or EngineConfig()
     qt = query_terms(queries, code_aware=code_aware)
+    if mode == "cross_fields":
+        return _cross_fields_topk(docs, field_boosts, qt, cfg, k,
+                                  code_aware=code_aware)
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode {mode!r}")
     per_field = []
     for field, boost in field_boosts.items():
         tf = term_freqs_sql(docs, id_col="doc_id", text_col=field,
@@ -278,6 +341,67 @@ def multi_match_topk(
     union = per_field[0]
     for s in per_field[1:]:
         union = union.unionByName(s)
-    summed = union.groupBy("query_id", "doc_id").agg(
-        F.sum("score").alias("score"))
-    return topk(summed, k or cfg.k)
+    if mode == "most_fields":
+        combined = union.groupBy("query_id", "doc_id").agg(
+            F.sum("score").alias("score"))
+    else:  # best_fields: max + tie_breaker * (sum − max), one agg
+        combined = union.groupBy("query_id", "doc_id").agg(
+            (F.max("score")
+             + F.lit(float(tie_breaker))
+             * (F.sum("score") - F.max("score"))).alias("score"))
+    return topk(combined, k or cfg.k)
+
+
+def _cross_fields_topk(docs, field_boosts, qt, cfg, k,
+                       code_aware: bool = False) -> DataFrame:
+    """Blended-statistics scorer behind multi_match(mode='cross_fields').
+
+    Plan shape: per-field tf branches (weighted) union → one (doc, term)
+    agg; candidates filter to query terms via the broadcast qt join BEFORE
+    the per-doc blended-dl join, so the only docs-sized join input is the
+    dl frame itself (content-free projection). At stored-index scale the
+    fielded index keeps per-field dl in blocks and this join disappears —
+    this is the dataflow form."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_expr,
+    )
+    from dp_search_data_importer_spark.operators.postings import (
+        term_freqs_sql,
+    )
+
+    tok = tokenize_code_expr if code_aware else tokenize_expr
+    parts = []
+    for field, boost in field_boosts.items():
+        tf_f = term_freqs_sql(docs, id_col="doc_id", text_col=field,
+                              code_aware=code_aware)
+        parts.append(tf_f.select(
+            "doc_id", "term",
+            (F.col("tf").cast("double") * F.lit(float(boost))).alias("wtf")))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    combined = union.groupBy("doc_id", "term").agg(
+        F.sum("wtf").alias("tf"))
+    # blended per-doc length: Σ_f boost_f·|tokens_f| in ONE projection
+    dl_expr = None
+    for field, boost in field_boosts.items():
+        piece = F.when(F.col(field).isNull(), F.lit(0.0)).otherwise(
+            F.size(tok(field)).cast("double")) * F.lit(float(boost))
+        dl_expr = piece if dl_expr is None else dl_expr + piece
+    dld = docs.select("doc_id", dl_expr.alias("dl"))
+    stats = dld.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    dfs = combined.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    cand = (combined.join(F.broadcast(qt.join(dfs, "term")), "term")
+            .join(dld, "doc_id")
+            .join(F.broadcast(stats)))
+    scored = cand.withColumn(
+        "term_score",
+        bm25_term_score(F.col("tf"), F.col("dl"), F.col("df"),
+                        F.col("n_docs"), F.col("avgdl"), cfg))
+    out = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"))
+    return topk(out, k or cfg.k)

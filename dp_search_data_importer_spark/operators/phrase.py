@@ -157,6 +157,78 @@ def phrase_matches_batch(pos: DataFrame,
     )
 
 
+def phrase_matches_batch_slop(
+        pos: DataFrame,
+        phrases: list[tuple[int, list[str], int]]) -> DataFrame:
+    """(query_id, doc_id, phrase_tf, dl) for sloppy phrases — the ES
+    ``match_phrase`` ``slop`` parameter — ALL phrases in ONE plan.
+
+    Semantics (ordered sloppy phrase, documented divergence): doc matches
+    with slop s iff an INCREASING position chain p_1 < … < p_n exists with
+    total extra gap Σ(gap−1) = p_n − p_1 − (n−1) ≤ s, i.e. span ≤
+    n−1+s; ``phrase_tf`` = number of start positions beginning such a
+    chain. At s=0 this is exactly the adjacency semantics of
+    :func:`phrase_matches_batch` (kept as the fast path). Lucene
+    additionally permits REORDERED matches once slop ≥ 2 and discounts
+    sloppy occurrences by 1/(slop+1) in the frequency; the ordered
+    span-budget form implemented here is the common simplification and is
+    exactly expressible as a range join in SQL, which the contract oracle
+    replays.
+
+    Physical shape: same single broadcast slot join + one hash agg as the
+    exact batch; the chain search is a Catalyst ``aggregate`` fold over
+    idx-sorted slots where each step advances a (start, cur) state array —
+    greedy earliest-next, which finds a chain iff one exists (exchange
+    argument), so no backtracking and no Python on the data path."""
+    from dp_search_data_importer_spark.session import local_df
+
+    spark = pos.sparkSession
+    slot_rows = [(qid, i, t)
+                 for qid, toks, _ in phrases for i, t in enumerate(toks)]
+    len_rows = [(qid, len(toks), int(slop)) for qid, toks, slop in phrases]
+    slots = local_df(spark, slot_rows, "query_id long, idx int, term string")
+    qlens = local_df(spark, len_rows,
+                     "query_id long, n_tokens int, slop int")
+
+    j = pos.join(F.broadcast(slots), "term")
+    agg = (
+        j.groupBy("query_id", "doc_id")
+        .agg(F.first("dl").alias("dl"),
+             F.count_distinct("idx").alias("n_idx"),
+             F.collect_list(F.struct("idx", "positions")).alias("arr"))
+        .join(F.broadcast(qlens), "query_id")
+        .filter(F.col("n_idx") == F.col("n_tokens"))
+    )
+    span = F.col("n_tokens") - F.lit(1) + F.col("slop")
+    arr = F.array_sort("arr")  # structs sort by leading field = idx
+    init = F.transform(
+        F.element_at(arr, 1)["positions"],
+        lambda p: F.struct(p.alias("start"), p.alias("cur")),
+    )
+    folded = F.aggregate(
+        F.slice(arr, F.lit(2), F.size(arr) - F.lit(1)),
+        init,
+        lambda acc, s: F.filter(
+            F.transform(
+                acc,
+                lambda x: F.struct(
+                    x["start"].alias("start"),
+                    F.array_min(F.filter(
+                        s["positions"],
+                        lambda q: (q > x["cur"]) & (q <= x["start"] + span),
+                    )).alias("cur"),
+                ),
+            ),
+            lambda x: x["cur"].isNotNull(),
+        ),
+    )
+    return (
+        agg.select("query_id", "doc_id",
+                   F.size(folded).cast("long").alias("phrase_tf"), "dl")
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
 def phrase_score_batch(matches: DataFrame, n_docs: int, avgdl: float,
                        cfg: EngineConfig | None = None) -> DataFrame:
     """BM25 over phrase frequencies with exact per-phrase df computed
@@ -182,7 +254,7 @@ def phrase_score_batch(matches: DataFrame, n_docs: int, avgdl: float,
 def phrase_topk(spark: SparkSession, out_dir: str,
                 phrases: list[tuple[int, str]],
                 cfg: EngineConfig | None = None,
-                k: int = 10) -> DataFrame:
+                k: int = 10, slop: int = 0) -> DataFrame:
     """(query_id, doc_id, score) top-k per phrase over the index's
     positions; analyzer symmetry with the index (stats.json code_aware),
     rounded-score deterministic ranking like every other query path.
@@ -209,7 +281,11 @@ def phrase_topk(spark: SparkSession, out_dir: str,
         return local_df(spark, [], "query_id long, doc_id long, score double")
     all_terms = sorted({t for _, toks in qtoks for t in toks})
     pos = load_positions(spark, out_dir, terms=all_terms)
-    m = phrase_matches_batch(pos, qtoks)
+    if slop > 0:
+        m = phrase_matches_batch_slop(
+            pos, [(qid, toks, slop) for qid, toks in qtoks])
+    else:
+        m = phrase_matches_batch(pos, qtoks)  # exact adjacency fast path
     scored = phrase_score_batch(m, stats["n_docs"], stats["avgdl"], cfg)
     return topk(scored, k)
 

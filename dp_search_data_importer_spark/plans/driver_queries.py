@@ -117,6 +117,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats)
 
 
+def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` pagination twin: page 2 (ranks 11..20) of the
+    flagship ranking, fetched with a (rounded score, doc_id) cursor taken
+    from page 1's last hits — NOT an offset: the cursor predicate pushes
+    into the scored frame before ranking. The deterministic total order
+    the engine already enforces makes this exactly equal to OFFSET over
+    the same ordering, which is what the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    stats = postings_ops.corpus_stats_from_docs(docs)
+    page1 = bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K,
+                               stats=stats).collect()
+    after = bm25_ops.page_cursor(page1)
+    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats,
+                              after=after)
+
+
 def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+keying on the documents table: non-empty-key filter + stable id +
     content hash (sha256 invariant, input_hint)."""
@@ -301,6 +318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_page2": q_bm25_topk_page2,
     "ingest_normalize": q_ingest_normalize,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -318,7 +336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 # oracles
 
-_BM25_SQL = f"""
+_BM25_RANKED_CTES = f"""
 WITH q(query_id, query_text) AS (VALUES {_SQL_QUERY_VALUES}),
 qt AS (
   SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
@@ -351,8 +369,17 @@ ranked AS (
          ) AS rn
   FROM scored
 )
-SELECT query_id, doc_id, score FROM ranked WHERE rn <= {K}
 """
+
+_BM25_SQL = (_BM25_RANKED_CTES
+             + f"SELECT query_id, doc_id, score FROM ranked WHERE rn <= {K}")
+
+# cursor pagination over a deterministic total order ≡ OFFSET over it
+_BM25_PAGE2_SQL = (
+    _BM25_RANKED_CTES
+    + f"SELECT query_id, doc_id, score FROM ranked "
+      f"WHERE rn > {K} AND rn <= {2 * K}"
+)
 
 ORACLES: dict[str, str] = {
     "doc_term_freqs": (
@@ -370,6 +397,7 @@ ORACLES: dict[str, str] = {
         f"SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ({_SQL_DL_DOCS})"
     ),
     "bm25_topk": _BM25_SQL,
+    "bm25_topk_page2": _BM25_PAGE2_SQL,
     "ingest_normalize": (
         "SELECT doc_id, sha256(text) AS content_sha256, "
         "length(text)::BIGINT AS content_len "

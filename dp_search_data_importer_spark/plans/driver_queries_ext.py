@@ -147,6 +147,41 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+
+
+def _mm_qdf(spark: SparkSession) -> DataFrame:
+    from dp_search_data_importer_spark.session import local_df
+
+    return local_df(spark, MM_QUERIES, "query_id long, query_text string")
+
+
+def q_multi_match_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields (DisMax): per-field independent BM25,
+    score = best field + tie_breaker·(others). Oracle: max + tb·(sum−max)
+    over the same per-field scored CTEs as most_fields."""
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+
+    return multi_match_topk(_mm_docs(spark, sf_dir),
+                            {"text": 1.0, "title": 2.0}, _mm_qdf(spark),
+                            k=10, mode="best_fields", tie_breaker=0.3)
+
+
+def q_multi_match_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match cross_fields / combined_fields (BM25F-style blend):
+    tf and dl blend across fields with boosts, df counts any-field
+    occurrence, one BM25 over the blended statistics. Oracle replays the
+    weighted union + blended-dl chain in SQL (all blended values stay
+    integral doubles, so float sums are order-exact)."""
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+
+    return multi_match_topk(_mm_docs(spark, sf_dir),
+                            {"text": 1.0, "title": 2.0}, _mm_qdf(spark),
+                            k=10, mode="cross_fields")
+
+
 HL_TERMS = ["hash", "window", "batch", "zzznope"]
 
 
@@ -393,6 +428,86 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(scored, 10)
 
 
+SLOP_PHRASES = [(1, "hash merge", 1), (2, "window sort", 2),
+                (3, "hash join", 0), (4, "the zzznope", 3)]
+
+
+def q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase with ``slop``: ordered sloppy matching (increasing
+    position chain, span ≤ n−1+slop; tf = valid chain starts) — all
+    phrases in ONE plan via the (start, cur) state fold. Oracle: the
+    chain condition is a range join per token in SQL, starts counted
+    DISTINCT."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.operators.bm25 import topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = ph.doc_positions(docs, code_aware=False)
+    srow = corpus_stats_from_docs(docs).collect()[0]
+    qtoks = [(qid, text.split(), slop) for qid, text, slop in SLOP_PHRASES]
+    m = ph.phrase_matches_batch_slop(pos, qtoks)
+    scored = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    return topk(scored, 10)
+
+
+def _phrase_search_slop_sql() -> str:
+    """Slop oracle: chain existence per start via range joins
+    (t_i.p > t_{i-1}.p AND t_i.p ≤ t_0.p + span), tf = DISTINCT starts —
+    the set a greedy earliest-next fold finds iff any chain exists."""
+    ctes = []
+    selects = []
+    for qid, text, slop in SLOP_PHRASES:
+        toks = text.split()
+        span = len(toks) - 1 + slop
+        joins = " ".join(
+            f"JOIN tok2 t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{t}' AND t{i}.p > t{i - 1}.p "
+            f"AND t{i}.p <= t0.p + {span}"
+            for i, t in enumerate(toks[1:], start=1))
+        ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(DISTINCT t0.p)::BIGINT AS tf "
+            f"FROM tok2 t0 {joins} WHERE t0.term = '{toks[0]}' "
+            f"GROUP BY t0.doc_id)")
+        ctes.append(f"d{qid} AS (SELECT count(*)::BIGINT AS df FROM m{qid})")
+        selects.append(f"""
+          SELECT {qid} AS query_id, m.doc_id,
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * m.tf * (1.2 + 1.0)
+                 / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)) AS score
+          FROM m{qid} m CROSS JOIN d{qid} d CROSS JOIN stats s
+          JOIN dldocs dl ON dl.doc_id = m.doc_id""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    dldocs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dldocs),
+    {', '.join(ctes)},
+    scored AS ({body}),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """
+
+
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-semantics BM25 top-k: only docs containing EVERY query term
     (ES bool/must twin). Same scorer, plus a per-doc matched-term count
@@ -526,6 +641,7 @@ EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bool_search": q_bool_search,
+    "phrase_search_slop": q_phrase_search_slop,
     "phrase_search": q_phrase_search,
     "windowed_event_counts": q_windowed_event_counts,
     "media_features": q_media_features,
@@ -543,6 +659,8 @@ EXT_QUERIES = {
     "language_id": q_language_id,
     "curation_verdicts": q_curation_verdicts,
     "multi_match_topk": q_multi_match,
+    "multi_match_best_fields": q_multi_match_best_fields,
+    "multi_match_cross_fields": q_multi_match_cross_fields,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -810,6 +928,7 @@ EXT_ORACLES = {
     "minhash_est_jaccard": None,  # assigned below from _MINHASH_CTES
     "ngram_jaccard_lsh": None,    # assigned below from _MINHASH_CTES
     "bool_search": _bool_search_sql(),
+    "phrase_search_slop": _phrase_search_slop_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,
@@ -1569,6 +1688,81 @@ EXT_ORACLES["multi_match_topk"] = """
     SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
 """
 
+
+# best_fields: identical per-field scored CTEs, DisMax combination —
+# derive from the most_fields oracle by swapping the combining aggregate
+EXT_ORACLES["multi_match_best_fields"] = EXT_ORACLES["multi_match_topk"].replace(
+    "SELECT query_id, doc_id, sum(score) AS score",
+    "SELECT query_id, doc_id, "
+    "max(score) + 0.3 * (sum(score) - max(score)) AS score",
+)
+assert "max(score)" in EXT_ORACLES["multi_match_best_fields"]
+
+_MM_QUERY_VALUES = ", ".join(f"({qid}, '{qt}')" for qid, qt in MM_QUERIES)
+
+EXT_ORACLES["multi_match_cross_fields"] = f"""
+    WITH q(query_id, query_text) AS (VALUES {_MM_QUERY_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toks_body AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf_body AS (
+      SELECT doc_id, term, count(*)::DOUBLE * 1.0 AS wtf FROM toks_body
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    toks_title AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(substring(text, 1, 80)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf_title AS (
+      SELECT doc_id, term, count(*)::DOUBLE * 2.0 AS wtf FROM toks_title
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    tfw AS (
+      SELECT doc_id, term, sum(wtf) AS tf
+      FROM (SELECT * FROM tf_body UNION ALL SELECT * FROM tf_title)
+      GROUP BY doc_id, term
+    ),
+    dld AS (
+      SELECT doc_id,
+             coalesce(len(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')), 0)::DOUBLE * 1.0
+             + coalesce(len(list_filter(regexp_split_to_array(lower(substring(text, 1, 80)),
+               '[^a-z0-9]+'), x -> x <> '')), 0)::DOUBLE * 2.0 AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dld),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfw GROUP BY term),
+    scored AS (
+      SELECT qt2.query_id, t.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs d USING (term)
+      JOIN tfw t USING (term)
+      JOIN dld dl ON t.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, t.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+"""
 
 EXT_ORACLES["search_highlights"] = """
     WITH t(term) AS (VALUES ('hash'), ('window'), ('batch'), ('zzznope')),

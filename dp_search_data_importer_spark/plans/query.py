@@ -107,9 +107,13 @@ def _stats_df(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
 
 
 def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
-               cfg: EngineConfig | None = None, k: int | None = None) -> DataFrame:
+               cfg: EngineConfig | None = None, k: int | None = None,
+               after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
     """Exact path over the compressed index. The query analyzer follows the
-    index's recorded analyzer (stats.json code_aware) — analyzer symmetry."""
+    index's recorded analyzer (stats.json code_aware) — analyzer symmetry.
+    ``after`` paginates (ES ``search_after`` twin — see
+    ``operators.bm25.topk``): the cursor predicate applies before the
+    window, so page n never re-materializes pages 1..n−1."""
     cfg = cfg or EngineConfig()
     stats_sdf, stats = _stats_df(spark, out_dir)
     qt = query_terms(queries, code_aware=stats.get("code_aware", False))
@@ -120,7 +124,7 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
         F.col("term").isin(terms)
     )
     scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
-    return topk(scores, k or cfg.k)
+    return topk(scores, k or cfg.k, after=after)
 
 
 def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,

@@ -184,3 +184,38 @@ def test_bool_topk_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must or should"):
         BoolSpec(7, must_not=["apple"])
+
+
+def test_multi_match_modes(spark):
+    """best_fields is DisMax (tb=0 takes the max field; tb=1 ≡
+    most_fields); cross_fields blends stats so a query split across
+    fields ranks a doc that no single field fully matches."""
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = local_df(spark, [
+        (1, "john meets mary", "smith writes code"),   # split across fields
+        (2, "john smith", "unrelated title"),          # both in one field
+        (3, "nothing here", "nothing there"),
+    ], "doc_id long, body string, head string")
+    qdf = local_df(spark, [(1, "john smith")],
+                   "query_id long, query_text string")
+    boosts = {"body": 1.0, "head": 1.0}
+
+    def ranked(mode, **kw):
+        rows = multi_match_topk(docs, boosts, qdf, k=10, mode=mode,
+                                **kw).collect()
+        return {r["doc_id"]: r["score"] for r in rows}
+
+    most = ranked("most_fields")
+    best_tb1 = ranked("best_fields", tie_breaker=1.0)
+    assert most == best_tb1  # tb=1 degenerates to most_fields
+    best0 = ranked("best_fields", tie_breaker=0.0)
+    # pure dis-max never exceeds the most_fields sum
+    assert all(best0[d] <= most[d] + 1e-9 for d in best0)
+    cross = ranked("cross_fields")
+    # the split doc matches BOTH terms under blended stats
+    assert 1 in cross and 2 in cross and 3 not in cross
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown multi_match mode"):
+        ranked("bogus_mode")

@@ -536,3 +536,102 @@ def test_term_snippets_highlight(spark):
             for r in term_snippets(docs, ["user"], window=1,
                                    code_aware=True).collect()}
     assert code[(3, "user")] == 2  # x get user name y → idx 2
+
+
+def test_phrase_slop_semantics(spark):
+    """Ordered sloppy phrase (span ≤ n−1+slop, increasing chain): slop=0
+    equals the exact adjacency batch; growing slop admits wider gaps; tf
+    counts valid chain starts."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = local_df(spark, [
+        (1, "alpha beta gamma"),          # adjacent
+        (2, "alpha x beta y gamma"),      # gaps of 1 each (total slop 2)
+        (3, "alpha x x beta gamma"),      # gap 2 then 0 (total slop 2)
+        (4, "beta alpha gamma"),          # out of order: never matches
+        (5, "alpha beta alpha beta"),     # two starts at slop 0
+    ], "doc_id long, text string")
+    pos = ph.doc_positions(docs, code_aware=False)
+
+    def tfs(toks, slop):
+        rows = ph.phrase_matches_batch_slop(pos, [(1, toks, slop)]).collect()
+        return {r["doc_id"]: r["phrase_tf"] for r in rows}
+
+    # slop=0 ≡ exact adjacency
+    exact = {r["doc_id"]: r["phrase_tf"]
+             for r in ph.phrase_matches_batch(
+                 pos, [(1, ["alpha", "beta"])]).collect()}
+    got0 = tfs(["alpha", "beta"], 0)
+    assert got0 == exact
+    assert got0 == {1: 1, 5: 2}
+
+    # 3-token phrase: total budget, not per-gap
+    assert set(tfs(["alpha", "beta", "gamma"], 0)) == {1}
+    assert set(tfs(["alpha", "beta", "gamma"], 1)) == {1}   # docs 2,3 need 2
+    assert set(tfs(["alpha", "beta", "gamma"], 2)) == {1, 2, 3}
+    # order is required at any slop (documented divergence from Lucene)
+    assert 4 not in tfs(["alpha", "beta", "gamma"], 10)
+
+
+def test_phrase_topk_slop_over_index(spark, corpus, built):
+    """phrase_topk(slop=…) rides the same positional index: slop=0 equals
+    the default path; a sloppy query is a superset of its exact hits."""
+    from dp_search_data_importer_spark.operators import phrase as ph
+
+    out, _ = built
+    ph.build_positions(spark, normalize_repo_files(corpus), out, CFG,
+                       code_aware=True)
+    phrases = [(1, "import def"), (2, "def getUserName")]
+    exact = ph.phrase_topk(spark, out, phrases, CFG, 10).collect()
+    slop0 = ph.phrase_topk(spark, out, phrases, CFG, 10, slop=0).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, slop0))
+    # at the MATCH level (before top-k truncation reshuffles ranks) every
+    # exact occurrence is also a sloppy occurrence, with tf at least as big
+    qtoks = [(qid, t.lower().split()) for qid, t in phrases]
+    pos = ph.load_positions(
+        spark, out, terms=sorted({t for _, ts in qtoks for t in ts}))
+    m_exact = {(r["query_id"], r["doc_id"]): r["phrase_tf"]
+               for r in ph.phrase_matches_batch(pos, qtoks).collect()}
+    m_slop = {(r["query_id"], r["doc_id"]): r["phrase_tf"]
+              for r in ph.phrase_matches_batch_slop(
+                  pos, [(q, t, 3) for q, t in qtoks]).collect()}
+    assert set(m_exact) <= set(m_slop)
+    assert all(m_slop[key] >= tf for key, tf in m_exact.items())
+    assert len(m_slop) > len(m_exact)  # slop admits genuinely new matches
+
+
+def test_search_after_pages_concatenate(spark, built, queries_df):
+    """ES search_after twin over the stored index: three cursor-fetched
+    pages concatenate to exactly the unpaginated top-30 — no skipped, no
+    duplicated hits (the deterministic (rounded score, doc_id) total
+    order makes cursor pagination ≡ offset)."""
+    from dp_search_data_importer_spark.operators.bm25 import page_cursor
+    from dp_search_data_importer_spark.plans import query as qp
+
+    out, _ = built
+
+    def ranked(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["score"], r["doc_id"]))
+        return {k: sorted(v, key=lambda sv: (-sv[0], sv[1]))
+                for k, v in got.items()}
+
+    top30 = ranked(qp.exact_topk(spark, out, queries_df, CFG, 30).collect())
+
+    pages = []
+    cursor = None
+    for _ in range(3):
+        page = qp.exact_topk(spark, out, queries_df, CFG, 10,
+                             after=cursor).collect()
+        pages.append(page)
+        # carry forward cursors for queries this page exhausted
+        cursor = {**(cursor or {}), **page_cursor(page)}
+    concat = ranked([r for page in pages for r in page])
+    assert concat == top30
+    # page 2 shares nothing with page 1
+    p1 = {(r["query_id"], r["doc_id"]) for r in pages[0]}
+    p2 = {(r["query_id"], r["doc_id"]) for r in pages[1]}
+    assert not (p1 & p2)
