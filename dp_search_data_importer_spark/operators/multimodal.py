@@ -106,6 +106,52 @@ def _real_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim] + [0.0] * max(0, dim - len(feats))
 
 
+def _real_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio branch (round 4): PCM WAV parsed with the stdlib
+    ``wave`` module — no librosa needed for the WAV container. Emits
+    [sample_rate, n_channels, duration_s, rms_overall, rms_ch0, rms_ch1,
+    peak, sample_width] from actual samples. Non-WAV audio payloads raise
+    ``wave.Error`` (surface the stub boundary honestly rather than
+    guessing)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "real audio decode handles PCM WAV only (librosa/av needed "
+            f"for other codecs): {e}"
+        ) from e
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    arr = arr.reshape(-1, max(nch, 1))
+    has = arr.size > 0
+    rms_ch = np.sqrt((arr ** 2).mean(axis=0)) if has else np.zeros(max(nch, 1))
+    feats = [
+        float(rate), float(nch),
+        float(nframes / rate) if rate else 0.0,
+        float(np.sqrt((arr ** 2).mean())) if has else 0.0,
+        float(rms_ch[0]) if nch >= 1 and has else 0.0,
+        float(rms_ch[1]) if nch >= 2 and has else 0.0,
+        float(np.abs(arr).max()) if has else 0.0,
+        float(sw),
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def decode_features(media: DataFrame, strict: bool = False,
                     decoder: str = "fake") -> DataFrame:
     """(media_id, kind, features array<double>) via one Arrow pass.
@@ -114,9 +160,11 @@ def decode_features(media: DataFrame, strict: bool = False,
     - ``"fake"`` (default): the deterministic payload-hash kernel — stable
       across machines, replayed exactly by the ``media_features`` DuckDB
       oracle; keeps the pipeline testable end-to-end with no media libs.
-    - ``"real"``: decode actual pixels — images via PIL (dimensions, mean
-      channels, gray std, aspect); audio/video stay gated behind
-      ``NotImplementedError`` until librosa/av exist in the image.
+    - ``"real"``: decode actual media — images via PIL (dimensions, mean
+      channels, gray std, aspect), PCM WAV audio via the stdlib ``wave``
+      module (sample rate, channels, duration, per-channel RMS, peak);
+      video stays gated behind ``NotImplementedError`` until av exists in
+      the image.
     - ``"auto"``: real when the decoder lib is importable, else fake.
 
     ``strict=True`` (back-compat) forces ``"real"`` and raises
@@ -130,22 +178,25 @@ def decode_features(media: DataFrame, strict: bool = False,
     use_real = decoder == "real"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if use_real and not _real_decoder_available():
-            raise NotImplementedError(
-                "real media decode requires PIL/librosa/av — not installed; "
-                "use decoder='fake' (default) for the deterministic stub"
-            )
         for pdf in batches:
             if use_real:
                 feats = []
                 for kind, p in zip(pdf["kind"], pdf["payload"]):
-                    if kind != "image":
+                    if kind == "image":
+                        if not _real_decoder_available():
+                            raise NotImplementedError(
+                                "real image decode requires PIL — not "
+                                "installed; use decoder='fake' (default) "
+                                "for the deterministic stub"
+                            )
+                        feats.append(_real_image_features(p))
+                    elif kind == "audio":
+                        feats.append(_real_audio_features(p))
+                    else:
                         raise NotImplementedError(
-                            f"real {kind} decode requires librosa/av — "
-                            "not installed; filter to kind='image' or use "
-                            "decoder='fake'"
+                            f"real {kind} decode requires av — not "
+                            "installed; filter kinds or use decoder='fake'"
                         )
-                    feats.append(_real_image_features(p))
             else:
                 feats = [_fake_features(p) for p in pdf["payload"]]
             yield pd.DataFrame({

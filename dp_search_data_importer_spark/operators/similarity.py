@@ -140,6 +140,11 @@ def ann_topk_stored(spark, path: str, query_vec: list[float], k: int = 10,
     filter on the bucket-partitioned parquet, so the scan reads ONLY the
     probed dirs (PartitionFilters in the physical plan — regression-locked
     by tests/test_similarity.py). Exact cosine re-rank inside."""
+    from dp_search_data_importer_spark.plans.update_ann import (
+        recover_ann_for_read,
+    )
+
+    recover_ann_for_read(path)  # finish any interrupted upsert commit first
     planes = load_ann_planes(path)
     probes = _probe_set(query_vec, planes, multiprobe)
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
@@ -278,6 +283,11 @@ def ivf_topk(spark, path: str, query_vec: list[float], k: int = 10,
              nprobe: int = 4) -> DataFrame:
     """IVF ANN top-k over a stored index: probe the nprobe nearest cells
     (partition-pruned parquet read), exact cosine re-rank inside."""
+    from dp_search_data_importer_spark.plans.update_ann import (
+        recover_ann_for_read,
+    )
+
+    recover_ann_for_read(path)  # finish any interrupted upsert commit first
     import json
     import os
 
@@ -455,6 +465,11 @@ def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
                nprobe: int = 4) -> DataFrame:
     """IVF-PQ query: probe the nprobe nearest cells (parquet partition
     pruning) and ADC-rank their codes — compressed-domain end to end."""
+    from dp_search_data_importer_spark.plans.update_ann import (
+        recover_ann_for_read,
+    )
+
+    recover_ann_for_read(path)  # finish any interrupted upsert commit first
     import json
     import os
 
@@ -563,6 +578,11 @@ def ivfpq_residual_topk(spark, path: str, query_vec, k: int = 10,
     """Residual IVF-PQ query: per probed cell the ADC table is built
     against the query's OWN residual (q − c_cell); scoring stays pure
     Catalyst — a when-chain selects the probed cell's literal table."""
+    from dp_search_data_importer_spark.plans.update_ann import (
+        recover_ann_for_read,
+    )
+
+    recover_ann_for_read(path)  # finish any interrupted upsert commit first
     import json
     import os
 

@@ -147,6 +147,92 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+SYN_QUERIES = [(1, "hash join"), (2, "window"), (3, "stream")]
+SYNONYMS = {"join": ["merge"], "window": ["frame", "pane"],
+            "stream": ["batch"]}
+
+
+def _syn_qt_rows() -> list[tuple[int, str]]:
+    """(query_id, term) after analyzer + synonym expansion — the SAME
+    literal dictionary drives both engines (the oracle injects these rows
+    as VALUES)."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _simple_tokens_py,
+    )
+    from dp_search_data_importer_spark.plans.query import expand_synonyms
+
+    return sorted({
+        (qid, t)
+        for qid, text in SYN_QUERIES
+        for t in expand_synonyms(_simple_tokens_py(text), SYNONYMS)
+    })
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-time synonym filter twin: each analyzed query token
+    expands to itself + dictionary synonyms, scored as a standard OR set
+    (each synonym with its own df)."""
+    from dp_search_data_importer_spark.operators.bm25 import (
+        bm25_scores,
+        topk,
+    )
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qt = local_df(spark, _syn_qt_rows(), "query_id long, term string")
+    scores = bm25_scores(tf, qt, doc_freqs(tf),
+                         corpus_stats_from_docs(docs))
+    return topk(scores, 10)
+
+
+def _synonym_search_sql() -> str:
+    qt_vals = ", ".join(f"({qid}, '{t}')" for qid, t in _syn_qt_rows())
+    return f"""
+    WITH qt2(query_id, term) AS (VALUES {qt_vals}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """
+
+
 def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.substring("text", 1, 80).alias("title"))
@@ -661,6 +747,7 @@ EXT_QUERIES = {
     "multi_match_topk": q_multi_match,
     "multi_match_best_fields": q_multi_match_best_fields,
     "multi_match_cross_fields": q_multi_match_cross_fields,
+    "synonym_search": q_synonym_search,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -929,6 +1016,7 @@ EXT_ORACLES = {
     "ngram_jaccard_lsh": None,    # assigned below from _MINHASH_CTES
     "bool_search": _bool_search_sql(),
     "phrase_search_slop": _phrase_search_slop_sql(),
+    "synonym_search": _synonym_search_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

@@ -214,6 +214,59 @@ def _expanded_topk(spark: SparkSession, out_dir: str, tokens: list[str],
     return topk(scores, k or cfg.k)
 
 
+def expand_synonyms(tokens: list[str],
+                    synonyms: dict[str, list[str]]) -> list[str]:
+    """Query-time synonym expansion (ES analyzer synonym-filter twin):
+    each analyzed query token expands to itself plus its dictionary
+    synonyms; the result is the OR term set the scorer sees. Pure
+    driver-side literal work — the dictionary is a broadcast-sized plan
+    constant, exactly like the prefix/fuzzy expansions."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in tokens:
+        for term in [t, *synonyms.get(t, [])]:
+            if term not in seen:
+                seen.add(term)
+                out.append(term)
+    return out
+
+
+def synonym_topk(spark: SparkSession, out_dir: str,
+                 queries: list[tuple[int, str]],
+                 synonyms: dict[str, list[str]],
+                 cfg: EngineConfig | None = None,
+                 k: int | None = None) -> DataFrame:
+    """ES query-time synonym search over the stored index: analyzer →
+    per-token synonym expansion → standard OR-set BM25 (each synonym
+    scores with its OWN df, the ES synonym-filter OR form). Same plan
+    discipline as the other expansions: the expanded term set pushes into
+    the postings scan, df rows broadcast."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _code_tokens_py,
+        _simple_tokens_py,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    cfg = cfg or EngineConfig()
+    stats_sdf, stats = _stats_df(spark, out_dir)
+    tok_py = (_code_tokens_py if stats.get("code_aware")
+              else _simple_tokens_py)
+    qt_rows = sorted({
+        (qid, term)
+        for qid, text in queries
+        for term in expand_synonyms(tok_py(text), synonyms)
+    })
+    if not qt_rows:
+        return local_df(spark, [], "query_id long, doc_id long, score double")
+    qt = local_df(spark, qt_rows, "query_id long, term string")
+    terms = sorted({t for _, t in qt_rows})
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms))
+    scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
+    return topk(scores, k or cfg.k)
+
+
 def prefix_topk(spark: SparkSession, out_dir: str, prefixes: list[str],
                 cfg: EngineConfig | None = None,
                 k: int | None = None) -> DataFrame:

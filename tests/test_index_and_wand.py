@@ -635,3 +635,24 @@ def test_search_after_pages_concatenate(spark, built, queries_df):
     p1 = {(r["query_id"], r["doc_id"]) for r in pages[0]}
     p2 = {(r["query_id"], r["doc_id"]) for r in pages[1]}
     assert not (p1 & p2)
+
+
+def test_synonym_topk_over_index(spark, built):
+    """Query-time synonym expansion over the stored index: an unseen
+    query term with a seen synonym retrieves exactly the synonym's
+    ranking (each expanded term scores with its own df)."""
+    from dp_search_data_importer_spark.plans.query import synonym_topk
+    from dp_search_data_importer_spark.session import local_df
+
+    out, _ = built
+    syn = synonym_topk(spark, out, [(1, "zzznope")],
+                       {"zzznope": ["import"]}, CFG, 10).collect()
+    plain = q.exact_topk(
+        spark, out,
+        local_df(spark, [(1, "import")], "query_id long, query_text string"),
+        CFG, 10).collect()
+    assert _ranked(syn) == _ranked(plain)
+    assert len(syn) == 10
+    # no dictionary entry ⇒ identical to plain search
+    bare = synonym_topk(spark, out, [(1, "import")], {}, CFG, 10).collect()
+    assert _ranked(bare) == _ranked(plain)

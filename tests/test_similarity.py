@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import os
 from pyspark.sql import functions as F
 
 from dp_search_data_importer_spark.operators import similarity as sim
@@ -233,3 +234,104 @@ def test_trainer_sample_bounded_by_target(spark):
     pinned = sim.train_ivf_centroids(small, n_cells=4, iters=3, seed=1,
                                      sample_mod=1)
     assert (full == pinned).all()
+
+
+def _ann_upsert_fixture(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 400)
+    rep_rows = [(int(r["vec_id"]), [-float(x) for x in r["embedding"]])
+                for r in base.filter(F.col("vec_id") % 20 == 0).collect()]
+    add_rows = [(10_000 + i,
+                 [float((i * 7 + j) % 13) / 13.0 for j in range(64)])
+                for i in range(10)]
+    batch = spark.createDataFrame(rep_rows + add_rows,
+                                  "vec_id long, embedding array<float>")
+    rep_ids = [r[0] for r in rep_rows]
+    merged = base.filter(~F.col("vec_id").isin(rep_ids)).unionByName(batch)
+    return base, batch, merged, len(rep_ids), len(add_rows)
+
+
+def _snap(spark, path):
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    out = []
+    for r in df.collect():
+        out.append(tuple(
+            tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols))
+    return sorted(out)
+
+
+def test_ann_store_upsert_matches_fresh_rebuild(spark, tmp_path):
+    """Keyed upsert on all three ANN store families ≡ a fresh rebuild of
+    the merged corpus with the SAME frozen quantizers — including keys
+    whose replacement vector moves to a different bucket/cell (both homes
+    rewrite). Mirrors the postings index's upsert ≡ rebuild contract."""
+    from dp_search_data_importer_spark.operators import similarity as sim
+    from dp_search_data_importer_spark.plans.update_ann import upsert_ann
+
+    base, batch, merged, n_rep, n_add = _ann_upsert_fixture(spark)
+    planes = sim.hyperplanes(64, 6, seed=7)
+    cents = sim.train_ivf_centroids(base, n_cells=4, iters=4, seed=42)
+    rc, rcb = sim.train_ivfpq(base, n_cells=4, m=8, ks=8, iters=4, seed=42)
+
+    families = [
+        ("lsh", lambda df, p: sim.write_ann_index(df, p, planes)),
+        ("ivf", lambda df, p: sim.write_ivf_index(df, p, cents)),
+        ("ivfpq_res",
+         lambda df, p: sim.write_ivfpq_residual_index(df, p, rc, rcb)),
+    ]
+    for name, write in families:
+        p_inc = str(tmp_path / f"{name}_inc")
+        p_fresh = str(tmp_path / f"{name}_fresh")
+        write(base, p_inc)
+        acc = upsert_ann(spark, p_inc, batch)
+        assert acc["replaced"] == n_rep, name
+        assert acc["added"] == n_add, name
+        assert 0 < acc["fraction_new"] < 1, name
+        write(merged, p_fresh)
+        assert _snap(spark, p_inc) == _snap(spark, p_fresh), name
+        # redelivery is idempotent
+        acc2 = upsert_ann(spark, p_inc, batch)
+        assert acc2["replaced"] == n_rep + n_add and acc2["added"] == 0, name
+        assert _snap(spark, p_inc) == _snap(spark, p_fresh), name
+
+
+def test_ann_store_crash_mid_commit_read_path_recovers(spark, tmp_path,
+                                                       monkeypatch):
+    """Kill between partition swaps after the marker landed: the next
+    STORED-index query must roll the commit forward before reading — the
+    store equals the fresh rebuild, never a mix."""
+    from dp_search_data_importer_spark.operators import similarity as sim
+    from dp_search_data_importer_spark.plans import update_ann as ua
+
+    base, batch, merged, _, _ = _ann_upsert_fixture(spark)
+    planes = sim.hyperplanes(64, 6, seed=7)
+    p_inc = str(tmp_path / "inc")
+    p_fresh = str(tmp_path / "fresh")
+    sim.write_ann_index(base, p_inc, planes)
+
+    real_swap = ua._swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(live, staged, backup):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill between renames")
+        real_swap(live, staged, backup)
+
+    monkeypatch.setattr(ua, "_swap_dir", dying_swap)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated kill"):
+        ua.upsert_ann(spark, p_inc, batch)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(p_inc, ua._STAGE, ua._COMMIT))
+
+    # query straight away — ann_topk_stored repairs via recover_ann_for_read
+    qv = [float(x) for x in
+          base.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    sim.ann_topk_stored(spark, p_inc, qv, k=5, multiprobe=2).collect()
+    assert not os.path.exists(os.path.join(p_inc, ua._STAGE))
+    sim.write_ann_index(merged, p_fresh, planes)
+    assert _snap(spark, p_inc) == _snap(spark, p_fresh)
