@@ -58,6 +58,9 @@ def main() -> None:
         # the headline set (new/upgraded this round; totals across rounds
         # compare per-query, not on the sum)
         "phrase_search", "language_id",
+        # round 4: the ES bool compound form — the most-sent real-world ES
+        # query shape — joins the headline set
+        "bool_search",
     ]
     # best-of-2 per query: the host shows hypervisor steal (identical runs
     # vary up to ±40% — BENCH/ANALYSIS.md "Noise"); min is the standard

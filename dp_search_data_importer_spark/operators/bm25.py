@@ -131,6 +131,89 @@ def topk(scores: DataFrame, k: int, round_digits: int = 4,
     )
 
 
+def more_like_this_terms(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
+                         like_doc_id: int, max_query_terms: int = 25,
+                         min_doc_freq: int = 1,
+                         round_digits: int = 4) -> DataFrame:
+    """ES ``more_like_this`` term selection: the liked document's terms
+    ranked by tf·idf, top ``max_query_terms`` kept (ES 7.10 default 25).
+    The idf is the same BM25 idf the scorer uses; the weight is ROUNDED
+    before ranking with a term tie-break, so the selected set is
+    deterministic across engines (the oracle replays the selection in
+    SQL). The liked doc's term list is tiny → it broadcasts into the df
+    join; the single ordering window runs over that tiny set only."""
+    doc_terms = tf.filter(F.col("doc_id") == like_doc_id).select("term", "tf")
+    cand = (
+        dfs.filter(F.col("df") >= min_doc_freq)
+        .join(F.broadcast(doc_terms), "term")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    weighted = cand.withColumn(
+        "w", F.round(idf * F.col("tf").cast("double"), round_digits))
+    w = Window.orderBy(F.col("w").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_query_terms)
+        .select("term")
+    )
+
+
+def more_like_this_topk(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
+                        like_doc_id: int, cfg: EngineConfig | None = None,
+                        k: int = 10, max_query_terms: int = 25) -> DataFrame:
+    """ES ``more_like_this`` query twin: select the liked doc's top tf·idf
+    terms, run them as a standard OR BM25 query, and exclude the liked
+    doc itself from the results (ES default ``include=false``). One plan:
+    the selected term set is a broadcast-sized frame feeding the normal
+    scorer."""
+    cfg = cfg or EngineConfig()
+    sel = more_like_this_terms(tf, dfs, stats, like_doc_id,
+                               max_query_terms)
+    qt = sel.select(F.lit(1).cast("long").alias("query_id"), "term")
+    scores = bm25_scores(tf, qt, dfs, stats, cfg)
+    return topk(scores.filter(F.col("doc_id") != like_doc_id), k)
+
+
+def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
+                      stats: DataFrame, min_fg_df: int = 3, top_n: int = 20,
+                      round_digits: int = 4) -> DataFrame:
+    """ES ``significant_terms`` aggregation twin (JLH scoring, the ES
+    default): terms over-represented in a FOREGROUND document set vs the
+    whole corpus. JLH = (p_fg − p_bg) · (p_fg / p_bg) with p_fg =
+    fg_df/fg_total and p_bg = df/N — public ES semantics. Scores round
+    before the (score desc, term asc) ranking so the result is
+    deterministic across engines.
+
+    Plan shape: the foreground doc set broadcasts into a semi-join on the
+    tf table (fg term stats are one hash agg over fg-sized data); the
+    per-term background df comes precomputed (``dfs``), broadcast-joined
+    on the tiny surviving term set. Output: (term, fg_df, bg_df, jlh)."""
+    fg_ids = fg_docs.select("doc_id")
+    fg_total = fg_ids.count()
+    if fg_total == 0:
+        from dp_search_data_importer_spark.session import local_df
+
+        return local_df(tf.sparkSession, [],
+                        "term string, fg_df long, bg_df long, jlh double")
+    fg_stats = (
+        tf.join(F.broadcast(fg_ids), "doc_id", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    j = fg_stats.join(dfs, "term").join(F.broadcast(stats))
+    p_fg = F.col("fg_df").cast("double") / F.lit(float(fg_total))
+    p_bg = F.col("df").cast("double") / F.col("n_docs").cast("double")
+    scored = j.select(
+        "term", "fg_df", F.col("df").alias("bg_df"),
+        F.round((p_fg - p_bg) * (p_fg / p_bg), round_digits).alias("jlh"),
+    )
+    w = Window.orderBy(F.col("jlh").desc(), F.col("term").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n).drop("rn"))
+
+
 def page_cursor(rows) -> dict[int, tuple[float, int]]:
     """Build a ``search_after`` cursor from a collected page: per query,
     the LAST hit in the total order (lowest rounded score, then highest

@@ -147,6 +147,135 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+MLT_DOC = 7
+MLT_TERMS = 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this twin: the liked doc's top-10 tf·idf terms
+    (rounded weight, term tie-break — deterministic selection) run as an
+    OR BM25 query, liked doc excluded. Oracle replays selection + scoring
+    in SQL."""
+    from dp_search_data_importer_spark.operators.bm25 import (
+        more_like_this_topk,
+    )
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    return more_like_this_topk(tf, doc_freqs(tf),
+                               corpus_stats_from_docs(docs), MLT_DOC,
+                               k=10, max_query_terms=MLT_TERMS)
+
+
+_MLT_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    sel AS (
+      SELECT term FROM (
+        SELECT tf.term,
+               round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                     * tf.tf, 4) AS w
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats s
+        WHERE tf.doc_id = {MLT_DOC}
+      ) QUALIFY row_number() OVER (ORDER BY w DESC, term ASC) <= {MLT_TERMS}
+    ),
+    qt2 AS (SELECT 1::BIGINT AS query_id, term FROM sel),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> {MLT_DOC}
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation twin (JLH): terms over-represented
+    in the foreground set (doc_id % 7 == 0) vs the corpus. Oracle: the
+    same fg/bg rate algebra in SQL."""
+    from dp_search_data_importer_spark.operators.bm25 import (
+        significant_terms,
+    )
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    fg = docs.filter(F.col("doc_id") % 7 == 0)
+    return significant_terms(tf, fg, doc_freqs(tf),
+                             corpus_stats_from_docs(docs),
+                             min_fg_df=3, top_n=20)
+
+
+_SIGTERMS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    fg AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    fgtot AS (SELECT count(*)::BIGINT AS n FROM fg),
+    fgt AS (
+      SELECT term, count(*)::BIGINT AS fg_df
+      FROM tf JOIN fg USING (doc_id)
+      GROUP BY term HAVING count(*) >= 3
+    ),
+    j AS (
+      SELECT fgt.term, fgt.fg_df, dfs.df AS bg_df,
+             round(
+               (fgt.fg_df::DOUBLE / t.n - dfs.df::DOUBLE / s.n_docs)
+               * ((fgt.fg_df::DOUBLE / t.n) / (dfs.df::DOUBLE / s.n_docs)),
+             4) AS jlh
+      FROM fgt JOIN dfs USING (term) CROSS JOIN stats s CROSS JOIN fgtot t
+    )
+    SELECT term, fg_df, bg_df, jlh FROM (
+      SELECT *, row_number() OVER (ORDER BY jlh DESC, term ASC) AS rn FROM j
+    ) WHERE rn <= 20
+"""
+
+
 SYN_QUERIES = [(1, "hash join"), (2, "window"), (3, "stream")]
 SYNONYMS = {"join": ["merge"], "window": ["frame", "pane"],
             "stream": ["batch"]}
@@ -748,6 +877,8 @@ EXT_QUERIES = {
     "multi_match_best_fields": q_multi_match_best_fields,
     "multi_match_cross_fields": q_multi_match_cross_fields,
     "synonym_search": q_synonym_search,
+    "more_like_this": q_more_like_this,
+    "significant_terms": q_significant_terms,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1017,6 +1148,8 @@ EXT_ORACLES = {
     "bool_search": _bool_search_sql(),
     "phrase_search_slop": _phrase_search_slop_sql(),
     "synonym_search": _synonym_search_sql(),
+    "more_like_this": _MLT_SQL,
+    "significant_terms": _SIGTERMS_SQL,
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

@@ -286,20 +286,38 @@ def fuzzy_topk(spark: SparkSession, out_dir: str, tokens: list[str],
 
 def bool_topk_indexed(spark: SparkSession, out_dir: str, specs,
                       cfg: EngineConfig | None = None,
-                      k: int | None = None) -> DataFrame:
+                      k: int | None = None, doc_filter=None,
+                      broadcast_limit: int = 2_000_000) -> DataFrame:
     """ES ``bool`` query over the STORED index: same operator as
     :func:`operators.bm25.bool_topk`, fed from the compressed postings
     with the full clause term set (must + should + must_not — the
     not-clauses need their postings too, to flag exclusions) pushed into
-    the scan as a term filter."""
+    the scan as a term filter.
+
+    ``doc_filter`` adds the bool query's FILTER clause (ES filter
+    context): a metadata predicate on the docs table that gates
+    candidates before scoring and never contributes to the score —
+    composed exactly like :func:`filtered_topk` (size-gated broadcast
+    semi-join before the agg), completing the full ES bool surface
+    (must + should/msm + must_not + filter) in one call."""
     from dp_search_data_importer_spark.operators.bm25 import bool_topk
 
     cfg = cfg or EngineConfig()
-    stats_sdf, _ = _stats_df(spark, out_dir)
+    stats_sdf, stats = _stats_df(spark, out_dir)
     terms = sorted({
         t for s in specs for t in (s.must + s.should + s.must_not)
     })
     tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    if doc_filter is not None:
+        allowed = (
+            spark.read.parquet(os.path.join(out_dir, "docs"))
+            .filter(doc_filter).select("doc_id")
+        )
+        small = stats.get("n_docs", 0) <= broadcast_limit
+        if not small:
+            small = allowed.count() <= broadcast_limit
+        allowed = F.broadcast(allowed) if small else allowed
+        tf = tf.join(allowed, "doc_id", "left_semi")
     dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
         F.col("term").isin(terms))
     return bool_topk(tf, specs, dfs, stats_sdf, cfg, k or cfg.k)

@@ -656,3 +656,25 @@ def test_synonym_topk_over_index(spark, built):
     # no dictionary entry ⇒ identical to plain search
     bare = synonym_topk(spark, out, [(1, "import")], {}, CFG, 10).collect()
     assert _ranked(bare) == _ranked(plain)
+
+
+def test_bool_indexed_with_filter_context(spark, built):
+    """Full ES bool surface over the stored index: must/should/must_not
+    composed with a filter-context metadata predicate. The filter gates
+    candidates (docs outside the predicate vanish) but scoring statistics
+    stay global — filtered hits keep exactly their unfiltered scores."""
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec
+
+    out, _ = built
+    spec = [BoolSpec(1, must=["import"], should=["merge"])]
+    unfiltered = q.bool_topk_indexed(spark, out, spec, CFG, 200).collect()
+    filtered = q.bool_topk_indexed(
+        spark, out, spec, CFG, 200,
+        doc_filter=F.col("doc_id") % 2 == 0).collect()
+    assert filtered, "even-doc_id hits exist"
+    assert all(r["doc_id"] % 2 == 0 for r in filtered)
+    unf_scores = {r["doc_id"]: r["score"] for r in unfiltered}
+    for r in filtered:
+        assert unf_scores[r["doc_id"]] == r["score"]  # ES filter-context
+    assert {r["doc_id"] for r in filtered} == {
+        d for d in unf_scores if d % 2 == 0}
