@@ -315,7 +315,14 @@ def load_positions(spark: SparkSession, out_dir: str,
         return decompress_blocks(
             load_blocks(spark, out_dir, terms), include_positions=True,
         ).select("doc_id", "term", "positions", "dl")
-    pos = spark.read.parquet(os.path.join(out_dir, "positions"))
+    pos_dir = os.path.join(out_dir, "positions")
+    if not os.path.exists(pos_dir):
+        raise FileNotFoundError(
+            f"index at {out_dir} stores no positions: build with "
+            "positions=True (scripts/build_index.py --positions) or write "
+            "the sidecar via build_positions() to enable phrase queries"
+        )
+    pos = spark.read.parquet(pos_dir)
     if terms is not None:
         pos = pos.filter(F.col("term").isin(terms))
     return pos

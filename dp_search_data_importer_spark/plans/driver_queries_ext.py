@@ -147,6 +147,58 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+SUGGEST_PREFIXES = [(1, "ha"), (2, "s"), (3, "c"), (4, "b"), (5, "zz")]
+
+
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion/term-suggester twin: per prefix, the dictionary
+    terms completing it ranked by popularity (df desc, term asc), top 5 —
+    the dataflow form of `plans/query.py::expand_terms` (whose stored
+    form pushes a StartsWith filter into the term_df parquet scan).
+    Oracle: LIKE-prefix join + the same window."""
+    from dp_search_data_importer_spark.operators.postings import (
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfs = doc_freqs(term_freqs_sql(docs, id_col="doc_id", text_col="text"))
+    prefixes = local_df(spark, SUGGEST_PREFIXES,
+                        "query_id long, prefix string")
+    j = dfs.join(F.broadcast(prefixes),
+                 F.col("term").startswith(F.col("prefix")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term").asc())
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "term", "df"))
+
+
+_SUGGEST_SQL = f"""
+    WITH p(query_id, prefix) AS (
+      VALUES {', '.join(f"({qid}, '{px}')" for qid, px in SUGGEST_PREFIXES)}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    j AS (
+      SELECT p.query_id, d.term, d.df
+      FROM dfs d JOIN p ON d.term LIKE p.prefix || '%'
+    )
+    SELECT query_id, term, df FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY df DESC, term ASC) AS rn
+      FROM j
+    ) WHERE rn <= 5
+"""
+
+
 MLT_DOC = 7
 MLT_TERMS = 10
 
@@ -879,6 +931,7 @@ EXT_QUERIES = {
     "synonym_search": q_synonym_search,
     "more_like_this": q_more_like_this,
     "significant_terms": q_significant_terms,
+    "completion_suggest": q_completion_suggest,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1150,6 +1203,7 @@ EXT_ORACLES = {
     "synonym_search": _synonym_search_sql(),
     "more_like_this": _MLT_SQL,
     "significant_terms": _SIGTERMS_SQL,
+    "completion_suggest": _SUGGEST_SQL,
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

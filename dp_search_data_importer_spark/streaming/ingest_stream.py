@@ -242,6 +242,45 @@ def run_index_stream(
     return writer.start()
 
 
+def run_ann_stream(
+    vec_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+):
+    """Continuous vector ingestion into a stored ANN index — the embedding
+    twin of :func:`run_index_stream`: each micro-batch of (vec_id,
+    embedding) rows keyed-upserts the bucket/cell-partitioned store via
+    ``plans.update_ann.upsert_ann`` (the store must exist — quantizers
+    are frozen at build time; see update_ann's re-train discussion).
+    foreachBatch + checkpointLocation give no-commit-on-error redelivery,
+    and ``upsert_ann`` is idempotent under redelivery, so the store is
+    effectively-once. Per-batch accounting (including ``fraction_new``,
+    the caller's re-train trigger signal) appends to
+    ``<store>/_ingest_metrics.jsonl``."""
+    from dp_search_data_importer_spark.plans.update_ann import upsert_ann
+
+    def _handle(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        m = upsert_ann(df.sparkSession, store_dir, df)
+        m["batch_id"] = int(batch_id)
+        with open(os.path.join(store_dir, "_ingest_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m, sort_keys=True) + "\n")
+
+    writer = (
+        vec_stream.writeStream
+        .foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 _DURATION_UNITS = {
     "ms": 1, "millisecond": 1, "milliseconds": 1,
     "s": 1000, "second": 1000, "seconds": 1000,

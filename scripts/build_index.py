@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--simple-tokenizer", action="store_true",
                     help="plain analyzer instead of code-aware")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--positions", action="store_true",
+                    help="positional index (enables match_phrase/slop)")
     ap.add_argument("--synthetic-docs", type=int, default=0,
                     help="ignore --source; generate N synthetic docs (demo)")
     args = ap.parse_args()
@@ -59,6 +61,7 @@ def main() -> None:
         spark, src, args.out, cfg,
         code_aware=not args.simple_tokenizer,
         waves=args.waves, resume=not args.no_resume, verbose=True,
+        positions=args.positions,
     )
     print(stats)
 

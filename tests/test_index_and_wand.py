@@ -678,3 +678,56 @@ def test_bool_indexed_with_filter_context(spark, built):
         assert unf_scores[r["doc_id"]] == r["score"]  # ES filter-context
     assert {r["doc_id"] for r in filtered} == {
         d for d in unf_scores if d % 2 == 0}
+
+
+def test_phrase_slop_property_vs_bruteforce(spark):
+    """Property test: the greedy (start, cur) Catalyst fold matches a
+    brute-force chain search on randomized corpora — every (doc, phrase,
+    slop) combination, tf included."""
+    import itertools
+    import random
+
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.session import local_df
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(40)]
+    pos = ph.doc_positions(
+        local_df(spark, docs, "doc_id long, text string"), code_aware=False)
+
+    def brute_tf(tokens, words, slop):
+        span = len(tokens) - 1 + slop
+        starts = set()
+        positions = [[p for p, w in enumerate(words) if w == t]
+                     for t in tokens]
+        if any(not pl for pl in positions):
+            return 0
+        # exhaustive: ANY increasing chain within the span (validates the
+        # greedy fold's exchange argument, it does not replay the greedy)
+        def any_chain(cur, rest, p0):
+            if not rest:
+                return True
+            return any(any_chain(q, rest[1:], p0)
+                       for q in rest[0] if cur < q <= p0 + span)
+
+        for p0 in positions[0]:
+            if any_chain(p0, positions[1:], p0):
+                starts.add(p0)
+        return len(starts)
+
+    phrases = [
+        (1, ["a", "b"], 0), (2, ["a", "b"], 2), (3, ["b", "a", "c"], 1),
+        (4, ["c", "c"], 0), (5, ["a", "d", "b"], 3), (6, ["d"], 0),
+        (7, ["a", "a", "a"], 2),
+    ]
+    got = {(r["query_id"], r["doc_id"]): r["phrase_tf"]
+           for r in ph.phrase_matches_batch_slop(pos, phrases).collect()}
+    expect = {}
+    for qid, toks, slop in phrases:
+        for doc_id, text in docs:
+            tf = brute_tf(toks, text.split(), slop)
+            if tf > 0:
+                expect[(qid, doc_id)] = tf
+    assert got == expect

@@ -331,3 +331,68 @@ def test_dedup_stream_ttl_bounds_state(spark, tmp_path):
     titles_a = {r["title"] for r in spark.read.parquet(out_dir).collect()
                 if r["uid"] == "a"}
     assert titles_a == {"T1-a", "T4-a"}
+
+
+def test_run_ann_stream_end_to_end(spark, tmp_path):
+    """Streaming vector ingestion into a stored ANN index: micro-batches
+    keyed-upsert the bucket-partitioned store (frozen quantizers); the
+    drained store equals a fresh rebuild of the merged vectors, new
+    vectors are queryable, and fraction_new lands in the metrics log."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dp_search_data_importer_spark.operators import similarity as sim
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        run_ann_stream,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    planes = sim.hyperplanes(64, 6, seed=7)
+    store = str(tmp_path / "ann_store")
+    sim.write_ann_index(base, store, planes)
+
+    # stream source: one parquet batch replacing 5 vectors + adding 5
+    rep = [(int(r["vec_id"]), [-float(x) for x in r["embedding"]])
+           for r in base.filter(F.col("vec_id") % 60 == 0).collect()]
+    add = [(20_000 + i, [float((i + j) % 11) / 11.0 for j in range(64)])
+           for i in range(5)]
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    batch_df = spark.createDataFrame(rep + add,
+                                     "vec_id long, embedding array<float>")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(
+        str(src / "batch1"))
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    qy = run_ann_stream(stream, store, str(tmp_path / "ck"),
+                        available_now=True)
+    qy.awaitTermination(240)
+
+    merged = base.filter(
+        ~F.col("vec_id").isin([v for v, _ in rep])).unionByName(batch_df)
+    fresh = str(tmp_path / "ann_fresh")
+    sim.write_ann_index(merged, fresh, planes)
+
+    def snap(path):
+        rows = spark.read.parquet(path).collect()
+        return sorted((r["vec_id"], r["bucket"], tuple(r["embedding"]))
+                      for r in rows)
+
+    assert snap(store) == snap(fresh)
+    # a streamed-in vector is queryable from the stored index
+    got = sim.ann_topk_stored(spark, store, add[0][1], k=3,
+                              multiprobe=2).collect()
+    assert got[0]["vec_id"] == 20_000
+    metrics = [_json.loads(ln) for ln in
+               open(os.path.join(store, "_ingest_metrics.jsonl"))]
+    assert metrics[-1]["replaced"] == len(rep)
+    assert metrics[-1]["added"] == len(add)
+    assert 0 < metrics[-1]["fraction_new"] < 1
