@@ -200,6 +200,7 @@ def run_index_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str = "5 seconds",
+    health_gate: bool = False,
 ):
     """Continuous import into the NATIVE index — the reference's actual job
     (Kafka → transform → ES bulk doc_as_upsert) with the index maintained
@@ -209,7 +210,13 @@ def run_index_stream(
     checkpointLocation give the reference's no-commit-on-error redelivery
     contract, and ``upsert_docs`` is idempotent under redelivery, so the
     index is effectively-once. Per-batch accounting lands in
-    ``<index>/_ingest_metrics.jsonl``."""
+    ``<index>/_ingest_metrics.jsonl``.
+
+    ``health_gate=True`` is the reference's ``StopConsumingOnUnhealthy``
+    twin (A10, ``/root/reference/service/service.go:80-90``): every batch
+    probes ``health.index_health`` BEFORE mutating the index and raises on
+    a CORRUPT verdict — the batch does not commit, consumption halts, and
+    redelivery resumes once the index is repaired."""
     from dp_search_data_importer_spark.config import EngineConfig
     from dp_search_data_importer_spark.plans.build_index import build_index
     from dp_search_data_importer_spark.plans.update_index import upsert_docs
@@ -217,6 +224,12 @@ def run_index_stream(
     def _handle(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
         if os.path.exists(os.path.join(index_dir, "stats.json")):
+            if health_gate:
+                from dp_search_data_importer_spark.health import (
+                    assert_index_healthy,
+                )
+
+                assert_index_healthy(spark, index_dir)
             m = upsert_docs(spark, index_dir, df)
         else:
             if df.isEmpty():

@@ -535,3 +535,120 @@ def test_read_path_leaves_markerless_stage_alone(spark, tmp_path):
                                     "query_id long, query_text string")
     q.exact_topk(spark, d_inc, queries, CFG, 5).collect()
     assert os.path.exists(os.path.join(stage, "inflight.txt"))
+
+
+def test_index_health_probe(spark, tmp_path):
+    """A13 twin: healthy index → OK; marker-less stage → DEGRADED (safe to
+    read); committed-marker crash → rolled forward to OK; vanished
+    postings shard or doc-count drift → CORRUPT."""
+    import shutil
+
+    from dp_search_data_importer_spark.health import (
+        CORRUPT,
+        DEGRADED,
+        OK,
+        index_health,
+    )
+    from dp_search_data_importer_spark.plans import update_index as ui
+
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(_rows(30), SCHEMA), d, CFG,
+                code_aware=True, waves=1)
+    assert index_health(spark, d)["status"] == OK
+
+    # marker-less stage: in-flight upsert → degraded, left alone
+    os.makedirs(os.path.join(d, ui._STAGE, "postings"))
+    h = index_health(spark, d)
+    assert h["status"] == DEGRADED and h["checks"]["stage_pending"]
+    shutil.rmtree(os.path.join(d, ui._STAGE))
+
+    # crash mid-commit (marker present): probe self-heals to OK
+    batch = [("r1", "src/f1.py", "c1", "py", "healthprobe gnu text")]
+    real_swap = ui._swap_dir
+    calls = {"n": 0}
+
+    def dying_swap(live, staged, backup):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        real_swap(live, staged, backup)
+
+    import pytest as _pytest
+    ui_swap = ui._swap_dir
+    ui._swap_dir = dying_swap
+    try:
+        with _pytest.raises(RuntimeError, match="boom"):
+            upsert_docs(spark, d, spark.createDataFrame(batch, SCHEMA))
+    finally:
+        ui._swap_dir = ui_swap
+    h = index_health(spark, d)
+    assert h["status"] == OK and h["checks"]["rolled_forward"]
+
+    # vanished shard dir → CORRUPT with the shard named
+    victim = sorted(
+        dd for dd in os.listdir(os.path.join(d, "postings"))
+        if dd.startswith("shard="))[0]
+    shutil.rmtree(os.path.join(d, "postings", victim))
+    h = index_health(spark, d)
+    assert h["status"] == CORRUPT
+    assert h["checks"]["missing_postings_shards"] == [
+        int(victim.split("=")[1])]
+
+
+def test_health_gated_stream_stops_and_resumes(spark, tmp_path):
+    """A10 twin (StopConsumingOnUnhealthy): a health-gated index stream
+    refuses to consume into a corrupt index (batch fails → no commit),
+    and after repair redelivery applies the SAME batch exactly once."""
+    import json as _json
+    import shutil
+
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        run_index_stream,
+    )
+
+    base = _rows(30)
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ("repo", "path", "commit", "lang", "content")
+    with open(src / "b1.json", "w") as f:
+        for r in base:
+            f.write(_json.dumps(dict(zip(cols, r))) + "\n")
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        qy = run_index_stream(stream, idx, ckpt, available_now=True,
+                              health_gate=True)
+        qy.awaitTermination(240)
+
+    drain()  # bootstrap build
+
+    # corrupt the index (steal a shard), enqueue batch 2
+    victim = sorted(
+        dd for dd in os.listdir(os.path.join(idx, "postings"))
+        if dd.startswith("shard="))[0]
+    stolen = str(tmp_path / "stolen")
+    shutil.move(os.path.join(idx, "postings", victim), stolen)
+    with open(src / "b2.json", "w") as f:
+        f.write(_json.dumps(dict(zip(
+            cols, ("r1", "src/gated.py", "c1", "py",
+                   "gated aardwolf doc")))) + "\n")
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unhealthy|gated until repaired"):
+        drain()
+    # nothing consumed: the new doc is not searchable
+    queries = spark.createDataFrame([(1, "aardwolf")],
+                                    "query_id long, query_text string")
+    # (exact_topk would also fail on the missing shard if it were a hit
+    # shard; assert via stats instead: n_docs unchanged)
+    assert read_stats_json(idx)["n_docs"] == 30
+
+    # repair → redelivery applies the batch once
+    shutil.move(stolen, os.path.join(idx, "postings", victim))
+    drain()
+    assert read_stats_json(idx)["n_docs"] == 31
+    hits = q.exact_topk(spark, idx, queries, CFG, 10).collect()
+    assert len(hits) == 1
