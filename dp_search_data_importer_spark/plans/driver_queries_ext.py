@@ -147,6 +147,89 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+FS_QUERIES = [(1, "hash join"), (2, "window agg"), (3, "the")]
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score / field_value_factor twin: relevance × a
+    document-field factor — here ``1 + 0.1·log1p(n_chars)`` (modifier
+    log1p, factor 0.1, boost_mode multiply: the documented ES shapes).
+    The factor is a pure projection on the docs table broadcast-joined
+    onto the candidate scores BEFORE ranking; rounding-then-rank keeps it
+    deterministic. Oracle: same algebra in SQL."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, FS_QUERIES, "query_id long, query_text string")
+    qt = bm25_ops.query_terms(qdf)
+    scores = bm25_ops.bm25_scores(tf, qt, postings_ops.doc_freqs(tf),
+                                  postings_ops.corpus_stats_from_docs(docs))
+    factor = docs.select(
+        "doc_id",
+        (F.lit(1.0) + F.lit(0.1)
+         * F.log1p(F.col("n_chars").cast("double"))).alias("factor"))
+    boosted = (scores.join(factor, "doc_id")
+               .select("query_id", "doc_id",
+                       (F.col("score") * F.col("factor")).alias("score")))
+    return bm25_ops.topk(boosted, 10)
+
+
+_FUNCTION_SCORE_SQL = f"""
+    WITH q(query_id, query_text) AS (
+      VALUES {', '.join(f"({qid}, '{qt}')" for qid, qt in FS_QUERIES)}
+    ),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    boosted AS (
+      SELECT sc.query_id, sc.doc_id,
+             sc.score * (1.0 + 0.1 * ln(1.0 + d.n_chars::DOUBLE)) AS score
+      FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM boosted
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+
 SUGGEST_PREFIXES = [(1, "ha"), (2, "s"), (3, "c"), (4, "b"), (5, "zz")]
 
 
@@ -932,6 +1015,7 @@ EXT_QUERIES = {
     "more_like_this": q_more_like_this,
     "significant_terms": q_significant_terms,
     "completion_suggest": q_completion_suggest,
+    "function_score": q_function_score,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1204,6 +1288,7 @@ EXT_ORACLES = {
     "more_like_this": _MLT_SQL,
     "significant_terms": _SIGTERMS_SQL,
     "completion_suggest": _SUGGEST_SQL,
+    "function_score": _FUNCTION_SCORE_SQL,
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

@@ -152,3 +152,22 @@ def test_bool_topk_broadcast_only_single_agg(spark, sf_dir, idx):
         spark, idx, [BoolSpec(1, must=["import"], must_not=["def"])], CFG, 10))
     assert "PushedFilters: [In(term," in stored_plan
     assert "SortMergeJoin" not in stored_plan
+
+
+def test_cross_fields_no_sort_merge(spark, sf_dir):
+    """Round 4: cross_fields' blended-statistics dataflow keeps every join
+    broadcast (term candidates filter before the per-doc dl join, so the
+    joins stay under the broadcast threshold / AQE-convertible)."""
+    from pyspark.sql import functions as F
+
+    from dp_search_data_importer_spark.operators.bm25 import multi_match_topk
+    from dp_search_data_importer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 40).alias("title"))
+    qdf = local_df(spark, [(1, "alpha beta")],
+                   "query_id long, query_text string")
+    plan = _explain(multi_match_topk(docs, {"text": 1.0, "title": 2.0},
+                                     qdf, CFG, 10, mode="cross_fields"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
