@@ -59,6 +59,20 @@ def main() -> None:
     res = qp.wand_topk(spark, out, queries, cfg, 10)
     print(explain_str(qp.resolve_docs(spark, out, res)))
 
+    # round 4: the composed ES query surface
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec
+
+    print("=" * 70)
+    print("== ES bool (must+should+must_not) over the index "
+          "(broadcast clause join, single agg)")
+    spec = [BoolSpec(1, must=["import"], should=["merge"],
+                     must_not=["zzz"])]
+    print(explain_str(qp.bool_topk_indexed(spark, out, spec, cfg, 10)))
+    print("=" * 70)
+    print("== search_after page 2 (pushed cursor predicate, no offset)")
+    print(explain_str(qp.exact_topk(spark, out, queries, cfg, 10,
+                                    after={1: (1.5, 42)})))
+
 
 if __name__ == "__main__":
     main()
