@@ -147,6 +147,94 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+WC_PATTERNS = [(1, "wind*"), (2, "?ash"), (3, "s*m"), (4, "zzq*")]
+WC_MAX_EXPANSIONS = 50
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard-query twin over the documents table: dictionary terms
+    matching each *?-pattern (translated to an anchored regex shared
+    verbatim with the oracle) join the OR set, capped at max_expansions
+    by (df desc, term asc), standard BM25. Oracle: regexp join + the
+    same window cap + scoring in SQL."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+    from dp_search_data_importer_spark.plans.query import wildcard_to_regex
+    from dp_search_data_importer_spark.session import local_df
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    dfs = postings_ops.doc_freqs(tf)
+    stats = postings_ops.corpus_stats_from_docs(docs)
+    pats = local_df(
+        spark, [(qid, wildcard_to_regex(p)) for qid, p in WC_PATTERNS],
+        "query_id long, rx string")
+    sel = dfs.join(F.broadcast(pats),
+                   F.regexp_like(F.col("term"), F.col("rx")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term").asc())
+    qt = (sel.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= WC_MAX_EXPANSIONS)
+          .select("query_id", "term").distinct())
+    scores = bm25_ops.bm25_scores(tf, qt, dfs, stats)
+    return bm25_ops.topk(scores, 10)
+
+
+def _wildcard_search_sql() -> str:
+    from dp_search_data_importer_spark.plans.query import wildcard_to_regex
+
+    pat_vals = ", ".join(
+        f"({qid}, '{wildcard_to_regex(p)}')" for qid, p in WC_PATTERNS)
+    return f"""
+    WITH pats(query_id, rx) AS (VALUES {pat_vals}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qt2 AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT p.query_id, d.term,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY d.df DESC, d.term ASC) AS rn
+        FROM dfs d JOIN pats p ON regexp_matches(d.term, p.rx)
+      ) WHERE rn <= {WC_MAX_EXPANSIONS}
+    ),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """
+
+
 FS_QUERIES = [(1, "hash join"), (2, "window agg"), (3, "the")]
 
 
@@ -1016,6 +1104,7 @@ EXT_QUERIES = {
     "significant_terms": q_significant_terms,
     "completion_suggest": q_completion_suggest,
     "function_score": q_function_score,
+    "wildcard_search": q_wildcard_search,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1289,6 +1378,7 @@ EXT_ORACLES = {
     "significant_terms": _SIGTERMS_SQL,
     "completion_suggest": _SUGGEST_SQL,
     "function_score": _FUNCTION_SCORE_SQL,
+    "wildcard_search": _wildcard_search_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

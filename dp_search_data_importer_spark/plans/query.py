@@ -185,11 +185,34 @@ def expand_terms(spark: SparkSession, out_dir: str, pattern: str,
             & (F.length("term") <= F.lit(len(pattern) + max_edits))
             & (F.levenshtein(F.col("term"), F.lit(pattern)) <= max_edits)
         )
+    elif mode == "wildcard":
+        # ES wildcard query: * = any run, ? = one char, anchored both ends
+        hits = tdf.filter(F.col("term").rlike(wildcard_to_regex(pattern)))
+    elif mode == "regexp":
+        # ES regexp query is anchored (matches the WHOLE term)
+        hits = tdf.filter(F.col("term").rlike(f"^(?:{pattern})$"))
     else:  # pragma: no cover
         raise ValueError(f"unknown expansion mode {mode!r}")
     rows = (hits.orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(max_expansions).collect())
     return [r["term"] for r in rows]
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """ES wildcard pattern (``*`` any run, ``?`` one char) → an anchored
+    regex using only constructs shared by Java regex and RE2, so the SQL
+    oracle can apply the identical expression."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
 
 
 def _expanded_topk(spark: SparkSession, out_dir: str, tokens: list[str],
@@ -282,6 +305,24 @@ def fuzzy_topk(spark: SparkSession, out_dir: str, tokens: list[str],
     """ES fuzzy-query twin (edit distance ≤ max_edits via Catalyst
     levenshtein over the dictionary, length-window pruned)."""
     return _expanded_topk(spark, out_dir, tokens, "fuzzy", cfg, k, max_edits)
+
+
+def wildcard_topk(spark: SparkSession, out_dir: str, patterns: list[str],
+                  cfg: EngineConfig | None = None,
+                  k: int | None = None) -> DataFrame:
+    """ES wildcard-query twin: every dictionary term matching any ``*``/
+    ``?`` pattern joins the OR set, scored with its own df (capped like
+    ES ``max_expansions``, highest-df completions first). Dictionary scan
+    only — the postings scan still receives the expanded literal term
+    set as a pushed filter."""
+    return _expanded_topk(spark, out_dir, patterns, "wildcard", cfg, k)
+
+
+def regexp_topk(spark: SparkSession, out_dir: str, patterns: list[str],
+                cfg: EngineConfig | None = None,
+                k: int | None = None) -> DataFrame:
+    """ES regexp-query twin (whole-term anchored, as ES documents)."""
+    return _expanded_topk(spark, out_dir, patterns, "regexp", cfg, k)
 
 
 def bool_topk_indexed(spark: SparkSession, out_dir: str, specs,

@@ -731,3 +731,23 @@ def test_phrase_slop_property_vs_bruteforce(spark):
             if tf > 0:
                 expect[(qid, doc_id)] = tf
     assert got == expect
+
+
+def test_wildcard_and_regexp_topk(spark, built):
+    """ES wildcard/regexp query twins over the stored index: 'imp*' is
+    exactly the 'imp' prefix query; regexp is whole-term anchored (a
+    partial pattern matches nothing, per ES semantics)."""
+    out, _ = built
+    wc = _ranked(q.wildcard_topk(spark, out, ["imp*"], CFG, 10).collect())
+    px = _ranked(q.prefix_topk(spark, out, ["imp"], CFG, 10).collect())
+    assert wc == px and wc
+    # '?' = exactly one char
+    one = _ranked(q.wildcard_topk(spark, out, ["impor?"], CFG, 10).collect())
+    assert one == _ranked(
+        q.exact_topk(spark, out,
+                     spark.createDataFrame([(1, "import")],
+                                           "query_id long, query_text string"),
+                     CFG, 10).collect())
+    # anchored regexp: partial pattern matches no whole term
+    assert q.regexp_topk(spark, out, ["impor"], CFG, 10).count() == 0
+    assert q.regexp_topk(spark, out, ["imp.rt"], CFG, 10).count() > 0
