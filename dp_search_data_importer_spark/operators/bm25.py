@@ -209,9 +209,10 @@ def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
         "term", "fg_df", F.col("df").alias("bg_df"),
         F.round((p_fg - p_bg) * (p_fg / p_bg), round_digits).alias("jlh"),
     )
-    w = Window.orderBy(F.col("jlh").desc(), F.col("term").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_n).drop("rn"))
+    # top-N via orderBy+limit = TakeOrdered (per-partition heaps + driver
+    # merge) — a global row_number window would funnel every surviving
+    # term through ONE task, which a web-scale foreground can't afford
+    return scored.orderBy(F.col("jlh").desc(), F.col("term").asc()).limit(top_n)
 
 
 def page_cursor(rows) -> dict[int, tuple[float, int]]:
