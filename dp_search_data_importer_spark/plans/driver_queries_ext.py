@@ -147,6 +147,136 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+def q_nested_dimension_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query twin over an array-of-struct column — the
+    reference's documents carry exactly this shape (``dimensions``
+    array<struct>, ``models/elastic.go``/``schema/schema.go:41-51``): a
+    doc matches when SOME array element satisfies a compound predicate on
+    the element's own fields (NOT a cross-element AND — the defining
+    nested-query semantics). Both engines synthesize the same
+    deterministic dimensions array from doc_id; output is the matching
+    docs with their per-doc matching-element count. Pure Catalyst
+    higher-order functions (filter/size) — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    mk = lambda noff, loff: F.struct(
+        F.concat(F.lit("dim"), F.pmod(F.col("doc_id") + noff, F.lit(5))
+                 .cast("string")).alias("name"),
+        F.concat(F.lit("l"), F.pmod(F.col("doc_id") + loff, F.lit(7))
+                 .cast("string")).alias("label"),
+    )
+    dims = F.array(mk(0, 0), mk(1, 3))
+    matching = F.size(F.filter(
+        dims, lambda x: (x["name"] == F.lit("dim2"))
+        & (x["label"] == F.lit("l4"))))
+    return (docs.select("doc_id", matching.cast("long").alias("n_matching"))
+            .filter(F.col("n_matching") > 0))
+
+
+_NESTED_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             [{'name': 'dim' || ((doc_id % 5))::VARCHAR,
+               'label': 'l' || ((doc_id % 7))::VARCHAR},
+              {'name': 'dim' || (((doc_id + 1) % 5))::VARCHAR,
+               'label': 'l' || (((doc_id + 3) % 7))::VARCHAR}] AS dims
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(dims,
+               x -> x.name = 'dim2' AND x.label = 'l4'))::BIGINT AS n_matching
+    FROM d
+    WHERE len(list_filter(dims, x -> x.name = 'dim2' AND x.label = 'l4')) > 0
+"""
+
+
+BOOSTING_POS = ["hash", "join", "merge"]
+BOOSTING_NEG = ["window", "sort"]
+BOOSTING_NB = 0.3
+
+
+def q_boosting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query twin: positive clauses score normally;
+    documents matching any negative clause are DEMOTED by
+    ``negative_boost`` (×0.3) instead of excluded — the documented
+    middle ground between should and must_not. One plan: the negative
+    doc set is a broadcast flag joined onto the positive scores before
+    rounding/ranking."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    dfs = postings_ops.doc_freqs(tf)
+    stats = postings_ops.corpus_stats_from_docs(docs)
+    qt = local_df(spark, [(1, t) for t in BOOSTING_POS],
+                  "query_id long, term string")
+    scores = bm25_ops.bm25_scores(tf, qt, dfs, stats)
+    neg = (tf.filter(F.col("term").isin(BOOSTING_NEG))
+           .select("doc_id").distinct()
+           .withColumn("neg", F.lit(1)))
+    boosted = (
+        scores.join(F.broadcast(neg), "doc_id", "left")
+        .select("query_id", "doc_id",
+                (F.col("score")
+                 * F.when(F.col("neg").isNotNull(), F.lit(BOOSTING_NB))
+                 .otherwise(F.lit(1.0))).alias("score"))
+    )
+    return bm25_ops.topk(boosted, 10)
+
+
+_BOOSTING_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    qt2(query_id, term) AS (
+      VALUES {', '.join(f"(1, '{t}')" for t in BOOSTING_POS)}
+    ),
+    neg AS (
+      SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ({', '.join(f"'{t}'" for t in BOOSTING_NEG)})
+    ),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    boosted AS (
+      SELECT sc.query_id, sc.doc_id,
+             sc.score * (CASE WHEN n.doc_id IS NOT NULL
+                              THEN {BOOSTING_NB} ELSE 1.0 END) AS score
+      FROM scored sc LEFT JOIN neg n ON n.doc_id = sc.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+      FROM boosted
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+
 WC_PATTERNS = [(1, "wind*"), (2, "?ash"), (3, "s*m"), (4, "zzq*")]
 WC_MAX_EXPANSIONS = 50
 
@@ -1105,6 +1235,8 @@ EXT_QUERIES = {
     "completion_suggest": q_completion_suggest,
     "function_score": q_function_score,
     "wildcard_search": q_wildcard_search,
+    "nested_dimension_search": q_nested_dimension_search,
+    "boosting_search": q_boosting_search,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1379,6 +1511,8 @@ EXT_ORACLES = {
     "completion_suggest": _SUGGEST_SQL,
     "function_score": _FUNCTION_SCORE_SQL,
     "wildcard_search": _wildcard_search_sql(),
+    "nested_dimension_search": _NESTED_SQL,
+    "boosting_search": _BOOSTING_SQL,
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

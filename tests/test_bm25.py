@@ -219,3 +219,89 @@ def test_multi_match_modes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown multi_match mode"):
         ranked("bogus_mode")
+
+
+def test_bool_topk_property_vs_bruteforce(spark):
+    """Property test: bool_topk's match set and scores agree with a
+    brute-force Python evaluation of the ES bool semantics on randomized
+    corpora and randomized clause combinations."""
+    import math
+    import random
+
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec, bool_topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 15))))
+            for i in range(60)]
+    docs_df = local_df(spark, docs, "doc_id long, text string")
+    tf = term_freqs_sql(docs_df, id_col="doc_id", text_col="text")
+    dfs = doc_freqs(tf)
+    stats = corpus_stats_from_docs(docs_df)
+
+    n_docs = len(docs)
+    dls = {i: len(t.split()) for i, t in docs}
+    avgdl = sum(dls.values()) / n_docs
+    df_py: dict[str, int] = {}
+    for _, t in docs:
+        for w in set(t.split()):
+            df_py[w] = df_py.get(w, 0) + 1
+
+    def bm25(term, doc_words, dl):
+        tf_ = doc_words.count(term)
+        if tf_ == 0 or term not in df_py:
+            return 0.0
+        idf = math.log(1 + (n_docs - df_py[term] + 0.5)
+                       / (df_py[term] + 0.5))
+        return idf * tf_ * 2.2 / (tf_ + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    def brute(spec):
+        out = {}
+        for doc_id, text in docs:
+            words = text.split()
+            if not all(m in words for m in spec.must):
+                continue
+            ns = sum(1 for s in set(spec.should) if s in words)
+            if ns < spec.minimum_should_match:
+                continue
+            if any(nn in words for nn in spec.must_not):
+                continue
+            score = sum(bm25(t, words, dls[doc_id])
+                        for t in spec.must + spec.should)
+            if score > 0 or spec.must:
+                out[doc_id] = round(score, 4)
+        return out
+
+    specs = []
+    qid = 0
+    for _ in range(12):
+        qid += 1
+        must = rng.sample(vocab, rng.randint(0, 2))
+        should = rng.sample(vocab, rng.randint(0, 3))
+        must_not = rng.sample(vocab, rng.randint(0, 1))
+        if not must and not should:
+            should = [rng.choice(vocab)]
+        msm = (rng.randint(0, len(should)) if should and rng.random() < 0.5
+               else None)
+        specs.append(BoolSpec(qid, must=must, should=should,
+                              must_not=must_not, minimum_should_match=msm))
+
+    got_rows = bool_topk(tf, specs, dfs, stats, k=100).collect()
+    got: dict[int, dict[int, float]] = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for spec in specs:
+        expect = brute(spec)
+        have = got.get(spec.query_id, {})
+        assert set(have) == set(expect), (spec.query_id, spec.must,
+                                          spec.should, spec.must_not,
+                                          spec.minimum_should_match)
+        for d, s in expect.items():
+            assert abs(have[d] - s) < 1e-3, (spec.query_id, d)
