@@ -344,3 +344,41 @@ def dedup_near(df: DataFrame, text_col: str = "text",
         F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return df.join(reps.withColumnRenamed("doc_id", id_col), id_col,
                    "left_semi")
+
+
+def cross_ngram_overlap(train: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination (the standard n-gram overlap pass used in
+    LLM training reports — public methodology: flag training documents
+    sharing token n-grams with an evaluation set): (doc_id,
+    n_overlapping_shingles) for every train doc sharing ≥ ``min_hits``
+    DISTINCT n-gram shingles with ANY eval doc.
+
+    100 TB shape: the eval set is small by construction (benchmarks are
+    thousands of docs), so its distinct shingle set BROADCASTS into the
+    train shingle stream — the train side never shuffles for the join;
+    the only shuffle is the per-doc hit count (map-side combined). For an
+    eval set too large to broadcast, drop the hint and let AQE pick a
+    shuffle join — semantics unchanged."""
+    ev = (shingle_sets(eval_docs, text_col, id_col, n)
+          .select("shingle").distinct())
+    tr = shingle_sets(train, text_col, id_col, n)
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_overlapping"))
+        .filter(F.col("n_overlapping") >= min_hits)
+    )
+    return hits
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, min_hits: int = 1) -> DataFrame:
+    """Drop contaminated train docs (those flagged by
+    :func:`cross_ngram_overlap`) — the keep-pass twin, anti-join form."""
+    flagged = cross_ngram_overlap(train, eval_docs, text_col, id_col,
+                                  n, min_hits).select("doc_id")
+    return train.join(flagged.withColumnRenamed("doc_id", id_col),
+                      id_col, "left_anti")

@@ -541,3 +541,31 @@ def curation_verdicts(df: DataFrame, text_col: str = "text",
         (~(bad_lang | bad_quality | bad_pii | bad_rep)).cast("long").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def stratified_sample(df, rates: dict[str, float], key_col: str = "source",
+                      id_col: str = "doc_id", salt: str = "mix1"):
+    """Deterministic stratified sampling — the domain-mixing operator of a
+    training-data pipeline (down/up-weight sources to target proportions):
+    keep a row iff ``bucket(id) < rate(source)·10000`` where the bucket is
+    an md5-derived uniform hash of (salt, id). Engine-replayable: md5 is
+    identical everywhere, so the SAME rows are kept on any engine, any
+    partitioning, any run (the oracle recomputes the identical buckets in
+    SQL — same trick as the MinHash permutations). Changing ``salt``
+    draws an independent sample. Pure Catalyst projection + filter; zero
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                             F.col(id_col).cast("string"))),
+                           1, 8), 16, 10).cast("long") % 10000
+    )
+    rate_expr = None
+    for key, rate in rates.items():
+        this = F.when(F.col(key_col) == key, F.lit(int(round(rate * 10000))))
+        rate_expr = this if rate_expr is None else rate_expr.when(
+            F.col(key_col) == key, F.lit(int(round(rate * 10000))))
+    rate_expr = rate_expr.otherwise(F.lit(0))
+    return df.withColumn("_bucket", bucket).filter(
+        F.col("_bucket") < rate_expr).drop("_bucket")

@@ -147,6 +147,73 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 50 ≠ 0) sharing ≥1
+    distinct 3-gram shingle with the eval split (doc_id % 50 == 0) —
+    (doc_id, n_overlapping). Eval shingles broadcast; only the per-doc
+    hit count shuffles. Oracle: the same shingle semi-join in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.cross_ngram_overlap(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0), n=3)
+
+
+_DECON_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+      FROM tok2 a
+      JOIN tok2 b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN tok2 c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, count(*)::BIGINT AS n_overlapping
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id
+"""
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing stratified sample: keep each doc iff its md5-derived
+    bucket < rate(source)·10000 — deterministic and engine-replayable
+    (the oracle recomputes identical buckets), unlisted sources drop.
+    Output (doc_id, source)."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, MIX_RATES).select("doc_id", "source")
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {int(round(r * 10000))}"
+        for k, r in MIX_RATES.items())
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('mix1:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+               % 10000 AS bucket,
+             (CASE {cases} ELSE 0 END) AS rate
+      FROM documents
+    )
+    SELECT doc_id, source FROM b WHERE bucket < rate
+"""
+
+
 def q_nested_dimension_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``nested`` query twin over an array-of-struct column — the
     reference's documents carry exactly this shape (``dimensions``
@@ -1237,6 +1304,8 @@ EXT_QUERIES = {
     "wildcard_search": q_wildcard_search,
     "nested_dimension_search": q_nested_dimension_search,
     "boosting_search": q_boosting_search,
+    "decontamination_overlap": q_decontamination_overlap,
+    "stratified_sample": q_stratified_sample,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1513,6 +1582,8 @@ EXT_ORACLES = {
     "wildcard_search": _wildcard_search_sql(),
     "nested_dimension_search": _NESTED_SQL,
     "boosting_search": _BOOSTING_SQL,
+    "decontamination_overlap": _DECON_SQL,
+    "stratified_sample": _stratified_sample_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,

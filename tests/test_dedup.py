@@ -195,3 +195,60 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough iterations the same graph converges to one cluster
     labels = connected_components(chain, max_iter=20).collect()
     assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_decontamination_flags_and_drops(spark):
+    """Cross-corpus n-gram decontamination: a train doc sharing an n-gram
+    with the eval set is flagged with the right distinct-overlap count;
+    the keep-pass drops exactly the flagged docs."""
+    from dp_search_data_importer_spark.operators.dedup import (
+        cross_ngram_overlap,
+        decontaminate,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    train = local_df(spark, [
+        (1, "the quick brown fox jumps high"),      # shares 'quick brown fox'
+        (2, "totally unrelated text here now"),
+        (3, "quick brown fox quick brown fox"),     # shares, repeated
+        (4, "short"),
+    ], "doc_id long, text string")
+    ev = local_df(spark, [(100, "a quick brown fox appears")],
+                  "doc_id long, text string")
+    flagged = {r["doc_id"]: r["n_overlapping"]
+               for r in cross_ngram_overlap(train, ev, n=3).collect()}
+    assert set(flagged) == {1, 3}
+    assert flagged[1] == 1 and flagged[3] == 1  # distinct shingles, not occurrences
+    kept = sorted(r["doc_id"] for r in decontaminate(train, ev, n=3).collect())
+    assert kept == [2, 4]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """Domain-mixing sample: per-source keep fraction tracks the rate,
+    the same rows are kept regardless of partitioning (hash of (salt,
+    id), not of placement), and a different salt draws a different
+    sample."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"))
+    rates = {"s0": 0.8, "s1": 0.2}
+    got = stratified_sample(df, rates, key_col="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert abs(len(by_src["s0"]) / 2000 - 0.8) < 0.05
+    assert abs(len(by_src["s1"]) / 2000 - 0.2) < 0.05
+    # partition-invariant: identical keep set at a different parallelism
+    again = stratified_sample(df.repartition(13), rates,
+                              key_col="source").collect()
+    assert {(r["doc_id"]) for r in again} == {r["doc_id"] for r in got}
+    # a different salt draws an independent sample
+    other = stratified_sample(df, rates, key_col="source",
+                              salt="mix2").collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in got}
