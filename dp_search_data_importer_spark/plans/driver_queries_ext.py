@@ -147,6 +147,159 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, {"text": 1.0, "title": 2.0}, qdf, k=10)
 
 
+CLP_QUERIES = [(1, "hash join merge"), (2, "window agg")]
+
+
+def q_field_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``collapse`` twin (field collapsing): at most ONE hit per group
+    field value — the best-scoring doc of each group survives, then
+    groups rank normally (dedupe near-identical pages per site, one
+    result per repo, …). Group field here: doc_id % 10 (derived
+    identically in both engines). Two deterministic windows: best-in-
+    group by (rounded score desc, doc_id asc), then the standard top-k."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as postings_ops
+    from dp_search_data_importer_spark.session import local_df
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, CLP_QUERIES, "query_id long, query_text string")
+    qt = bm25_ops.query_terms(qdf)
+    scores = bm25_ops.bm25_scores(tf, qt, postings_ops.doc_freqs(tf),
+                                  postings_ops.corpus_stats_from_docs(docs))
+    rounded = scores.select(
+        "query_id", "doc_id",
+        F.round("score", 4).alias("score"),
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("grp"))
+    w_in = Window.partitionBy("query_id", "grp").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    best = (rounded.withColumn("rn", F.row_number().over(w_in))
+            .filter(F.col("rn") == 1).drop("rn"))
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (best.withColumn("rn", F.row_number().over(w_out))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "doc_id", "grp", "score"))
+
+
+def _field_collapse_sql() -> str:
+    return f"""
+    WITH q(query_id, query_text) AS (
+      VALUES {', '.join(f"({qid}, '{qt}')" for qid, qt in CLP_QUERIES)}
+    ),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+           WHERE term <> '' GROUP BY doc_id),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ), 4) AS score,
+             tf.doc_id % 10 AS grp
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    best AS (
+      SELECT query_id, doc_id, grp, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id, grp
+          ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT query_id, doc_id, grp, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+      FROM best
+    ) WHERE rn <= 5
+"""
+
+
+SPELL_INPUTS = [(1, "hsah"), (2, "windoq"), (3, "stream"),
+                (4, "zzzzzzz"), (5, "joim"), (6, "mergw"), (7, "scon")]
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term-suggester / did-you-mean twin: per (possibly misspelled)
+    input token, the top-3 dictionary corrections within edit distance 2,
+    ranked by (distance asc, df desc, term asc) — ES's default
+    suggest-mode ordering shape. Catalyst levenshtein over the dictionary
+    with a length-window prune; broadcast inputs. Oracle: DuckDB
+    levenshtein, same window."""
+    from dp_search_data_importer_spark.operators.postings import (
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfs = doc_freqs(term_freqs_sql(docs, id_col="doc_id", text_col="text"))
+    inp = local_df(spark, SPELL_INPUTS, "query_id long, token string")
+    j = dfs.join(F.broadcast(inp),
+                 (F.length("term") >= F.length("token") - 2)
+                 & (F.length("term") <= F.length("token") + 2))
+    j = j.withColumn("dist", F.levenshtein(F.col("term"), F.col("token")))
+    j = j.filter(F.col("dist") <= 2)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "term", F.col("dist").cast("long")
+                    .alias("dist"), "df"))
+
+
+def _spell_suggest_sql() -> str:
+    return f"""
+    WITH inp(query_id, token) AS (
+      VALUES {', '.join(f"({qid}, '{t}')" for qid, t in SPELL_INPUTS)}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    j AS (
+      SELECT i.query_id, d.term, levenshtein(d.term, i.token)::BIGINT AS dist,
+             d.df
+      FROM dfs d JOIN inp i
+        ON length(d.term) BETWEEN length(i.token) - 2 AND length(i.token) + 2
+      WHERE levenshtein(d.term, i.token) <= 2
+    )
+    SELECT query_id, term, dist, df FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY dist ASC, df DESC, term ASC) AS rn
+      FROM j
+    ) WHERE rn <= 3
+"""
+
+
 def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 50 ≠ 0) sharing ≥1
     distinct 3-gram shingle with the eval split (doc_id % 50 == 0) —
@@ -1306,6 +1459,8 @@ EXT_QUERIES = {
     "boosting_search": q_boosting_search,
     "decontamination_overlap": q_decontamination_overlap,
     "stratified_sample": q_stratified_sample,
+    "field_collapse": q_field_collapse,
+    "spell_suggest": q_spell_suggest,
     "search_highlights": q_search_highlights,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1584,6 +1739,8 @@ EXT_ORACLES = {
     "boosting_search": _BOOSTING_SQL,
     "decontamination_overlap": _DECON_SQL,
     "stratified_sample": _stratified_sample_sql(),
+    "field_collapse": _field_collapse_sql(),
+    "spell_suggest": _spell_suggest_sql(),
     "language_id": _langid_sql(),
     "token_counts": r"""
         SELECT doc_id,
