@@ -22,6 +22,34 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs
 
 
+def test_registry_rotation_puts_stalest_first():
+    """The driver's gate checks a fixed-size registry prefix; the registry
+    must therefore order least-recently-driver-checked queries first so
+    every query cycles through the hard check (round-4 hole: the 14 tail
+    entries never got a driver row)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for k in json.load(open(path)):
+            last[k] = max(last.get(k, -1), rnd)
+    if not last:  # no history committed — nothing to assert
+        return
+    keys = list(entry_mod.queries())
+    ranks = [last.get(k, -1) for k in keys]
+    assert ranks == sorted(ranks), (
+        "registry not ordered stalest-first: " + repr(list(zip(keys, ranks)))
+    )
+    # oracle dict must share the ordering (the driver zips the prefixes)
+    osk = [k for k in keys if k in entry_mod.oracle_sql()]
+    assert list(entry_mod.oracle_sql()) == osk
+
+
 def test_full_pipeline_curate_dedup_index_search(spark, tmp_path):
     """The switch-from-the-reference narrative end-to-end: raw docs →
     fused curation screens → exact+near dedup → positional index build →
