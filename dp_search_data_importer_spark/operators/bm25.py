@@ -178,7 +178,8 @@ def more_like_this_topk(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
 
 def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
                       stats: DataFrame, min_fg_df: int = 3, top_n: int = 20,
-                      round_digits: int = 4) -> DataFrame:
+                      round_digits: int = 4,
+                      broadcast_limit: int = 2_000_000) -> DataFrame:
     """ES ``significant_terms`` aggregation twin (JLH scoring, the ES
     default): terms over-represented in a FOREGROUND document set vs the
     whole corpus. JLH = (p_fg − p_bg) · (p_fg / p_bg) with p_fg =
@@ -186,10 +187,17 @@ def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
     before the (score desc, term asc) ranking so the result is
     deterministic across engines.
 
-    Plan shape: the foreground doc set broadcasts into a semi-join on the
-    tf table (fg term stats are one hash agg over fg-sized data); the
-    per-term background df comes precomputed (``dfs``), broadcast-joined
-    on the tiny surviving term set. Output: (term, fg_df, bg_df, jlh)."""
+    Plan shape: the foreground doc set semi-joins the tf table (fg term
+    stats are one hash agg over fg-sized data); the per-term background
+    df comes precomputed (``dfs``), broadcast-joined on the tiny
+    surviving term set. Output: (term, fg_df, bg_df, jlh).
+
+    The foreground broadcast is GATED on size: a web-scale foreground
+    ("all docs matching query X") can be millions of ids, and
+    force-broadcasting that OOMs the driver. JLH needs ``fg_total`` as a
+    literal anyway, so the (unavoidable) count doubles as the gate —
+    past ``broadcast_limit`` the hint is dropped and AQE picks the join
+    strategy (shuffle semi-join with runtime stats)."""
     fg_ids = fg_docs.select("doc_id")
     fg_total = fg_ids.count()
     if fg_total == 0:
@@ -197,8 +205,9 @@ def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
 
         return local_df(tf.sparkSession, [],
                         "term string, fg_df long, bg_df long, jlh double")
+    fg_side = F.broadcast(fg_ids) if fg_total <= broadcast_limit else fg_ids
     fg_stats = (
-        tf.join(F.broadcast(fg_ids), "doc_id", "left_semi")
+        tf.join(fg_side, "doc_id", "left_semi")
         .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
         .filter(F.col("fg_df") >= min_fg_df)
     )

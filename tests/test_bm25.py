@@ -305,3 +305,38 @@ def test_bool_topk_property_vs_bruteforce(spark):
                                           spec.minimum_should_match)
         for d, s in expect.items():
             assert abs(have[d] - s) < 1e-3, (spec.query_id, d)
+
+
+def test_significant_terms_broadcast_gate(spark):
+    """A foreground above the broadcast gate must drop the broadcast hint
+    (AQE picks the join) and still produce hash-identical results."""
+    from dp_search_data_importer_spark.operators.bm25 import significant_terms
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = [(i, ("alpha beta " * 3 if i % 5 == 0 else "gamma delta ")
+             + f"tok{i % 7}") for i in range(80)]
+    docs_df = local_df(spark, docs, "doc_id long, text string")
+    tf = term_freqs_sql(docs_df, id_col="doc_id", text_col="text")
+    dfs = doc_freqs(tf)
+    stats = corpus_stats_from_docs(docs_df)
+    fg = docs_df.filter("doc_id % 5 = 0").select("doc_id")
+
+    wide = significant_terms(tf, fg, dfs, stats, min_fg_df=2,
+                             broadcast_limit=0)       # force the AQE path
+    hinted = significant_terms(tf, fg, dfs, stats, min_fg_df=2,
+                               broadcast_limit=10**9)  # force broadcast
+    # the gated plan must not carry the foreground broadcast hint
+    import re
+
+    # (analyzed plan: the optimizer erases ResolvedHint once consumed)
+    plan_wide = wide._jdf.queryExecution().analyzed().toString()
+    plan_hint = hinted._jdf.queryExecution().analyzed().toString()
+    n_hints_wide = len(re.findall(r"ResolvedHint", plan_wide))
+    n_hints_hint = len(re.findall(r"ResolvedHint", plan_hint))
+    assert n_hints_hint == n_hints_wide + 1
+    assert wide.collect() == hinted.collect()

@@ -171,3 +171,58 @@ def test_cross_fields_no_sort_merge(spark, sf_dir):
                                      qdf, CFG, 10, mode="cross_fields"))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_field_collapse_final_rank_is_two_phase(spark):
+    """The collapse final ranking must NOT push every group winner through
+    one task per query: a salted pre-window bounds the query-level window's
+    input to k·n_salts rows (the significant_terms TakeOrdered treatment,
+    adapted per-key). Assert the plan carries the salted window and the
+    result still equals a brute-force reference."""
+    from dp_search_data_importer_spark.plans.driver_queries_ext import (
+        q_field_collapse,
+    )
+
+    df = q_field_collapse(spark, "/root/testdata/sf0.001")
+    plan = _explain(df)
+    # the salt expression (pmod(xxhash64(grp), 32)) appears in a window
+    # partition spec — three windows total: best-in-group, salted prune,
+    # final rank
+    assert plan.count("Window") >= 3
+    assert "pmod" in plan and "xxhash64" in plan
+
+    rows = df.collect()
+    # brute-force reference: best per (query, grp), then top-5 per query
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as po
+    from dp_search_data_importer_spark.plans.driver_queries_ext import (
+        CLP_QUERIES,
+    )
+    from dp_search_data_importer_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tf = po.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, CLP_QUERIES, "query_id long, query_text string")
+    scores = bm25_ops.bm25_scores(
+        tf, bm25_ops.query_terms(qdf), po.doc_freqs(tf),
+        po.corpus_stats_from_docs(docs))
+    raw = scores.select("query_id", "doc_id",
+                        F.round("score", 4).alias("score")).collect()
+    best: dict = {}
+    for r in raw:
+        key = (r["query_id"], r["doc_id"] % 10)
+        cand = (-r["score"], r["doc_id"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    per_q = defaultdict(list)
+    for (qid, grp), (negs, did) in best.items():
+        per_q[qid].append((negs, did, grp))
+    expect = set()
+    for qid, lst in per_q.items():
+        for negs, did, grp in sorted(lst)[:5]:
+            expect.add((qid, did, grp, -negs))
+    got = {(r["query_id"], r["doc_id"], r["grp"], r["score"]) for r in rows}
+    assert got == expect
