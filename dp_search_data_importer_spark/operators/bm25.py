@@ -238,6 +238,92 @@ def page_cursor(rows) -> dict[int, tuple[float, int]]:
     return best
 
 
+def sort_topk(hits: DataFrame, sort_col: str, k: int,
+              ascending: bool = False,
+              after: dict[int, tuple] | None = None,
+              n_salts: int = 32) -> DataFrame:
+    """ES sort-by-field twin (``"sort": [{field: desc}, {"_id": asc}]``):
+    order a query's HIT SET by a metadata field instead of ``_score``
+    (the reference's ES consumers sort on exactly such fields —
+    ``release_date`` in ``/root/reference/models/elastic.go:13-14``; all
+    querying is delegated at ``handler/handler.go:95``). ``hits`` carries
+    (query_id, doc_id, <sort_col>); ties break on doc_id asc, so the
+    order is total and deterministic.
+
+    ``after`` composes exactly like the score cursor in :func:`topk` —
+    per query the (sort value, doc_id) of the previous page's last hit,
+    applied as a pushed strict-after predicate, so page n never
+    materializes pages 1..n−1.
+
+    Scale shape: the hit set of a broad query is unbounded, so the final
+    per-query window cannot see it raw — a salted pre-window keeps at
+    most k rows per (query, salt) slice in parallel and the query-level
+    window ranks ≤ k·n_salts survivors."""
+    v = F.col(sort_col)
+    direction = (v.asc(), F.col("doc_id").asc()) if ascending else \
+        (v.desc(), F.col("doc_id").asc())
+    if after:
+        spark = hits.sparkSession
+        sort_type = hits.schema[sort_col].dataType.simpleString()
+        cur = spark.createDataFrame(
+            [(int(qid), val, int(d)) for qid, (val, d) in after.items()],
+            f"query_id long, c_v {sort_type}, c_doc long")
+        strict = (v > F.col("c_v")) if ascending else (v < F.col("c_v"))
+        hits = (
+            hits.join(F.broadcast(cur), "query_id", "left")
+            .filter(F.col("c_v").isNull() | strict
+                    | ((v == F.col("c_v"))
+                       & (F.col("doc_id") > F.col("c_doc"))))
+            .drop("c_v", "c_doc")
+        )
+    w_pre = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    ).orderBy(*direction)
+    pruned = (hits.withColumn("prn", F.row_number().over(w_pre))
+              .filter(F.col("prn") <= k).drop("prn"))
+    w = Window.partitionBy("query_id").orderBy(*direction)
+    return (pruned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def facet_terms(hits: DataFrame, docs_meta: DataFrame,
+                facet_fields: list[str], top_n: int = 5,
+                n_salts: int = 32) -> DataFrame:
+    """ES query-scoped ``terms`` aggregation twin (faceted search): bucket
+    counts of metadata fields over the HIT SET of each query — what
+    nearly every ES search UI requests alongside the hits. ``hits`` is
+    (query_id, doc_id); each facet field buckets by value with
+    ``doc_count`` = hits holding it, top-N buckets per (query, facet) by
+    (doc_count desc, key asc) — the ES ``terms`` agg default order.
+
+    Scale shape: one shuffle — the hits⨝meta join keys on doc_id and the
+    bucket counts are hash aggs with map-side partials; the per-facet
+    top-N uses the salted two-phase window so a high-cardinality facet
+    (millions of distinct keys) never funnels through one task."""
+    joined = hits.join(docs_meta, "doc_id")
+    per_field = []
+    for f in facet_fields:
+        per_field.append(
+            joined.groupBy("query_id",
+                           F.col(f).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .withColumn("facet", F.lit(f))
+        )
+    buckets = per_field[0]
+    for other in per_field[1:]:
+        buckets = buckets.unionByName(other)
+    order = (F.col("doc_count").desc(), F.col("key").asc())
+    w_pre = Window.partitionBy(
+        "query_id", "facet", F.pmod(F.xxhash64(F.col("key")), F.lit(n_salts))
+    ).orderBy(*order)
+    pruned = (buckets.withColumn("prn", F.row_number().over(w_pre))
+              .filter(F.col("prn") <= top_n).drop("prn"))
+    w = Window.partitionBy("query_id", "facet").orderBy(*order)
+    return (pruned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n).drop("rn")
+            .select("query_id", "facet", "key", "doc_count"))
+
+
 def bm25_topk(
     tf: DataFrame,
     queries: DataFrame,

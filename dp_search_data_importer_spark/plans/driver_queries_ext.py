@@ -1437,7 +1437,70 @@ def _bool_search_sql() -> str:
     """
 
 
+SRT_QUERIES = [(1, "hash join merge"), (2, "window agg"), (3, "the")]
+
+
+def _match_hits_df(spark: SparkSession, sf_dir: str, queries):
+    """Hit set of an ES ``match`` (OR) query over the documents table:
+    distinct (query_id, doc_id) containing ≥1 query term."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as po
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = po.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, queries, "query_id long, query_text string")
+    qt = bm25_ops.query_terms(qdf)
+    hits = (tf.join(F.broadcast(qt), "term")
+            .select("query_id", "doc_id").distinct())
+    return docs, hits
+
+
+def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field twin: the match hit set ordered by a metadata
+    field (n_chars desc — the release_date shape from
+    ``/root/reference/models/elastic.go:13-14``) with doc_id tie-break,
+    top-10 per query. Ranking is the salted two-phase window."""
+    from dp_search_data_importer_spark.operators.bm25 import sort_topk
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    meta = docs.select("doc_id", "n_chars")
+    return sort_topk(hits.join(meta, "doc_id"), "n_chars", 10,
+                     ascending=False)
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-scoped ``terms`` aggregation twin (faceted search):
+    lang + source bucket counts over each query's FULL hit set, top-5
+    buckets per (query, facet) by (doc_count desc, key asc) — the ES
+    terms-agg default order."""
+    from dp_search_data_importer_spark.operators.bm25 import facet_terms
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    meta = docs.select("doc_id", "lang", "source")
+    return facet_terms(hits, meta, ["lang", "source"], top_n=5)
+
+
+def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` aggregation scoped to a query (bool filter:
+    term + range), calendar-day buckets with doc_count and a sum metric
+    — unlike the global events_hourly rollup, the histogram runs over a
+    query's hit set only. Sum goes through DECIMAL so partial-agg order
+    can't change the answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 10.0))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
 EXT_QUERIES = {
+    "sorted_search": q_sorted_search,
+    "facet_counts": q_facet_counts,
+    "facet_date_histogram": q_facet_date_histogram,
     "sessionize_events": q_sessionize_events,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bool_search": q_bool_search,
@@ -1538,7 +1601,58 @@ def _langid_sql() -> str:
     """
 
 
+_SRT_QUERY_VALUES = ", ".join(f"({qid}, '{qt}')" for qid, qt in SRT_QUERIES)
+
+_MATCH_HITS_SQL = f"""
+    q(query_id, query_text) AS (VALUES {_SRT_QUERY_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT DISTINCT query_id, doc_id FROM qt2 JOIN toks USING (term))
+"""
+
 EXT_ORACLES = {
+    "sorted_search": f"""
+        WITH {_MATCH_HITS_SQL}
+        SELECT query_id, h.doc_id, d.n_chars
+        FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY d.n_chars DESC, h.doc_id ASC) <= 10
+    """,
+    "facet_counts": f"""
+        WITH {_MATCH_HITS_SQL},
+        j AS (
+          SELECT h.query_id, d.doc_id, d.lang, d.source
+          FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        ),
+        b AS (
+          SELECT query_id, 'lang' AS facet, lang AS key,
+                 count(*)::BIGINT AS doc_count FROM j GROUP BY 1, 3
+          UNION ALL
+          SELECT query_id, 'source' AS facet, source AS key,
+                 count(*)::BIGINT AS doc_count FROM j GROUP BY 1, 3
+        )
+        SELECT query_id, facet, key, doc_count FROM b
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id, facet
+          ORDER BY doc_count DESC, key ASC) <= 5
+    """,
+    "facet_date_histogram": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*)::BIGINT AS doc_count,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type = 'click' AND value >= 10.0
+        GROUP BY 1
+    """,
     "sessionize_events": """
         WITH g AS (
           SELECT user_id, event_id, ts,

@@ -480,3 +480,52 @@ def filtered_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
 
     scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
     return topk(scores, k or cfg.k)
+
+
+def _match_hits(spark: SparkSession, out_dir: str,
+                queries: DataFrame) -> DataFrame:
+    """Hit set of an ES ``match`` query over the stored index: distinct
+    (query_id, doc_id) where the doc contains ≥1 query term — candidates
+    come from the term-pruned postings scan, never a corpus scan."""
+    stats = read_stats_json(out_dir)
+    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    return (tf.join(F.broadcast(qt), "term")
+            .select("query_id", "doc_id").distinct())
+
+
+def sorted_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
+                sort_field: str, ascending: bool = False,
+                k: int = 10,
+                after: dict[int, tuple] | None = None) -> DataFrame:
+    """ES sort-by-field over the stored index (``"sort": [{field:
+    desc}]``): the match hit set ordered by a docs-table metadata field
+    with doc_id tie-break, composing with ``search_after`` pagination.
+
+    Plan shape: term-pruned postings give the hits; the sort field comes
+    from the content-free ``docs/`` table (column-pruned scan) via a
+    doc_id-keyed join (AQE picks the strategy — the hit set of a broad
+    query is NOT broadcastable); the ranking is the salted two-phase
+    window in :func:`operators.bm25.sort_topk`."""
+    from dp_search_data_importer_spark.operators.bm25 import sort_topk
+
+    hits = _match_hits(spark, out_dir, queries)
+    meta = spark.read.parquet(os.path.join(out_dir, "docs")).select(
+        "doc_id", sort_field)
+    return sort_topk(hits.join(meta, "doc_id"), sort_field, k,
+                     ascending=ascending, after=after)
+
+
+def facet_counts(spark: SparkSession, out_dir: str, queries: DataFrame,
+                 facet_fields: list[str], top_n: int = 5) -> DataFrame:
+    """ES query-scoped ``terms`` aggregations (facets) over the stored
+    index: bucket counts of metadata fields across each query's full hit
+    set — the aggregation side of faceted search. Hit set and metadata
+    access follow the same pruned-scan discipline as :func:`sorted_topk`."""
+    from dp_search_data_importer_spark.operators.bm25 import facet_terms
+
+    hits = _match_hits(spark, out_dir, queries)
+    meta = spark.read.parquet(os.path.join(out_dir, "docs")).select(
+        "doc_id", *facet_fields)
+    return facet_terms(hits, meta, facet_fields, top_n=top_n)

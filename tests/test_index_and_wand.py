@@ -751,3 +751,70 @@ def test_wildcard_and_regexp_topk(spark, built):
     # anchored regexp: partial pattern matches no whole term
     assert q.regexp_topk(spark, out, ["impor"], CFG, 10).count() == 0
     assert q.regexp_topk(spark, out, ["imp.rt"], CFG, 10).count() > 0
+
+
+def test_sorted_topk_stored_index_and_pagination(spark, built, queries_df):
+    """ES sort-by-field over the stored index: hits ordered by a docs-table
+    metadata field (path desc, doc_id asc tie-break), and search_after
+    pagination composing on the (field, doc_id) total order — two cursor
+    pages concatenate exactly to the unpaginated top-10."""
+    out, _ = built
+    hits = q._match_hits(spark, out, queries_df)
+    meta = spark.read.parquet(os.path.join(out, "docs")).select(
+        "doc_id", "path")
+    ref_rows = hits.join(meta, "doc_id").collect()
+
+    def _key(path, doc_id):
+        # descending on path ≡ ascending on an inverted sort key
+        return (tuple(-b for b in path.encode()), doc_id)
+
+    expect: dict[int, list] = {}
+    for r in ref_rows:
+        expect.setdefault(r["query_id"], []).append(
+            (_key(r["path"], r["doc_id"]), (r["path"], r["doc_id"])))
+    top10 = {qid: [pd for _, pd in sorted(v)[:10]]
+             for qid, v in expect.items()}
+
+    def _collected(rows):
+        by_q: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: _key(r["path"], r["doc_id"])):
+            by_q.setdefault(r["query_id"], []).append(
+                (r["path"], r["doc_id"]))
+        return by_q
+
+    got10 = _collected(
+        q.sorted_topk(spark, out, queries_df, "path", k=10).collect())
+    assert got10 == {qid: v for qid, v in top10.items() if v}
+
+    # pagination: page1 (k=5) + cursor -> page2 (k=5) == ranks 1..10
+    p1 = q.sorted_topk(spark, out, queries_df, "path", k=5).collect()
+    cur = {qid: (lst[-1][0], lst[-1][1])
+           for qid, lst in _collected(p1).items()}
+    p2 = q.sorted_topk(spark, out, queries_df, "path", k=5,
+                       after=cur).collect()
+    assert _collected(list(p1) + list(p2)) == got10
+
+
+def test_facet_counts_stored_index(spark, built, queries_df):
+    """Query-scoped terms aggregation over the stored index: per-facet
+    bucket counts over the full hit set equal a brute-force count, with
+    the ES (doc_count desc, key asc) top-N order."""
+    out, _ = built
+    hits = q._match_hits(spark, out, queries_df)
+    meta = spark.read.parquet(os.path.join(out, "docs")).select(
+        "doc_id", "lang")
+    ref = {}
+    for r in hits.join(meta, "doc_id").collect():
+        key = (r["query_id"], "lang", r["lang"])
+        ref[key] = ref.get(key, 0) + 1
+    expect = {}
+    for (qid, facet, key), n in ref.items():
+        expect.setdefault((qid, facet), []).append((-n, key))
+    want = set()
+    for (qid, facet), lst in expect.items():
+        for negn, key in sorted(lst)[:3]:
+            want.add((qid, facet, key, -negn))
+    got = {(r["query_id"], r["facet"], r["key"], r["doc_count"])
+           for r in q.facet_counts(spark, out, queries_df, ["lang"],
+                                   top_n=3).collect()}
+    assert got == want
