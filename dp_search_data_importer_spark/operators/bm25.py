@@ -363,22 +363,40 @@ class BoolSpec:
     - ``must``: every clause must match; matching clauses score.
     - ``should``: optional clauses that score when they match; at least
       ``minimum_should_match`` of them must match. ES defaults msm to 1
-      when the query has no must/filter context and 0 otherwise — the
-      constructor reproduces that default.
+      when the query has no must AND no filter context, 0 otherwise —
+      resolved at query assembly via :meth:`effective_msm` (the filter is
+      only known where the full query composes, e.g.
+      ``bool_topk_indexed(doc_filter=…)``).
     - ``must_not``: matching any of these excludes the doc; never scores.
+
+    Clauses are ES clauses, not terms: each must/should entry is either a
+    bare term or a ``(term, boost)`` pair (ES per-clause ``boost``), each
+    gets its own clause id, and msm/must counting is CLAUSE-indexed — a
+    term duplicated across two should clauses satisfies msm twice, as in
+    ES, and scores twice (Lucene sums per-clause contributions).
     """
 
-    def __init__(self, query_id: int, must: list[str] | None = None,
-                 should: list[str] | None = None,
+    def __init__(self, query_id: int, must: list | None = None,
+                 should: list | None = None,
                  must_not: list[str] | None = None,
                  minimum_should_match: int | None = None):
+        def _norm(cl):
+            out = []
+            for c in (cl or []):
+                if isinstance(c, (tuple, list)):
+                    out.append((str(c[0]), float(c[1])))
+                else:
+                    out.append((str(c), 1.0))
+            return out
+
         self.query_id = int(query_id)
-        self.must = list(must or [])
-        self.should = list(should or [])
-        self.must_not = list(must_not or [])
-        if minimum_should_match is None:
-            minimum_should_match = 0 if self.must else (1 if self.should else 0)
-        self.minimum_should_match = int(minimum_should_match)
+        self.must_clauses = _norm(must)
+        self.should_clauses = _norm(should)
+        self.must_not = [c[0] if isinstance(c, (tuple, list)) else str(c)
+                         for c in (must_not or [])]
+        self._explicit_msm = (None if minimum_should_match is None
+                              else int(minimum_should_match))
+        self.minimum_should_match = self.effective_msm(has_filter=False)
         if not self.must and not self.should:
             # a pure must_not query matches (almost) the whole corpus with
             # score 0 — that is a scan, not a ranked search; candidate
@@ -389,6 +407,24 @@ class BoolSpec:
                 "for pure filter-context queries"
             )
 
+    @property
+    def must(self) -> list[str]:
+        return [t for t, _ in self.must_clauses]
+
+    @property
+    def should(self) -> list[str]:
+        return [t for t, _ in self.should_clauses]
+
+    def effective_msm(self, has_filter: bool = False) -> int:
+        """ES 7.10 ``minimum_should_match`` default resolution: an explicit
+        value wins; otherwise 0 when the bool query has a must OR filter
+        clause, 1 when should clauses stand alone."""
+        if self._explicit_msm is not None:
+            return self._explicit_msm
+        if self.must_clauses or has_filter:
+            return 0
+        return 1 if self.should_clauses else 0
+
 
 def bool_topk(
     tf: DataFrame,
@@ -397,6 +433,7 @@ def bool_topk(
     stats: DataFrame,
     cfg: EngineConfig | None = None,
     k: int = 10,
+    has_filter: bool = False,
 ) -> DataFrame:
     """ES ``bool`` compound query twin — must (AND) + should with
     ``minimum_should_match`` + must_not, over a tf table, in ONE plan.
@@ -411,8 +448,12 @@ def bool_topk(
     HAVING filter rejects.
 
     Scoring is exactly ES: matched must/should clauses sum their BM25
-    contributions (a term listed in two clauses is two clauses and scores
-    twice, as in Lucene); must_not and the clause-count gates never score.
+    contributions times their per-clause ``boost`` (a term listed in two
+    clauses is two clauses — it satisfies clause counts twice and scores
+    twice, as in Lucene); must_not and the clause-count gates never
+    score. msm/must gates count matched CLAUSE IDS, not distinct terms.
+    ``has_filter`` marks ES filter context for the msm default
+    (:meth:`BoolSpec.effective_msm`).
     """
     from dp_search_data_importer_spark.session import local_df
 
@@ -421,16 +462,22 @@ def bool_topk(
     clause_rows = []
     tot_rows = []
     for s in specs:
-        for t in s.must:
-            clause_rows.append((s.query_id, t, "must"))
-        for t in s.should:
-            clause_rows.append((s.query_id, t, "should"))
+        cid = 0
+        for t, b in s.must_clauses:
+            clause_rows.append((s.query_id, cid, t, "must", b))
+            cid += 1
+        for t, b in s.should_clauses:
+            clause_rows.append((s.query_id, cid, t, "should", b))
+            cid += 1
         for t in s.must_not:
-            clause_rows.append((s.query_id, t, "not"))
-        tot_rows.append((s.query_id, len(set(s.must)),
-                         s.minimum_should_match))
-    clauses = local_df(spark, clause_rows,
-                       "query_id long, term string, role string")
+            clause_rows.append((s.query_id, cid, t, "not", 0.0))
+            cid += 1
+        tot_rows.append((s.query_id, len(s.must_clauses),
+                         s.effective_msm(has_filter)))
+    clauses = local_df(
+        spark, clause_rows,
+        "query_id long, clause_id long, term string, role string, "
+        "boost double")
     totals = local_df(spark, tot_rows, "query_id long, n_must long, msm long")
 
     cdf = clauses.join(dfs, "term", "inner")  # unseen terms drop out, as ES
@@ -439,16 +486,17 @@ def bool_topk(
         "term_score",
         F.when(
             F.col("role") != "not",
-            bm25_term_score(F.col("tf"), F.col("dl"), F.col("df"),
-                            F.col("n_docs"), F.col("avgdl"), cfg),
+            F.col("boost") * bm25_term_score(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"), cfg),
         ).otherwise(F.lit(0.0)),
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score"),
         F.count_distinct(
-            F.when(F.col("role") == "must", F.col("term"))).alias("nm"),
+            F.when(F.col("role") == "must", F.col("clause_id"))).alias("nm"),
         F.count_distinct(
-            F.when(F.col("role") == "should", F.col("term"))).alias("ns"),
+            F.when(F.col("role") == "should", F.col("clause_id"))).alias("ns"),
         F.max((F.col("role") == "not").cast("int")).alias("has_not"),
     )
     keep = (

@@ -361,7 +361,10 @@ def bool_topk_indexed(spark: SparkSession, out_dir: str, specs,
         tf = tf.join(allowed, "doc_id", "left_semi")
     dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
         F.col("term").isin(terms))
-    return bool_topk(tf, specs, dfs, stats_sdf, cfg, k or cfg.k)
+    # filter context is known HERE, so the ES msm default resolves here:
+    # a should-only spec under a filter defaults to msm=0 (ES 7.10), not 1
+    return bool_topk(tf, specs, dfs, stats_sdf, cfg, k or cfg.k,
+                     has_filter=doc_filter is not None)
 
 
 def resolve_docs(spark: SparkSession, out_dir: str, results: DataFrame) -> DataFrame:

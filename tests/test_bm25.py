@@ -340,3 +340,86 @@ def test_significant_terms_broadcast_gate(spark):
     n_hints_hint = len(re.findall(r"ResolvedHint", plan_hint))
     assert n_hints_hint == n_hints_wide + 1
     assert wide.collect() == hinted.collect()
+
+
+def test_bool_clause_fidelity(spark):
+    """ES clause-level fidelity: (a) msm counts CLAUSES, so a term
+    duplicated across two should clauses satisfies msm=2 by itself and
+    scores twice; (b) per-clause boost multiplies that clause's BM25
+    contribution; (c) the msm default resolves against filter context
+    (must or filter present → 0, should-only → 1)."""
+    import math
+
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec, bool_topk
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana"),
+        (3, "banana cherry"),
+        (4, "cherry"),
+    ]
+    docs = local_df(spark, rows, "doc_id long, text string")
+    tf = term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    dfs = doc_freqs(tf)
+    stats = corpus_stats_from_docs(docs)
+
+    # python reference for one term's bm25
+    n = len(rows)
+    dls = {i: len(t.split()) for i, t in rows}
+    avgdl = sum(dls.values()) / n
+    df_py: dict[str, int] = {}
+    for _, t in rows:
+        for w in set(t.split()):
+            df_py[w] = df_py.get(w, 0) + 1
+
+    def bm25(term, doc_id):
+        words = dict(rows)[doc_id].split()
+        tf_ = words.count(term)
+        if tf_ == 0:
+            return 0.0
+        idf = math.log(1 + (n - df_py[term] + 0.5) / (df_py[term] + 0.5))
+        return idf * tf_ * 2.2 / (tf_ + 1.2 * (0.25 + 0.75 * dls[doc_id] / avgdl))
+
+    def run(spec, **kw):
+        out = bool_topk(tf, [spec], dfs, stats, k=10, **kw).collect()
+        return {r["doc_id"]: r["score"] for r in out}
+
+    # (a) duplicate should clause: msm=2 is satisfiable by the ONE term
+    dup = run(BoolSpec(1, should=["apple", "apple"],
+                       minimum_should_match=2))
+    assert set(dup) == {1, 2}  # docs with apple — one term, two clauses
+    for d in dup:
+        assert abs(dup[d] - round(2 * bm25("apple", d), 4)) < 1e-6
+    # distinct-term counting would have returned nothing; two DIFFERENT
+    # clauses still gate correctly
+    two = run(BoolSpec(2, should=["apple", "cherry"],
+                       minimum_should_match=2))
+    assert set(two) == {1}
+
+    # (b) per-clause boost: (term, boost) pairs scale the contribution
+    boosted = run(BoolSpec(3, should=[("apple", 3.0), ("cherry", 1.0)]))
+    for d in boosted:
+        want = 3.0 * bm25("apple", d) + 1.0 * bm25("cherry", d)
+        assert abs(boosted[d] - round(want, 4)) < 1e-6, d
+    # boost reorders: cherry-only doc 4 outranks apple docs when cherry
+    # carries the boost
+    flipped = run(BoolSpec(4, should=[("apple", 0.01), ("cherry", 5.0)]))
+    assert max(flipped, key=flipped.get) in (3, 4)
+
+    # (c) msm default vs filter context: should-only defaults to 1
+    # without filter, 0 with (ES 7.10) — with msm=0 every candidate doc
+    # carrying ANY should term survives, same set here, but a spec whose
+    # should terms never co-occur shows the difference
+    spec = BoolSpec(5, should=["apple", "zzznope"])
+    assert spec.effective_msm(has_filter=False) == 1
+    assert spec.effective_msm(has_filter=True) == 0
+    assert BoolSpec(6, must=["apple"]).effective_msm() == 0
+    no_filter = run(spec, has_filter=False)
+    with_filter = run(spec, has_filter=True)
+    assert set(no_filter) == set(with_filter) == {1, 2}  # zzznope unseen
