@@ -382,3 +382,104 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
                                   n, min_hits).select("doc_id")
     return train.join(flagged.withColumnRenamed("doc_id", id_col),
                       id_col, "left_anti")
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Substring-level dedup: maximal token spans covered by ``n``-gram
+    shingles that appear in ≥ ``min_docs`` distinct documents — the
+    repeated-duplicate-span pass large-scale corpora run AFTER doc-level
+    dedup (boilerplate headers, license blocks, templated passages that
+    doc-level MinHash can't remove). The suffix-array formulation of the
+    same idea is Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2022); this is the shingle-bucketed equivalent on the
+    machinery already used for near-dup detection.
+
+    Dataflow (the 100 TB shape — never all-pairs):
+    1. positional shingles (doc_id, pos, xxhash64(shingle)) — narrow;
+    2. duplicated shingle keys: hash-groupBy on the shingle hash with a
+       distinct-doc count (two-phase agg, partials absorb hot
+       boilerplate shingles) — the ONE corpus-wide shuffle;
+    3. positions semi-join the duplicated keys (shuffle keyed on the
+       uniform shingle hash — skew-free by construction);
+    4. per-doc islands: overlapping/adjacent covered intervals
+       [pos, pos+n) merge via a lag window PARTITIONED BY doc — bounded
+       by doc length, embarrassingly parallel across docs.
+
+    Output: (doc_id, start_pos, end_pos, n_tokens) token-index spans,
+    end exclusive, positions over the non-empty lowercase token stream
+    (tokenizer-twin of the SQL oracle).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokenize_expr(text_col)
+    m = F.size(toks) - (n - 1)
+    pos_sh = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))).alias("sh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,sh:long>>"))
+    shingles = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pos_sh).alias("x"))
+        .select("doc_id", "x.pos", "x.sh")
+    )
+    dup = (shingles.groupBy("sh")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs).select("sh"))
+    marked = shingles.join(dup, "sh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    isl = marked.withColumn(
+        "new_isl",
+        F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0))
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        isl.withColumn("island", F.sum("new_isl").over(run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start_pos"),
+             (F.max("pos") + n).alias("end_pos"))
+        .select("doc_id",
+                F.col("start_pos").cast("long").alias("start_pos"),
+                F.col("end_pos").cast("long").alias("end_pos"),
+                (F.col("end_pos") - F.col("start_pos")).cast("long")
+                .alias("n_tokens"))
+    )
+    return spans
+
+
+def strip_duplicate_spans(df: DataFrame, spans: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep-pass twin of :func:`duplicate_spans`: rebuild each document's
+    token stream with the duplicated spans removed (docs fully covered
+    come back empty, docs without spans pass through verbatim). The span
+    list per doc is tiny (bounded by doc length / n), so it rides a
+    collect_list + doc-keyed join; removal is one Catalyst filter over
+    the token array with positional lambdas — no Python on the data
+    path."""
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("_spans"))
+    toks = tokenize_expr(text_col)
+    joined = df.join(sp.withColumnRenamed("doc_id", id_col), id_col, "left")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.coalesce(
+            F.exists(
+                F.col("_spans"),
+                lambda s: (i.cast("long") >= s["start_pos"])
+                & (i.cast("long") < s["end_pos"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text_stripped"),
+    )

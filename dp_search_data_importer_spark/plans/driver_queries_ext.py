@@ -1437,6 +1437,16 @@ def _bool_search_sql() -> str:
     """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup twin: maximal duplicated token spans
+    (8-gram shingles in ≥2 docs) over the augmented corpus, whose
+    truncated/exact copies guarantee non-trivial spans. Oracle replays
+    the positional shingles, the distinct-doc gate, and the lag-window
+    island merge in SQL (raw shingle strings where Spark buckets by
+    xxhash64 — same groups, collision-free at test scale)."""
+    return dd.duplicate_spans(_augmented_docs(spark, sf_dir), n=8)
+
+
 SRT_QUERIES = [(1, "hash join merge"), (2, "window agg"), (3, "the")]
 
 
@@ -1498,6 +1508,7 @@ def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "duplicate_spans": q_duplicate_spans,
     "sorted_search": q_sorted_search,
     "facet_counts": q_facet_counts,
     "facet_date_histogram": q_facet_date_histogram,
@@ -1620,6 +1631,48 @@ _MATCH_HITS_SQL = f"""
 """
 
 EXT_ORACLES = {
+    "duplicate_spans": f"""
+        WITH aug AS ({_AUG_SQL}),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS tk
+          FROM aug
+        ),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS i, tk
+          FROM toks WHERE len(tk) >= 8
+        ),
+        sh AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[i : i + 7], ' ') AS shingle
+          FROM pos
+        ),
+        dup AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        m AS (SELECT DISTINCT doc_id, pos FROM sh JOIN dup USING (shingle)),
+        g AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > 8
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        s AS (
+          SELECT doc_id, pos,
+                 sum(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS island
+          FROM g
+        )
+        SELECT doc_id, min(pos)::BIGINT AS start_pos,
+               (max(pos) + 8)::BIGINT AS end_pos,
+               (max(pos) + 8 - min(pos))::BIGINT AS n_tokens
+        FROM s GROUP BY doc_id, island
+    """,
     "sorted_search": f"""
         WITH {_MATCH_HITS_SQL}
         SELECT query_id, h.doc_id, d.n_chars

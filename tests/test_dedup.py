@@ -252,3 +252,55 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     other = stratified_sample(df, rates, key_col="source",
                               salt="mix2").collect()
     assert {r["doc_id"] for r in other} != {r["doc_id"] for r in got}
+
+
+def test_duplicate_spans_and_keep_pass(spark):
+    """Substring dedup: shared runs produce merged maximal spans; the
+    keep-pass removes exactly the span tokens and leaves clean docs
+    verbatim (token-wise)."""
+    from dp_search_data_importer_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = local_df(spark, [
+        (1, shared + " unique one two"),
+        (2, "intro words " + shared + " tail"),
+        (3, "totally different content with no overlap at all here now"),
+        (4, "short doc"),
+    ], "doc_id long, text string")
+    spans = duplicate_spans(docs, n=8).collect()
+    got = {(r["doc_id"], r["start_pos"], r["end_pos"]) for r in spans}
+    # the 10-token shared run: three overlapping 8-gram shingles merge
+    # into ONE maximal span per doc
+    assert got == {(1, 0, 10), (2, 2, 12)}
+    assert all(r["n_tokens"] == r["end_pos"] - r["start_pos"]
+               for r in spans)
+
+    stripped = {r["doc_id"]: r["text_stripped"]
+                for r in strip_duplicate_spans(
+                    docs, duplicate_spans(docs, n=8)).collect()}
+    assert stripped[1] == "unique one two"
+    assert stripped[2] == "intro words tail"
+    # clean docs: token stream unchanged
+    assert stripped[3].split() == (
+        "totally different content with no overlap at all here now".split())
+    assert stripped[4] == "short doc"
+
+
+def test_duplicate_spans_min_docs_gate(spark):
+    """A run present in only one doc is never a duplicate span; raising
+    min_docs drops spans shared by fewer docs."""
+    from dp_search_data_importer_spark.operators.dedup import duplicate_spans
+    from dp_search_data_importer_spark.session import local_df
+
+    run = "one two three four five six seven eight nine ten"
+    docs = local_df(spark, [
+        (1, run + " solo suffix text here"),
+        (2, run + " other ending entirely"),
+        (3, "nothing shared in this one at all beyond chance words"),
+    ], "doc_id long, text string")
+    assert duplicate_spans(docs, n=8, min_docs=3).count() == 0
+    assert duplicate_spans(docs, n=8, min_docs=2).count() == 2
