@@ -128,15 +128,23 @@ def _real_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
             "real audio decode handles PCM WAV only (librosa/av needed "
             f"for other codecs): {e}"
         ) from e
+    # a truncated/malformed data chunk (len not a multiple of the frame
+    # size) must surface the same descriptive stub-boundary error as a
+    # non-WAV payload, not an opaque numpy reshape failure that kills the
+    # whole Arrow batch (ADVICE r4)
+    frame_bytes = sw * max(nch, 1)
+    if sw not in (1, 2, 4) or frame_bytes == 0 \
+            or len(raw) % frame_bytes != 0:
+        raise NotImplementedError(
+            f"real audio decode: malformed/truncated PCM WAV (sample "
+            f"width {sw}, {nch} channels, {len(raw)} data bytes)")
     if sw == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:  # 8-bit WAV is unsigned
         arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
                - 128.0) / 128.0
-    elif sw == 4:
-        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
     else:
-        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
     arr = arr.reshape(-1, max(nch, 1))
     has = arr.size > 0
     rms_ch = np.sqrt((arr ** 2).mean(axis=0)) if has else np.zeros(max(nch, 1))

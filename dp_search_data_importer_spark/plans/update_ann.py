@@ -116,12 +116,14 @@ def recover_ann_for_read(path: str) -> bool:
     marker-less stage may be an upsert still staging and is left alone.
     One ``os.path.exists`` in the common case."""
     marker = os.path.join(path, _STAGE, _COMMIT)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        _apply_commit(path, meta)
-        return True
-    return False
+    if not os.path.exists(marker):
+        return False
+    from dp_search_data_importer_spark.plans.update_index import (
+        apply_commit_locked,
+    )
+
+    apply_commit_locked(path, marker, lambda meta: _apply_commit(path, meta))
+    return True
 
 
 def recover_ann(path: str) -> str:
@@ -136,13 +138,31 @@ def recover_ann(path: str) -> str:
                 continue
             acted = True
             # backup name _old_part_<v> ↔ live dir <part_col>=<v>; the
-            # part col is recoverable from any live sibling dir
+            # part col comes from any live sibling dir, else from the
+            # store's quantizer metadata (ADVICE r4: when no live
+            # partition dir remains, the backup may be the ONLY copy of
+            # that partition — restoring needs the metadata fallback,
+            # and an undeterminable target must PRESERVE the backup,
+            # never delete it)
             v = name[len(_OLD) + len("part_"):]
             pc = next((d.split("=", 1)[0] for d in os.listdir(path)
                        if "=" in d), None)
+            if pc is None:
+                if os.path.exists(os.path.join(path, "_quantizers.json")) \
+                        or os.path.exists(os.path.join(path,
+                                                       "_centroids.json")):
+                    pc = "cell"
+                elif os.path.exists(os.path.join(path, "_planes.json")):
+                    pc = "bucket"
             backup = os.path.join(path, name)
-            live = os.path.join(path, f"{pc}={v}") if pc else None
-            if live and not os.path.exists(live):
+            if pc is None:
+                raise RuntimeError(
+                    f"ANN store {path}: backup {name} present but the "
+                    "partition column is undeterminable (no live "
+                    "partition dir, no quantizer metadata) — refusing "
+                    "to delete what may be the only copy")
+            live = os.path.join(path, f"{pc}={v}")
+            if not os.path.exists(live):
                 os.rename(backup, live)
             else:
                 shutil.rmtree(backup)
@@ -215,7 +235,13 @@ def upsert_ann(spark: SparkSession, path: str, new_vecs: DataFrame,
         }
         with open(os.path.join(stage, _COMMIT), "w") as f:
             json.dump(meta, f)
-        _apply_commit(path, meta)
+        from dp_search_data_importer_spark.plans.update_index import (
+            apply_commit_locked,
+        )
+
+        # contend under the same lock as self-healing readers
+        apply_commit_locked(path, os.path.join(stage, _COMMIT),
+                            lambda m: _apply_commit(path, m))
         denom = n_store + max(n_new - n_replaced, 0)
         return {"received": int(received), "upserted": int(n_new),
                 "replaced": int(n_replaced),

@@ -69,6 +69,67 @@ from dp_search_data_importer_spark.plans.query import (
 _STAGE = "_upsert_stage"
 _COMMIT = "_COMMIT.json"
 _OLD = "_old_"  # backup prefix, flattened names at the index root
+_LOCKNAME = "_COMMIT.lock"
+
+
+def apply_commit_locked(root: str, marker: str, apply_fn,
+                        wait_s: float = 120.0,
+                        stale_s: float = 60.0) -> bool:
+    """Serialize commit application across processes (ADVICE r4 medium):
+    read-path self-healing made every reader a potential writer, and two
+    concurrent appliers racing the same rename sequence can throw
+    FileNotFoundError spuriously. An ``O_EXCL`` lockfile at the store
+    root claims the commit; losers wait for the marker to disappear
+    (the winner applies and removes it) instead of racing.
+
+    Crash-safety: a holder that dies leaves the lockfile behind — locks
+    older than ``stale_s`` are broken and re-claimed (``apply_fn`` is an
+    idempotent rename-based roll-forward, so a second application after
+    a genuine crash is safe; the staleness threshold only guards against
+    stealing from a LIVE, slow applier). Returns True iff THIS process
+    applied the commit; False when another process finished it first."""
+    import time
+
+    lock = os.path.join(root, _LOCKNAME)
+    deadline = time.monotonic() + wait_s
+    while True:
+        if not os.path.exists(marker):
+            return False
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # lock vanished: re-contend immediately
+            if age > stale_s:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock {lock} held past {wait_s}s while marker "
+                    f"{marker} persists — applier stuck?")
+            time.sleep(0.05)
+            continue
+        try:
+            os.write(fd, str(os.getpid()).encode())
+        finally:
+            os.close(fd)
+        try:
+            if not os.path.exists(marker):  # raced: winner already applied
+                return False
+            with open(marker) as f:
+                meta = json.load(f)
+            apply_fn(meta)
+            return True
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
 
 def _stage_dir(out_dir: str) -> str:
@@ -147,15 +208,18 @@ def recover_for_read(out_dir: str) -> bool:
     BACK: a marker-less stage may belong to an upsert that is still
     staging, and readers must not destroy it (the live index is untouched
     until the marker lands, so it is consistent regardless). Cost in the
-    common case: one ``os.path.exists``.
+    common case: one ``os.path.exists``. Application is serialized via
+    :func:`apply_commit_locked`, so concurrent readers (or a reader
+    racing the writer) can't race the rename sequence. Returns True iff
+    a roll-forward happened (by this process or a concurrent one while
+    we waited).
     """
     marker = os.path.join(_stage_dir(out_dir), _COMMIT)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        _apply_commit(out_dir, meta)
-        return True
-    return False
+    if not os.path.exists(marker):
+        return False
+    apply_commit_locked(out_dir, marker,
+                        lambda meta: _apply_commit(out_dir, meta))
+    return True
 
 
 def recover_index(out_dir: str) -> str:
@@ -166,9 +230,8 @@ def recover_index(out_dir: str) -> str:
     stage = _stage_dir(out_dir)
     marker = os.path.join(stage, _COMMIT)
     if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        _apply_commit(out_dir, meta)
+        apply_commit_locked(out_dir, marker,
+                            lambda meta: _apply_commit(out_dir, meta))
         return "forward"
     acted = False
     if os.path.exists(out_dir):
@@ -392,7 +455,9 @@ def upsert_docs(
         }
         with open(os.path.join(stage, _COMMIT), "w") as f:
             json.dump(meta, f)
-        _apply_commit(out_dir, meta)
+        # the writer contends under the same lock as self-healing readers
+        apply_commit_locked(out_dir, os.path.join(stage, _COMMIT),
+                            lambda m: _apply_commit(out_dir, m))
 
         return {"received": int(received), "upserted": int(n_new),
                 "replaced": int(n_replaced),

@@ -157,3 +157,32 @@ def test_decode_features_real_wav_audio(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|PCM WAV"):
         mm.decode_features(bad, decoder="real").collect()
+
+
+def test_truncated_wav_raises_stub_boundary_error():
+    """A WAV whose data chunk is not a multiple of the frame size must
+    raise the descriptive NotImplementedError stub-boundary signal, not
+    an opaque numpy error (ADVICE r4)."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from dp_search_data_importer_spark.operators.multimodal import (
+        _real_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 100, -100, 200, -200))
+    payload = bytearray(buf.getvalue())
+    # chop one byte off the data chunk WITHOUT patching the declared data
+    # size: wave trusts the header, readframes returns a partial frame,
+    # and the decode guard (not numpy) must reject it
+    payload = payload[:-1]
+    with _pytest.raises(NotImplementedError, match="malformed|truncated"):
+        _real_audio_features(bytes(payload))

@@ -652,3 +652,107 @@ def test_health_gated_stream_stops_and_resumes(spark, tmp_path):
     assert read_stats_json(idx)["n_docs"] == 31
     hits = q.exact_topk(spark, idx, queries, CFG, 10).collect()
     assert len(hits) == 1
+
+
+def test_apply_commit_locked_single_applier(tmp_path):
+    """N concurrent recover calls racing one staged commit: exactly ONE
+    applies (O_EXCL lockfile), the rest wait for the marker to clear —
+    no FileNotFoundError from racing the same rename sequence."""
+    import json
+    import os
+    import threading
+    import time
+
+    from dp_search_data_importer_spark.plans.update_index import (
+        apply_commit_locked,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    marker = os.path.join(root, "_COMMIT.json")
+    with open(marker, "w") as f:
+        json.dump({"x": 1}, f)
+
+    applied = []
+    lock = threading.Lock()
+
+    def apply_fn(meta):
+        with lock:
+            applied.append(meta)
+        time.sleep(0.2)          # widen the race window
+        os.remove(marker)        # the real _apply_commit consumes it
+
+    results = []
+
+    def run():
+        results.append(apply_commit_locked(root, marker, apply_fn))
+
+    threads = [threading.Thread(target=run) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(applied) == 1
+    assert sorted(results) == [False] * 7 + [True]
+    assert not os.path.exists(os.path.join(root, "_COMMIT.lock"))
+
+
+def test_apply_commit_locked_breaks_stale_lock(tmp_path):
+    """A lockfile left by a crashed applier (old mtime) is broken and the
+    commit still rolls forward."""
+    import json
+    import os
+    import time
+
+    from dp_search_data_importer_spark.plans.update_index import (
+        apply_commit_locked,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    marker = os.path.join(root, "_COMMIT.json")
+    with open(marker, "w") as f:
+        json.dump({}, f)
+    lock = os.path.join(root, "_COMMIT.lock")
+    with open(lock, "w") as f:
+        f.write("dead")
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+
+    seen = []
+
+    def apply_fn(meta):
+        seen.append(meta)
+        os.remove(marker)
+
+    assert apply_commit_locked(root, marker, apply_fn, stale_s=60.0) is True
+    assert seen == [{}]
+
+
+def test_recover_ann_backup_without_live_partition(tmp_path):
+    """ADVICE r4: a _old_part_* backup with NO live partition dir must be
+    RESTORED via the quantizer-metadata part col — and with no metadata
+    either, recovery refuses rather than deleting the only copy."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from dp_search_data_importer_spark.plans.update_ann import recover_ann
+
+    store = str(tmp_path / "ann")
+    os.makedirs(os.path.join(store, "_old_part_3"))
+    with open(os.path.join(store, "_old_part_3", "part-0.parquet"),
+              "wb") as f:
+        f.write(b"data")
+    # no live dirs, no metadata -> refuse
+    with _pytest.raises(RuntimeError, match="only copy"):
+        recover_ann(store)
+    assert os.path.exists(os.path.join(store, "_old_part_3"))
+
+    # with planes metadata the part col is known -> restore to bucket=3
+    with open(os.path.join(store, "_planes.json"), "w") as f:
+        json.dump({"planes": []}, f)
+    assert recover_ann(store) == "back"
+    assert os.path.exists(os.path.join(store, "bucket=3", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(store, "_old_part_3"))
