@@ -160,6 +160,54 @@ def _real_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim] + [0.0] * max(0, dim - len(feats))
 
 
+def _av_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real video branch (round 5): container parsed with PyAV when the
+    ``av`` package is importable (same gated pattern as the PIL image and
+    stdlib-wave audio branches — the lib is absent from this sandbox, so
+    the branch ships skip-clean-tested and honestly raises otherwise).
+    Emits [width, height, n_frames, duration_s, fps, n_video_streams,
+    n_audio_streams, bit_rate/1e6] from the actual container."""
+    if not _av_available():
+        raise NotImplementedError(
+            "real video decode requires av — not installed; filter kinds "
+            "or use decoder='fake'")
+    import io
+
+    import av
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            vstreams = [s for s in container.streams if s.type == "video"]
+            astreams = [s for s in container.streams if s.type == "audio"]
+            if not vstreams:
+                raise NotImplementedError(
+                    "real video decode: container has no video stream")
+            v = vstreams[0]
+            n_frames = v.frames or sum(1 for _ in container.decode(v))
+            dur = (float(container.duration) / av.time_base
+                   if container.duration else 0.0)
+            fps = float(v.average_rate) if v.average_rate else 0.0
+            feats = [
+                float(v.codec_context.width), float(v.codec_context.height),
+                float(n_frames), dur, fps,
+                float(len(vstreams)), float(len(astreams)),
+                float(container.bit_rate or 0) / 1e6,
+            ]
+    except av.AVError as e:  # malformed container: same stub-boundary signal
+        raise NotImplementedError(
+            f"real video decode: unreadable container: {e}") from e
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def decode_features(media: DataFrame, strict: bool = False,
                     decoder: str = "fake") -> DataFrame:
     """(media_id, kind, features array<double>) via one Arrow pass.
@@ -170,9 +218,10 @@ def decode_features(media: DataFrame, strict: bool = False,
       oracle; keeps the pipeline testable end-to-end with no media libs.
     - ``"real"``: decode actual media — images via PIL (dimensions, mean
       channels, gray std, aspect), PCM WAV audio via the stdlib ``wave``
-      module (sample rate, channels, duration, per-channel RMS, peak);
-      video stays gated behind ``NotImplementedError`` until av exists in
-      the image.
+      module (sample rate, channels, duration, per-channel RMS, peak),
+      video containers via PyAV when importable (dimensions, frames,
+      duration, fps, streams); each lib absent ⇒ a descriptive
+      ``NotImplementedError`` marks the stub boundary.
     - ``"auto"``: real when the decoder lib is importable, else fake.
 
     ``strict=True`` (back-compat) forces ``"real"`` and raises
@@ -200,10 +249,12 @@ def decode_features(media: DataFrame, strict: bool = False,
                         feats.append(_real_image_features(p))
                     elif kind == "audio":
                         feats.append(_real_audio_features(p))
+                    elif kind == "video":
+                        feats.append(_real_video_features(p))
                     else:
                         raise NotImplementedError(
-                            f"real {kind} decode requires av — not "
-                            "installed; filter kinds or use decoder='fake'"
+                            f"real {kind} decode unsupported; filter "
+                            "kinds or use decoder='fake'"
                         )
             else:
                 feats = [_fake_features(p) for p in pdf["payload"]]

@@ -259,8 +259,21 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     input token, the top-3 dictionary corrections within edit distance 2,
     ranked by (distance asc, df desc, term asc) — ES's default
     suggest-mode ordering shape. Catalyst levenshtein over the dictionary
-    with a length-window prune; broadcast inputs. Oracle: DuckDB
-    levenshtein, same window."""
+    with SOUND cheap prunes applied before the edit-distance kernel:
+    a ±2 length window and a character-set bound (each character present
+    in one string but absent from the other costs ≥1 edit, so candidates
+    whose char-set difference exceeds 2 in either direction can't be
+    within distance 2). Broadcast inputs.
+
+    Scale note: this is the distributed linear-scan form — one pass over
+    the term dictionary per suggest batch, columnar, embarrassingly
+    parallel, with the prunes cutting the levenshtein fan-out ~10×.
+    Lucene's FST/Levenshtein-automaton candidate generation is the
+    SUBLINEAR form; if the dictionary reaches 10⁹ terms, partition it by
+    (length, first char-set byte) so the prunes become partition pruning
+    instead of a scan-side filter. Oracle: DuckDB levenshtein, same
+    length window (the char-set prune is results-preserving, so the
+    oracle needn't replicate it)."""
     from dp_search_data_importer_spark.operators.postings import (
         doc_freqs,
         term_freqs_sql,
@@ -271,9 +284,16 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dfs = doc_freqs(term_freqs_sql(docs, id_col="doc_id", text_col="text"))
     inp = local_df(spark, SPELL_INPUTS, "query_id long, token string")
-    j = dfs.join(F.broadcast(inp),
-                 (F.length("term") >= F.length("token") - 2)
-                 & (F.length("term") <= F.length("token") + 2))
+
+    def chars(c):
+        return F.array_distinct(F.split(F.col(c), ""))
+
+    j = dfs.join(
+        F.broadcast(inp),
+        (F.length("term") >= F.length("token") - 2)
+        & (F.length("term") <= F.length("token") + 2)
+        & (F.size(F.array_except(chars("term"), chars("token"))) <= 2)
+        & (F.size(F.array_except(chars("token"), chars("term"))) <= 2))
     j = j.withColumn("dist", F.levenshtein(F.col("term"), F.col("token")))
     j = j.filter(F.col("dist") <= 2)
     w = Window.partitionBy("query_id").orderBy(

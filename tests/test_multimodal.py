@@ -186,3 +186,53 @@ def test_truncated_wav_raises_stub_boundary_error():
     payload = payload[:-1]
     with _pytest.raises(NotImplementedError, match="malformed|truncated"):
         _real_audio_features(bytes(payload))
+
+
+def test_real_video_features_with_av():
+    """Real video branch: dimensions/frames/duration/fps from an actual
+    container when PyAV exists — skipped cleanly otherwise, like the PIL
+    and spark-avro gates."""
+    import io
+
+    import pytest
+
+    av = pytest.importorskip("av")
+    import numpy as np
+
+    from dp_search_data_importer_spark.operators.multimodal import (
+        _real_video_features,
+    )
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 64, 48
+        stream.pix_fmt = "yuv420p"
+        for i in range(10):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((48, 64, 3), i * 20, dtype=np.uint8), format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    feats = _real_video_features(buf.getvalue())
+    assert feats[0] == 64.0 and feats[1] == 48.0
+    assert feats[2] == 10.0            # frames
+    assert abs(feats[3] - 1.0) < 0.2   # ~1s at 10 fps
+    assert abs(feats[4] - 10.0) < 0.1  # fps
+
+
+def test_real_video_gate_without_av():
+    """Without av, video under decoder='real' raises the documented
+    stub-boundary error."""
+    import pytest
+
+    from dp_search_data_importer_spark.operators.multimodal import (
+        _av_available,
+        _real_video_features,
+    )
+
+    if _av_available():
+        pytest.skip("av present: gate test not applicable")
+    with pytest.raises(NotImplementedError, match="requires av"):
+        _real_video_features(b"\x00\x00\x00\x18ftypmp42")

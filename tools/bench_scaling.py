@@ -170,8 +170,16 @@ def _spark_class() -> tuple[str, dict]:
     return os.path.join(sh, "bin", "spark-class"), env
 
 
-def _master_state() -> dict:
-    with urllib.request.urlopen("http://127.0.0.1:8091/json/",
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _master_state(webui_port: int) -> dict:
+    with urllib.request.urlopen(f"http://127.0.0.1:{webui_port}/json/",
                                 timeout=2) as r:
         return json.load(r)
 
@@ -185,6 +193,13 @@ class Standalone:
         self.cpusets = cpusets
         self.cores_per_worker = cores_per_worker
         self.worker_mem = worker_mem
+        # ports are env-overridable and default to FREE ports so a
+        # concurrent bench (or any Spark master already on this host)
+        # can't collide or get its cluster measured by mistake (ADVICE r4)
+        self.master_port = int(os.environ.get("SPARK_GRAFT_MASTER_PORT",
+                                              0)) or _free_port()
+        self.webui_port = int(os.environ.get("SPARK_GRAFT_WEBUI_PORT",
+                                             0)) or _free_port()
         self.procs: list[subprocess.Popen] = []
         self.log = open(os.path.join(tempfile.gettempdir(),
                                      "scale_standalone.log"), "a")
@@ -193,11 +208,12 @@ class Standalone:
         sc, env = _spark_class()
         self.procs.append(subprocess.Popen(
             [sc, "org.apache.spark.deploy.master.Master",
-             "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8091"],
+             "-h", "127.0.0.1", "-p", str(self.master_port),
+             "--webui-port", str(self.webui_port)],
             env=env, stdout=self.log, stderr=self.log))
         for _ in range(60):
             try:
-                if _master_state()["status"] == "ALIVE":
+                if _master_state(self.webui_port)["status"] == "ALIVE":
                     break
             except Exception:
                 time.sleep(1)
@@ -209,14 +225,15 @@ class Standalone:
             self.procs.append(subprocess.Popen(
                 ["taskset", "-c", cpus, sc,
                  "org.apache.spark.deploy.worker.Worker",
-                 "spark://127.0.0.1:7077",
+                 f"spark://127.0.0.1:{self.master_port}",
                  "-c", str(self.cores_per_worker), "-m", self.worker_mem,
-                 "--webui-port", str(8101 + i)],
+                 "--webui-port", str(_free_port())],
                 env=wenv, stdout=self.log, stderr=self.log))
         want = len(self.cpusets)
         for _ in range(60):
             try:
-                alive = [w for w in _master_state().get("workers", [])
+                alive = [w for w in
+                         _master_state(self.webui_port).get("workers", [])
                          if w["state"] == "ALIVE"]
                 if len(alive) >= want:
                     break
@@ -225,7 +242,7 @@ class Standalone:
             time.sleep(1)
         else:
             raise RuntimeError(f"only registered {want} standalone workers")
-        return "spark://127.0.0.1:7077"
+        return f"spark://127.0.0.1:{self.master_port}"
 
     def __exit__(self, *exc) -> None:
         for p in reversed(self.procs):
