@@ -1527,11 +1527,68 @@ def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` aggregation over each query's hit set: fixed
+    numeric interval buckets of n_chars (interval 200, ES default
+    min_doc_count=1 semantics — empty buckets omitted)."""
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    j = hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        j.groupBy("query_id",
+                  (F.floor(F.col("n_chars") / 200) * 200)
+                  .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats`` aggregation over each query's hit set: count, min,
+    max, sum, avg of a numeric field (n_chars). Sum/avg go through exact
+    integer arithmetic (BIGINT sum, avg = sum/count rounded) so
+    partial-agg order can't change the answer."""
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    j = hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        j.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+             F.min("n_chars").cast("long").alias("min_chars"),
+             F.max("n_chars").cast("long").alias("max_chars"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+        .withColumn("avg_chars",
+                    F.round(F.col("sum_chars") / F.col("doc_count"), 4))
+    )
+
+
+def q_range_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool filter-context twin as an oracle-checked contract query:
+    BM25-ranked match hits gated by a metadata RANGE predicate
+    (n_chars between 300 and 1500) that never contributes to the score —
+    scoring statistics stay GLOBAL (corpus-wide df/avgdl), exactly ES
+    filter semantics. The dataflow form of plans/query.filtered_topk."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import postings as po
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = po.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, SRT_QUERIES, "query_id long, query_text string")
+    qt = bm25_ops.query_terms(qdf)
+    scores = bm25_ops.bm25_scores(tf, qt, po.doc_freqs(tf),
+                                  po.corpus_stats_from_docs(docs))
+    allowed = docs.filter((F.col("n_chars") >= 300)
+                          & (F.col("n_chars") <= 1500)).select("doc_id")
+    return bm25_ops.topk(scores.join(F.broadcast(allowed), "doc_id",
+                                     "left_semi"), 10)
+
+
 EXT_QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "sorted_search": q_sorted_search,
     "facet_counts": q_facet_counts,
     "facet_date_histogram": q_facet_date_histogram,
+    "histogram_facet": q_histogram_facet,
+    "facet_stats": q_facet_stats,
+    "range_filtered_search": q_range_filtered_search,
     "sessionize_events": q_sessionize_events,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bool_search": q_bool_search,
@@ -2790,4 +2847,70 @@ EXT_ORACLES["search_highlights"] = """
     SELECT doc_id, term, (pos1 - 1)::BIGINT AS pos,
            array_to_string(tk[greatest(pos1 - 5, 1) : greatest(pos1 - 5, 1) + 10], ' ') AS snippet
     FROM h WHERE pos1 > 0
+"""
+
+EXT_ORACLES["histogram_facet"] = f"""
+    WITH {_MATCH_HITS_SQL}
+    SELECT query_id, (floor(d.n_chars / 200) * 200)::BIGINT AS bucket,
+           count(*)::BIGINT AS doc_count
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    GROUP BY 1, 2
+"""
+
+EXT_ORACLES["facet_stats"] = f"""
+    WITH {_MATCH_HITS_SQL}
+    SELECT query_id, count(*)::BIGINT AS doc_count,
+           min(d.n_chars)::BIGINT AS min_chars,
+           max(d.n_chars)::BIGINT AS max_chars,
+           sum(d.n_chars)::BIGINT AS sum_chars,
+           round(sum(d.n_chars)::DOUBLE / count(*), 4) AS avg_chars
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    GROUP BY 1
+"""
+
+EXT_ORACLES["range_filtered_search"] = f"""
+    WITH q(query_id, query_text) AS (VALUES {_SRT_QUERY_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             coalesce(sum(l.dl), 0)::DOUBLE / count(*) AS avgdl
+      FROM documents d LEFT JOIN dl l ON d.doc_id = l.doc_id
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    gated AS (
+      SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score
+      FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+      WHERE d.n_chars BETWEEN 300 AND 1500
+    )
+    SELECT query_id, doc_id, score FROM gated
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
 """
