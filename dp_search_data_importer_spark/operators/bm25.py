@@ -632,3 +632,60 @@ def _cross_fields_topk(docs, field_boosts, qt, cfg, k,
     out = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score"))
     return topk(out, k or cfg.k)
+
+
+def dis_max_scores(branches: list[DataFrame],
+                   tie_breaker: float = 0.0) -> DataFrame:
+    """ES ``dis_max`` query twin over ARBITRARY subqueries — the general
+    form of which ``multi_match(best_fields)`` is the per-field special
+    case. Each branch is any scored frame (query_id, doc_id, score): a
+    match query, a phrase query, a fielded query… Per (query, doc):
+    score = max(branch scores) + tie_breaker · Σ(other branch scores) —
+    Lucene's DisjunctionMaxQuery combination (tie_breaker=0 is pure
+    dis-max, 1.0 degenerates to a plain should-sum).
+
+    Scale shape: union of the branch plans into ONE hash agg with
+    map-side partials — no join between branches, no window."""
+    union = branches[0]
+    for b in branches[1:]:
+        union = union.unionByName(b)
+    return union.groupBy("query_id", "doc_id").agg(
+        (F.max("score")
+         + F.lit(float(tie_breaker))
+         * (F.sum("score") - F.max("score"))).alias("score"))
+
+
+def rescore_topk(base: DataFrame, rescorer: DataFrame, window_size: int,
+                 k: int, query_weight: float = 1.0,
+                 rescore_weight: float = 1.0,
+                 round_digits: int = 4) -> DataFrame:
+    """ES ``rescore`` twin: re-rank only the top ``window_size`` hits of
+    a cheap first-pass query with an expensive second query — the
+    standard ES pattern for phrase-boosting a match query without paying
+    phrase cost on the full corpus. Final score (ES ``total`` score
+    mode): query_weight·base + rescore_weight·rescore, docs outside the
+    window keep their base ranking but can no longer enter the top-k
+    ahead of rescored docs only if their base score ranks them there —
+    exactly ES semantics: the window is selected by base order, then the
+    whole window re-sorts by the combined score.
+
+    ``base``/``rescorer``: (query_id, doc_id, score) frames. Rounding
+    snaps BEFORE window selection (same determinism contract as
+    :func:`topk`), and the rescore join is a left join so window docs
+    the rescorer does not match keep score = qw·base.
+
+    Scale shape: window selection is the existing top-k machinery (the
+    per-query window over candidates); the rescore join then touches
+    only |queries|·window_size rows — the whole point of rescoring. At
+    stored-index scale the rescorer runs over ONLY the window doc set
+    (pushed semi-join), never the corpus."""
+    window = topk(base, window_size, round_digits=round_digits)
+    joined = window.withColumnRenamed("score", "base_score").join(
+        rescorer.withColumnRenamed("score", "re_score"),
+        ["query_id", "doc_id"], "left")
+    combined = joined.select(
+        "query_id", "doc_id",
+        (F.lit(float(query_weight)) * F.col("base_score")
+         + F.lit(float(rescore_weight))
+         * F.coalesce(F.col("re_score"), F.lit(0.0))).alias("score"))
+    return topk(combined, k, round_digits=round_digits)

@@ -363,3 +363,82 @@ def term_snippets(docs: DataFrame, terms: list[str], window: int = 5,
         F.concat_ws(
             " ", F.slice("toks", start, 2 * window + 1)).alias("snippet"),
     )
+
+
+def expand_prefix_terms(term_dict: DataFrame, prefix: str,
+                        max_expansions: int = 50,
+                        term_col: str = "term") -> list[str]:
+    """Expand a prefix against the term dictionary in TERM-DICTIONARY
+    (lexicographic) order, capped at ``max_expansions`` — exactly how ES
+    ``match_phrase_prefix`` selects expansions (its documented "first
+    max_expansions terms in term order" behavior, the source of its
+    famous can't-find-longer-terms caveat, which we reproduce
+    faithfully rather than fix).
+
+    Scale shape: the LIKE-prefix predicate prunes the dictionary scan
+    (range predicate on a sorted/dictionary-encoded column), and
+    ``orderBy().limit()`` is a TakeOrdered — the driver collects ≤
+    max_expansions strings, bounded regardless of dictionary size."""
+    rows = (term_dict.filter(F.col(term_col).startswith(prefix))
+            .select(term_col).distinct()
+            .orderBy(F.col(term_col).asc()).limit(max_expansions).collect())
+    return [r[term_col] for r in rows]
+
+
+def phrase_prefix_matches_batch(
+        pos: DataFrame,
+        phrases: list[tuple[int, list[str], list[str]]]) -> DataFrame:
+    """ES ``match_phrase_prefix`` twin: (query_id, doc_id, phrase_tf, dl)
+    where the LAST slot of each phrase matches ANY of its expansion
+    terms — Lucene's MultiPhraseQuery: the last slot's position set is
+    the UNION of the expansions' positions, then the same idx-shifted
+    intersection as the exact batch. ``phrases`` is
+    (query_id, leading_tokens, last_slot_expansions).
+
+    Physical shape: the same single broadcast slot join as
+    :func:`phrase_matches_batch`, except the slot table carries multiple
+    term rows for the last idx, and a per-(query, doc, idx) pre-agg
+    unions the position arrays before the Catalyst intersect fold —
+    still one shuffle, zero Python."""
+    from dp_search_data_importer_spark.session import local_df
+
+    spark = pos.sparkSession
+    slot_rows = []
+    len_rows = []
+    for qid, toks, expansions in phrases:
+        for i, t in enumerate(toks):
+            slot_rows.append((qid, i, t))
+        for e in expansions:
+            slot_rows.append((qid, len(toks), e))
+        len_rows.append((qid, len(toks) + 1))
+    slots = local_df(spark, slot_rows, "query_id long, idx int, term string")
+    qlens = local_df(spark, len_rows, "query_id long, n_tokens int")
+
+    j = pos.join(F.broadcast(slots), "term")
+    # MultiPhrase pre-agg: union positions across the slot's terms
+    per_slot = (
+        j.groupBy("query_id", "doc_id", "idx")
+        .agg(F.first("dl").alias("dl"),
+             F.array_sort(F.array_distinct(
+                 F.flatten(F.collect_list("positions")))).alias("positions"))
+    )
+    agg = (
+        per_slot.groupBy("query_id", "doc_id")
+        .agg(F.first("dl").alias("dl"),
+             F.count(F.lit(1)).alias("n_idx"),
+             F.collect_list(F.struct("idx", "positions")).alias("arr"))
+        .join(F.broadcast(qlens), "query_id")
+        .filter(F.col("n_idx") == F.col("n_tokens"))
+    )
+    shifted = F.transform(
+        "arr", lambda x: F.transform(x["positions"], lambda p: p - x["idx"]))
+    folded = F.aggregate(
+        F.slice(shifted, F.lit(2), F.size(shifted) - F.lit(1)),
+        F.element_at(shifted, 1),
+        lambda acc, s: F.array_intersect(acc, s),
+    )
+    return (
+        agg.select("query_id", "doc_id",
+                   F.size(folded).cast("long").alias("phrase_tf"), "dl")
+        .filter(F.col("phrase_tf") > 0)
+    )

@@ -1581,7 +1581,173 @@ def q_range_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "left_semi"), 10)
 
 
+RANGE_BUCKETS = [(None, 300.0), (300.0, 1000.0), (1000.0, 3000.0),
+                 (3000.0, None)]
+PCT_LIST = [25.0, 50.0, 75.0, 95.0]
+
+
+def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation twin over each query's hit set: explicit
+    [from, to) n_chars buckets, empty buckets emitted (ES range-agg
+    contract, unlike histogram)."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    return aggs.range_agg(hits, docs.select("doc_id", "n_chars"),
+                          "n_chars", RANGE_BUCKETS)
+
+
+def q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation twin: exact linear-interpolation
+    percentiles of n_chars per query hit set (the definition ES's
+    t-digest approximates; swap for percentile_approx at 100 TB)."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    return aggs.percentiles_agg(hits, docs.select("doc_id", "n_chars"),
+                                "n_chars", PCT_LIST)
+
+
+def q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation twin: exact distinct counts of
+    lang/source per query hit set; the approx=True path is Spark's
+    HLL++ — the literal ES algorithm — kept for the 100 TB shape and
+    tested with tolerance in pytest."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    return aggs.cardinality_agg(hits, docs.select("doc_id", "lang", "source"),
+                                ["lang", "source"])
+
+
+def q_facet_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` twin: count/min/max/sum/sum_of_squares/avg/
+    population variance/std-dev of n_chars per query hit set, derived
+    from exact BIGINT sums so partial-agg order cannot flip bits."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    return aggs.extended_stats_agg(hits, docs.select("doc_id", "n_chars"),
+                                   "n_chars")
+
+
+def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` sub-aggregation twin: per (query,
+    lang) bucket the top-2 docs by n_chars desc (doc_id asc tie-break)
+    — the "best result per category" shape."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    return aggs.top_hits_agg(hits, docs.select("doc_id", "lang", "n_chars"),
+                             "lang", "n_chars", hits_per_bucket=2)
+
+
+def q_composite_agg_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation pagination twin: page 2 (size 5) of
+    the (lang, source) bucket stream per query, resumed from page 1's
+    ``after_key`` — the cursor is a pushed strict-greater predicate on
+    the key tuple, so page 2 aggregates only buckets past it (oracle:
+    ranks 6..10 of the same total bucket order)."""
+    from dp_search_data_importer_spark.operators import aggs
+
+    docs, hits = _match_hits_df(spark, sf_dir, SRT_QUERIES)
+    meta = docs.select("doc_id", "lang", "source")
+    keys = ["lang", "source"]
+    page1 = aggs.composite_page(hits, meta, keys, 5).collect()
+    after = aggs.composite_after_key(page1, keys)
+    return aggs.composite_page(hits, meta, keys, 5, after=after)
+
+
+DMX_QUERIES = [(1, "hash join"), (2, "window agg"), (3, "merge sort")]
+
+
+def _dmx_branches(spark: SparkSession, sf_dir: str):
+    """(match-scores, phrase-scores) branch frames for the dis_max /
+    rescore twins: branch 1 is the plain BM25 OR-match, branch 2 the
+    exact-phrase score of the same text."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.operators import postings as po
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = po.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qdf = local_df(spark, DMX_QUERIES, "query_id long, query_text string")
+    qt = bm25_ops.query_terms(qdf)
+    stats = po.corpus_stats_from_docs(docs)
+    match_scores = bm25_ops.bm25_scores(tf, qt, po.doc_freqs(tf), stats)
+    srow = stats.collect()[0]
+    pos = ph.doc_positions(docs, code_aware=False)
+    qtoks = [(qid, text.split()) for qid, text in DMX_QUERIES]
+    m = ph.phrase_matches_batch(pos, qtoks)
+    phrase_scores = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    return match_scores, phrase_scores
+
+
+def q_dis_max_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` query twin over HETEROGENEOUS subqueries (the
+    general form of best_fields): match(text) vs match_phrase(text)
+    branches, tie_breaker=0.3, top-10. Oracle replays both scorers and
+    the max + tb·(sum−max) combination in SQL."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+
+    match_scores, phrase_scores = _dmx_branches(spark, sf_dir)
+    combined = bm25_ops.dis_max_scores([match_scores, phrase_scores],
+                                       tie_breaker=0.3)
+    return bm25_ops.topk(combined, 10)
+
+
+def q_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` twin: BM25 match top-50 window per query, re-ranked
+    by query_weight·bm25 + rescore_weight·phrase (the canonical ES
+    phrase-boost rescorer), top-10 of the combined order. Docs in the
+    window the phrase misses keep qw·bm25 (left join) — exact ES
+    ``total`` score mode."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+
+    match_scores, phrase_scores = _dmx_branches(spark, sf_dir)
+    return bm25_ops.rescore_topk(match_scores, phrase_scores,
+                                 window_size=50, k=10,
+                                 query_weight=1.0, rescore_weight=2.0)
+
+
+PFX_PHRASES: list[tuple[int, list[str], str]] = [
+    (1, ["hash"], "jo"), (2, ["window"], "s"), (3, ["big"], "ta")]
+
+
+def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` twin: the last term is a PREFIX,
+    expanded against the term dictionary in lexicographic order capped
+    at max_expansions=50 (the documented ES behavior), then matched as
+    a MultiPhraseQuery — last-slot positions are the UNION over
+    expansions. Scored like match_phrase (exact df over the matched
+    set), top-10."""
+    from dp_search_data_importer_spark.operators import bm25 as bm25_ops
+    from dp_search_data_importer_spark.operators import phrase as ph
+    from dp_search_data_importer_spark.operators import postings as po
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = po.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    term_dict = tf.select("term").distinct()
+    pos = ph.doc_positions(docs, code_aware=False)
+    srow = po.corpus_stats_from_docs(docs).collect()[0]
+    batch = [(qid, toks, ph.expand_prefix_terms(term_dict, prefix))
+             for qid, toks, prefix in PFX_PHRASES]
+    m = ph.phrase_prefix_matches_batch(pos, batch)
+    scored = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    return bm25_ops.topk(scored, 10)
+
+
 EXT_QUERIES = {
+    "facet_range": q_facet_range,
+    "facet_percentiles": q_facet_percentiles,
+    "facet_cardinality": q_facet_cardinality,
+    "facet_extended_stats": q_facet_extended_stats,
+    "facet_top_hits": q_facet_top_hits,
+    "composite_agg_page2": q_composite_agg_page2,
+    "dis_max_search": q_dis_max_search,
+    "rescore_phrase": q_rescore_phrase,
+    "match_phrase_prefix": q_match_phrase_prefix,
     "duplicate_spans": q_duplicate_spans,
     "sorted_search": q_sorted_search,
     "facet_counts": q_facet_counts,
@@ -2914,3 +3080,271 @@ EXT_ORACLES["range_filtered_search"] = f"""
     QUALIFY row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 2: aggregation family + dis_max / rescore / phrase_prefix
+
+_RANGE_VALUES = ", ".join(
+    "('{key}', {lo}, {hi})".format(
+        key=("*" if lo is None else f"{lo:g}") + "-"
+            + ("*" if hi is None else f"{hi:g}"),
+        lo="CAST(NULL AS DOUBLE)" if lo is None else f"{lo!r}::DOUBLE",
+        hi="CAST(NULL AS DOUBLE)" if hi is None else f"{hi!r}::DOUBLE")
+    for lo, hi in RANGE_BUCKETS)
+
+EXT_ORACLES["facet_range"] = f"""
+    WITH {_MATCH_HITS_SQL},
+    r(range_key, range_from, range_to) AS (VALUES {_RANGE_VALUES}),
+    j AS (
+      SELECT h.query_id, d.n_chars::DOUBLE AS v
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    ),
+    c AS (
+      SELECT j.query_id, r.range_key, count(*)::BIGINT AS doc_count
+      FROM j JOIN r ON (r.range_from IS NULL OR j.v >= r.range_from)
+                   AND (r.range_to IS NULL OR j.v < r.range_to)
+      GROUP BY 1, 2
+    ),
+    qids AS (SELECT DISTINCT query_id FROM hits)
+    SELECT q.query_id, r.range_key, r.range_from, r.range_to,
+           coalesce(c.doc_count, 0)::BIGINT AS doc_count
+    FROM qids q CROSS JOIN r
+    LEFT JOIN c ON c.query_id = q.query_id AND c.range_key = r.range_key
+"""
+
+EXT_ORACLES["facet_percentiles"] = f"""
+    WITH {_MATCH_HITS_SQL},
+    j AS (
+      SELECT h.query_id, d.n_chars::DOUBLE AS v
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    )
+    {" UNION ALL ".join(
+        f"SELECT query_id, {p!r}::DOUBLE AS percent, "
+        f"round(quantile_cont(v, {p / 100.0!r}), 4) AS value "
+        f"FROM j GROUP BY query_id"
+        for p in PCT_LIST)}
+"""
+
+EXT_ORACLES["facet_cardinality"] = f"""
+    WITH {_MATCH_HITS_SQL},
+    j AS (
+      SELECT h.query_id, d.lang, d.source
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    )
+    SELECT query_id, 'lang' AS field, count(DISTINCT lang)::BIGINT AS value
+    FROM j GROUP BY query_id
+    UNION ALL
+    SELECT query_id, 'source' AS field, count(DISTINCT source)::BIGINT AS value
+    FROM j GROUP BY query_id
+"""
+
+EXT_ORACLES["facet_extended_stats"] = f"""
+    WITH {_MATCH_HITS_SQL},
+    j AS (
+      SELECT h.query_id, d.n_chars::BIGINT AS v
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT query_id, count(*)::BIGINT AS doc_count,
+             min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+             sum(v)::BIGINT AS sum_v, sum(v * v)::BIGINT AS sum_sq
+      FROM j GROUP BY query_id
+    )
+    SELECT query_id, doc_count, min_v, max_v, sum_v, sum_sq,
+           round(sum_v::DOUBLE / doc_count::DOUBLE, 4) AS avg_v,
+           round(sum_sq::DOUBLE / doc_count::DOUBLE
+                 - (sum_v::DOUBLE / doc_count::DOUBLE)
+                   * (sum_v::DOUBLE / doc_count::DOUBLE), 4) AS variance,
+           round(sqrt(greatest(sum_sq::DOUBLE / doc_count::DOUBLE
+                 - (sum_v::DOUBLE / doc_count::DOUBLE)
+                   * (sum_v::DOUBLE / doc_count::DOUBLE), 0.0)), 4)
+             AS std_deviation
+    FROM agg
+"""
+
+EXT_ORACLES["facet_top_hits"] = f"""
+    WITH {_MATCH_HITS_SQL}
+    SELECT h.query_id, d.lang AS bucket, h.doc_id, d.n_chars,
+           row_number() OVER (
+             PARTITION BY h.query_id, d.lang
+             ORDER BY d.n_chars DESC, h.doc_id ASC)::INTEGER AS hit_rank
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    QUALIFY hit_rank <= 2
+"""
+
+EXT_ORACLES["composite_agg_page2"] = f"""
+    WITH {_MATCH_HITS_SQL},
+    b AS (
+      SELECT h.query_id, d.lang, d.source, count(*)::BIGINT AS doc_count
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, lang, source, doc_count FROM b
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY lang ASC, source ASC)
+      BETWEEN 6 AND 10
+"""
+
+
+def _dmx_scored_ctes() -> str:
+    """Shared CTE block scoring DMX_QUERIES both ways: ``mscored`` is the
+    raw (unrounded) BM25 OR-match score, ``pscored`` the raw exact-phrase
+    score with per-phrase exact df — mirrors _dmx_branches."""
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in DMX_QUERIES)
+    phrase_ctes = []
+    phrase_selects = []
+    for qid, text in DMX_QUERIES:
+        toks = text.split()
+        joins = " ".join(
+            f"JOIN tok2 t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            for i in range(1, len(toks)))
+        wheres = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(toks))
+        phrase_ctes.append(
+            f"pm{qid} AS (SELECT t0.doc_id, count(*)::BIGINT AS tf "
+            f"FROM tok2 t0 {joins} WHERE {wheres} GROUP BY t0.doc_id)")
+        phrase_ctes.append(
+            f"pd{qid} AS (SELECT count(*)::BIGINT AS df FROM pm{qid})")
+        phrase_selects.append(f"""
+          SELECT {qid} AS query_id, m.doc_id,
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * m.tf * (1.2 + 1.0)
+                 / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)) AS score
+          FROM pm{qid} m CROSS JOIN pd{qid} d CROSS JOIN stats s
+          JOIN dldocs dl ON dl.doc_id = m.doc_id""")
+    return f"""
+    q(query_id, query_text) AS (VALUES {qvals}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    toksr AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toksr WHERE term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+    dldocs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dldocs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    mscored AS (
+      SELECT qt2.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dldocs dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt2.query_id, tf.doc_id
+    ),
+    {', '.join(phrase_ctes)},
+    pscored AS ({' UNION ALL '.join(phrase_selects)})
+    """
+
+
+EXT_ORACLES["dis_max_search"] = f"""
+    WITH {_dmx_scored_ctes()},
+    allb AS (
+      SELECT query_id, doc_id, score FROM mscored
+      UNION ALL
+      SELECT query_id, doc_id, score FROM pscored
+    ),
+    comb AS (
+      SELECT query_id, doc_id,
+             max(score) + 0.3 * (sum(score) - max(score)) AS score
+      FROM allb GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(score, 4) AS score FROM comb
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC) <= 10
+"""
+
+EXT_ORACLES["rescore_phrase"] = f"""
+    WITH {_dmx_scored_ctes()},
+    win AS (
+      SELECT query_id, doc_id, round(score, 4) AS base FROM mscored
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 4) DESC, doc_id ASC) <= 50
+    ),
+    comb AS (
+      SELECT w.query_id, w.doc_id,
+             1.0 * w.base + 2.0 * coalesce(p.score, 0.0) AS score
+      FROM win w LEFT JOIN pscored p
+        ON p.query_id = w.query_id AND p.doc_id = w.doc_id
+    )
+    SELECT query_id, doc_id, round(score, 4) AS score FROM comb
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC) <= 10
+"""
+
+
+def _match_phrase_prefix_sql() -> str:
+    """MultiPhrase oracle: leading tokens by exact adjacency, the LAST
+    slot matches ANY dictionary term with the prefix (expansion set =
+    first 50 in lexicographic term order, mirroring expand_prefix_terms),
+    tf = DISTINCT start positions, df exact from the matched set."""
+    ctes = []
+    selects = []
+    for qid, toks, prefix in PFX_PHRASES:
+        n = len(toks)
+        joins = " ".join(
+            f"JOIN tok2 t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            for i in range(1, n))
+        wheres = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(toks))
+        ctes.append(
+            f"exp{qid} AS (SELECT term FROM ("
+            f"SELECT DISTINCT term FROM tok2 WHERE term LIKE '{prefix}%' "
+            f"ORDER BY term LIMIT 50))")
+        ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(DISTINCT t0.p)::BIGINT AS tf "
+            f"FROM tok2 t0 {joins} "
+            f"JOIN tok2 tl ON tl.doc_id = t0.doc_id AND tl.p = t0.p + {n} "
+            f"AND tl.term IN (SELECT term FROM exp{qid}) "
+            f"WHERE {wheres} GROUP BY t0.doc_id)")
+        ctes.append(f"d{qid} AS (SELECT count(*)::BIGINT AS df FROM m{qid})")
+        selects.append(f"""
+          SELECT {qid} AS query_id, m.doc_id,
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * m.tf * (1.2 + 1.0)
+                 / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)) AS score
+          FROM m{qid} m CROSS JOIN d{qid} d CROSS JOIN stats s
+          JOIN dldocs dl ON dl.doc_id = m.doc_id""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    dldocs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dldocs),
+    {', '.join(ctes)},
+    scored AS ({body})
+    SELECT query_id, doc_id, round(score, 4) AS score FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC) <= 10
+    """
+
+
+EXT_ORACLES["match_phrase_prefix"] = _match_phrase_prefix_sql()
