@@ -553,6 +553,27 @@ def multi_match_topk(
     if mode == "cross_fields":
         return _cross_fields_topk(docs, field_boosts, qt, cfg, k,
                                   code_aware=code_aware)
+    combined = multi_match_scores(docs, field_boosts, qt, cfg, mode=mode,
+                                  tie_breaker=tie_breaker,
+                                  code_aware=code_aware)
+    return topk(combined, k or cfg.k)
+
+
+def multi_match_scores(docs: DataFrame, field_boosts: dict[str, float],
+                       qt: DataFrame, cfg: EngineConfig | None = None,
+                       mode: str = "most_fields", tie_breaker: float = 0.0,
+                       code_aware: bool = False) -> DataFrame:
+    """Raw (unrounded, unranked) multi_match combination — the scoring
+    core of :func:`multi_match_topk`, exposed so composers (the ES DSL
+    planner, rescore, dis_max) can reuse it before their own ranking.
+    ``qt`` is the analyzed (query_id, term) frame."""
+    from dp_search_data_importer_spark.operators.postings import (
+        corpus_stats_from_docs,
+        doc_freqs,
+        term_freqs_sql,
+    )
+
+    cfg = cfg or EngineConfig()
     if mode not in ("most_fields", "best_fields"):
         raise ValueError(f"unknown multi_match mode {mode!r}")
     per_field = []
@@ -569,14 +590,13 @@ def multi_match_topk(
     for s in per_field[1:]:
         union = union.unionByName(s)
     if mode == "most_fields":
-        combined = union.groupBy("query_id", "doc_id").agg(
+        return union.groupBy("query_id", "doc_id").agg(
             F.sum("score").alias("score"))
-    else:  # best_fields: max + tie_breaker * (sum − max), one agg
-        combined = union.groupBy("query_id", "doc_id").agg(
-            (F.max("score")
-             + F.lit(float(tie_breaker))
-             * (F.sum("score") - F.max("score"))).alias("score"))
-    return topk(combined, k or cfg.k)
+    # best_fields: max + tie_breaker * (sum − max), one agg
+    return union.groupBy("query_id", "doc_id").agg(
+        (F.max("score")
+         + F.lit(float(tie_breaker))
+         * (F.sum("score") - F.max("score"))).alias("score"))
 
 
 def _cross_fields_topk(docs, field_boosts, qt, cfg, k,

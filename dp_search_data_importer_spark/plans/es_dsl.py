@@ -1,0 +1,744 @@
+"""ES ``_search`` request-body planner: JSON in, Spark plan out.
+
+The reference service never interprets queries itself — every search
+request its consumers send is ES 7.10 ``_search`` JSON, forwarded
+verbatim (``/root/reference/handler/handler.go:95``; the indexed document
+shape is ``models/elastic.go:4-28``). This module closes the loop on the
+"a user of the reference could switch" goal: it accepts that SAME request
+body and compiles it onto this engine's operators, so the query surface
+is reachable through the interface consumers already speak, not only
+through per-operator Python calls.
+
+Supported body keys: ``query`` (match, match_all, match_phrase [+slop],
+match_phrase_prefix, multi_match [3 modes], term, terms, ids, range,
+exists, prefix, wildcard, regexp, fuzzy, bool [must/should/must_not/
+filter, minimum_should_match, per-clause boost], dis_max, constant_score,
+boosting, function_score [field_value_factor]), ``size``,
+``search_after``, ``sort`` (_score or single metadata field + _id
+tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
+sub-agg], histogram, range, stats, extended_stats, percentiles,
+cardinality, composite [+after]).
+
+Documented divergences (each chosen for scale-sane Spark semantics):
+
+- term/terms/range/exists/ids in SCORING context behave as if wrapped in
+  ``constant_score`` (score = boost). ES additionally BM25-scores term
+  queries on text fields; for metadata/keyword predicates — their actual
+  use — constant_score is ES-equivalent practice.
+- prefix/wildcard/regexp/fuzzy rewrite to the expanded OR-term set and
+  BM25-score it (ES ``rewrite: scoring_boolean``), with the same
+  df-desc/term-asc ``max_expansions`` cap as ``plans/query.expand_terms``.
+- ``nested`` is not compiled (the contract query ``nested_dimension_search``
+  covers the operator); requests containing it raise ``EsDslError``.
+
+Scale shape: a request has a BOUNDED clause count, so the plan is a
+bounded composition of scans the planner memoizes per field (one tf/dfs/
+stats/positions build per field per request, shared across clauses).
+Compound scoring is union → ONE hash agg (map-side partials); filter
+context applies as broadcast-or-shuffle semi-joins that never touch
+scores; ranking reuses the salted/two-phase top-k machinery. Aggregations
+run over the hit SET (doc_id frame), exactly the ES execution model. At
+stored-index scale the same request compiles against ``plans/query``
+(load_blocks/WAND) — this dataflow form is the semantics reference and
+the streaming-ingest side's query twin."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.config import EngineConfig
+
+
+class EsDslError(ValueError):
+    """Malformed or unsupported ES request body."""
+
+
+@dataclass
+class SearchResult:
+    """Lazy result of a compiled ``_search`` request: DataFrames, not
+    rows — callers choose when/where to materialize."""
+    hits: DataFrame
+    aggregations: dict[str, DataFrame] = dc_field(default_factory=dict)
+
+
+def _as_list(x):
+    return x if isinstance(x, list) else [x]
+
+
+class EsSearchPlanner:
+    """Compiles ES ``_search`` bodies over a documents DataFrame.
+
+    ``docs`` must carry ``id_col``; text fields are analyzed with the
+    standard tokenizer (``functions/tokenize.py``). One planner instance
+    memoizes per-field statistics frames across clauses and requests —
+    they are lazy plans, so nothing executes until the caller acts."""
+
+    def __init__(self, spark: SparkSession, docs: DataFrame,
+                 cfg: EngineConfig | None = None,
+                 text_fields: tuple[str, ...] = ("text",),
+                 id_col: str = "doc_id",
+                 max_expansions: int = 50):
+        self.spark = spark
+        self.docs = docs
+        self.cfg = cfg or EngineConfig()
+        self.text_fields = tuple(text_fields)
+        self.id_col = id_col
+        self.max_expansions = max_expansions
+        self._tf: dict[str, DataFrame] = {}
+        self._dfs: dict[str, DataFrame] = {}
+        self._stats: dict[str, DataFrame] = {}
+        self._stats_row: dict[str, tuple[int, float]] = {}
+        self._pos: dict[str, DataFrame] = {}
+        self._qid = 0
+
+    # ---------------------------------------------------------------- stats
+
+    def tf(self, field: str) -> DataFrame:
+        from dp_search_data_importer_spark.operators.postings import (
+            term_freqs_sql,
+        )
+
+        if field not in self._tf:
+            self._tf[field] = term_freqs_sql(
+                self.docs, id_col=self.id_col, text_col=field)
+        return self._tf[field]
+
+    def dfs(self, field: str) -> DataFrame:
+        from dp_search_data_importer_spark.operators.postings import doc_freqs
+
+        if field not in self._dfs:
+            self._dfs[field] = doc_freqs(self.tf(field))
+        return self._dfs[field]
+
+    def stats(self, field: str) -> DataFrame:
+        from dp_search_data_importer_spark.operators.postings import (
+            corpus_stats_from_docs,
+        )
+
+        if field not in self._stats:
+            self._stats[field] = corpus_stats_from_docs(
+                self.docs, text_col=field)
+        return self._stats[field]
+
+    def stats_row(self, field: str) -> tuple[int, float]:
+        if field not in self._stats_row:
+            r = self.stats(field).collect()[0]
+            self._stats_row[field] = (r["n_docs"], r["avgdl"])
+        return self._stats_row[field]
+
+    def pos(self, field: str) -> DataFrame:
+        from dp_search_data_importer_spark.operators.phrase import (
+            doc_positions,
+        )
+
+        if field not in self._pos:
+            self._pos[field] = doc_positions(
+                self.docs, id_col=self.id_col, text_col=field)
+        return self._pos[field]
+
+    def _next_qid(self) -> int:
+        self._qid += 1
+        return self._qid
+
+    def _tokens(self, text: str) -> list[str]:
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    # -------------------------------------------------------------- scoring
+
+    def _score_terms(self, field: str, terms: list[str],
+                     boost: float = 1.0) -> DataFrame:
+        """BM25 OR-score a literal term set against one field."""
+        from dp_search_data_importer_spark.operators.bm25 import bm25_scores
+        from dp_search_data_importer_spark.session import local_df
+
+        if not terms:
+            return local_df(self.spark, [], "doc_id long, score double")
+        qid = self._next_qid()
+        qt = local_df(self.spark, [(qid, t) for t in sorted(set(terms))],
+                      "query_id long, term string")
+        s = bm25_scores(self.tf(field), qt, self.dfs(field),
+                        self.stats(field), self.cfg).drop("query_id")
+        if boost != 1.0:
+            s = s.withColumn("score", F.col("score") * F.lit(float(boost)))
+        return s
+
+    def _expand(self, field: str, pattern: str, mode: str,
+                max_edits: int = 1) -> list[str]:
+        """Dictionary expansion with the ES max_expansions cap, df desc /
+        term asc (the expand_terms order) — the dataflow-form twin of
+        ``plans/query.expand_terms``."""
+        from dp_search_data_importer_spark.plans.query import (
+            wildcard_to_regex,
+        )
+
+        tdf = self.dfs(field)
+        if mode == "prefix":
+            hits = tdf.filter(F.col("term").startswith(pattern))
+        elif mode == "wildcard":
+            hits = tdf.filter(F.col("term").rlike(wildcard_to_regex(pattern)))
+        elif mode == "regexp":
+            hits = tdf.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        elif mode == "fuzzy":
+            hits = tdf.filter(
+                (F.length("term") >= F.lit(len(pattern) - max_edits))
+                & (F.length("term") <= F.lit(len(pattern) + max_edits))
+                & (F.levenshtein(F.col("term"), F.lit(pattern)) <= max_edits))
+        else:  # pragma: no cover
+            raise EsDslError(f"unknown expansion mode {mode!r}")
+        rows = (hits.orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(self.max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    @staticmethod
+    def _field_spec(node: dict, *keys: str):
+        """Unpack the {field: value-or-dict} leaf shape shared by most ES
+        leaf queries; returns (field, value, params-dict)."""
+        pairs = [(k, v) for k, v in node.items() if k != "boost"]
+        if len(pairs) != 1:
+            raise EsDslError(f"leaf query needs exactly one field: {node}")
+        field, spec = pairs[0]
+        if isinstance(spec, dict):
+            main = None
+            for k in keys:
+                if k in spec:
+                    main = spec[k]
+                    break
+            return field, main, spec
+        return field, spec, {}
+
+    def score(self, node: dict) -> DataFrame:
+        """Compile a query node in SCORING context → (doc_id, score),
+        raw/unrounded — matched docs only."""
+        if not isinstance(node, dict) or len(node) != 1:
+            raise EsDslError(f"query node must have exactly one key: {node}")
+        (kind, spec), = node.items()
+        h = getattr(self, f"_score_{kind}", None)
+        if h is None:
+            if getattr(self, f"_match_{kind}", None) is not None:
+                # filter-family leaf in scoring context: constant_score
+                boost = float(spec.get("boost", 1.0)) \
+                    if isinstance(spec, dict) else 1.0
+                return self.filter(node).withColumn(
+                    "score", F.lit(boost))
+            raise EsDslError(f"unsupported query type {kind!r}")
+        return h(spec)
+
+    def filter(self, node: dict) -> DataFrame:
+        """Compile a query node in FILTER context → distinct (doc_id);
+        scores are discarded (ES filter context: no score, cacheable)."""
+        if not isinstance(node, dict) or len(node) != 1:
+            raise EsDslError(f"query node must have exactly one key: {node}")
+        (kind, spec), = node.items()
+        h = getattr(self, f"_match_{kind}", None)
+        if h is not None:
+            return h(spec)
+        return self.score(node).select("doc_id").distinct()
+
+    # scoring leaves ---------------------------------------------------
+
+    def _score_match_all(self, spec: dict) -> DataFrame:
+        boost = float((spec or {}).get("boost", 1.0))
+        return self.docs.select(F.col(self.id_col).alias("doc_id"),
+                                F.lit(boost).alias("score"))
+
+    def _score_match(self, spec: dict) -> DataFrame:
+        field, text, params = self._field_spec(spec, "query")
+        boost = float(params.get("boost", spec.get("boost", 1.0))
+                      if isinstance(params, dict) else 1.0)
+        return self._score_terms(field, self._tokens(str(text)), boost)
+
+    def _score_multi_match(self, spec: dict) -> DataFrame:
+        from dp_search_data_importer_spark.operators.bm25 import (
+            _cross_fields_topk,
+            multi_match_scores,
+            query_terms,
+        )
+        from dp_search_data_importer_spark.session import local_df
+
+        text = spec["query"]
+        mode = spec.get("type", "best_fields")
+        tb = float(spec.get("tie_breaker", 0.0))
+        fb: dict[str, float] = {}
+        for f_ in spec.get("fields", list(self.text_fields)):
+            if "^" in f_:
+                name, b = f_.split("^", 1)
+                fb[name] = float(b)
+            else:
+                fb[f_] = 1.0
+        qid = self._next_qid()
+        qdf = local_df(self.spark, [(qid, str(text))],
+                       "query_id long, query_text string")
+        qt = query_terms(qdf)
+        if mode == "cross_fields":
+            # _cross_fields_topk ranks; strip its rounding-free top-k by
+            # requesting a huge k, then drop qid (request-bounded sizes)
+            return _cross_fields_topk(
+                self.docs, fb, qt, self.cfg, 2 ** 31 - 1).drop("query_id")
+        return multi_match_scores(self.docs, fb, qt, self.cfg, mode=mode,
+                                  tie_breaker=tb).drop("query_id")
+
+    def _phrase_frame(self, spec: dict, prefix: bool) -> DataFrame:
+        from dp_search_data_importer_spark.operators.phrase import (
+            expand_prefix_terms,
+            phrase_matches_batch,
+            phrase_matches_batch_slop,
+            phrase_prefix_matches_batch,
+            phrase_score_batch,
+        )
+
+        field, text, params = self._field_spec(spec, "query")
+        toks = self._tokens(str(text))
+        if not toks:
+            raise EsDslError(f"empty phrase: {spec}")
+        qid = self._next_qid()
+        pos = self.pos(field)
+        if prefix:
+            expansions = expand_prefix_terms(
+                self.tf(field).select("term").distinct(), toks[-1],
+                max_expansions=int(params.get("max_expansions",
+                                              self.max_expansions)))
+            m = phrase_prefix_matches_batch(
+                pos, [(qid, toks[:-1], expansions)])
+        else:
+            slop = int(params.get("slop", 0))
+            if slop:
+                m = phrase_matches_batch_slop(pos, [(qid, toks, slop)])
+            else:
+                m = phrase_matches_batch(pos, [(qid, toks)])
+        n_docs, avgdl = self.stats_row(field)
+        out = phrase_score_batch(m, n_docs, avgdl, self.cfg).drop("query_id")
+        boost = float(params.get("boost", 1.0))
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(boost))
+        return out
+
+    def _score_match_phrase(self, spec: dict) -> DataFrame:
+        return self._phrase_frame(spec, prefix=False)
+
+    def _score_match_phrase_prefix(self, spec: dict) -> DataFrame:
+        return self._phrase_frame(spec, prefix=True)
+
+    def _score_prefix(self, spec: dict) -> DataFrame:
+        field, pat, params = self._field_spec(spec, "value", "prefix")
+        return self._score_terms(
+            field, self._expand(field, str(pat), "prefix"),
+            float(params.get("boost", 1.0)))
+
+    def _score_wildcard(self, spec: dict) -> DataFrame:
+        field, pat, params = self._field_spec(spec, "value", "wildcard")
+        return self._score_terms(
+            field, self._expand(field, str(pat), "wildcard"),
+            float(params.get("boost", 1.0)))
+
+    def _score_regexp(self, spec: dict) -> DataFrame:
+        field, pat, params = self._field_spec(spec, "value")
+        return self._score_terms(
+            field, self._expand(field, str(pat), "regexp"),
+            float(params.get("boost", 1.0)))
+
+    def _score_fuzzy(self, spec: dict) -> DataFrame:
+        field, pat, params = self._field_spec(spec, "value")
+        fuzziness = params.get("fuzziness", 1)
+        max_edits = 2 if fuzziness in ("AUTO", 2, "2") else int(fuzziness)
+        return self._score_terms(
+            field, self._expand(field, str(pat), "fuzzy", max_edits),
+            float(params.get("boost", 1.0)))
+
+    def _score_constant_score(self, spec: dict) -> DataFrame:
+        boost = float(spec.get("boost", 1.0))
+        return self.filter(spec["filter"]).withColumn(
+            "score", F.lit(boost))
+
+    def _score_dis_max(self, spec: dict) -> DataFrame:
+        from dp_search_data_importer_spark.operators.bm25 import (
+            dis_max_scores,
+        )
+
+        branches = [
+            self.score(q).select("doc_id", "score")
+            .withColumn("query_id", F.lit(0))
+            for q in spec["queries"]]
+        return dis_max_scores(
+            branches, float(spec.get("tie_breaker", 0.0))).drop("query_id")
+
+    def _score_boosting(self, spec: dict) -> DataFrame:
+        pos_scores = self.score(spec["positive"])
+        neg = self.filter(spec["negative"]).withColumn("neg", F.lit(1))
+        nb = float(spec.get("negative_boost", 0.5))
+        return (pos_scores.join(F.broadcast(neg), "doc_id", "left")
+                .select("doc_id",
+                        (F.col("score")
+                         * F.when(F.col("neg").isNotNull(), F.lit(nb))
+                         .otherwise(F.lit(1.0))).alias("score")))
+
+    def _score_function_score(self, spec: dict) -> DataFrame:
+        base = self.score(spec.get("query", {"match_all": {}}))
+        fvf = spec.get("field_value_factor")
+        if fvf is None:
+            raise EsDslError("function_score requires field_value_factor")
+        v = F.col(fvf["field"]).cast("double") * F.lit(
+            float(fvf.get("factor", 1.0)))
+        modifier = fvf.get("modifier", "none")
+        if modifier == "log1p":
+            v = F.log1p(v)
+        elif modifier == "sqrt":
+            v = F.sqrt(v)
+        elif modifier != "none":
+            raise EsDslError(f"unsupported modifier {modifier!r}")
+        boost_mode = spec.get("boost_mode", "multiply")
+        factor = self.docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            (F.lit(1.0) + v if modifier == "log1p"
+             and fvf.get("plus_one", True) else v).alias("factor"))
+        j = base.join(factor, "doc_id")
+        if boost_mode == "multiply":
+            expr = F.col("score") * F.col("factor")
+        elif boost_mode == "sum":
+            expr = F.col("score") + F.col("factor")
+        else:
+            raise EsDslError(f"unsupported boost_mode {boost_mode!r}")
+        return j.select("doc_id", expr.alias("score"))
+
+    def _score_bool(self, spec: dict) -> DataFrame:
+        must = _as_list(spec.get("must", []))
+        should = _as_list(spec.get("should", []))
+        must_not = _as_list(spec.get("must_not", []))
+        filters = _as_list(spec.get("filter", []))
+        msm = spec.get("minimum_should_match")
+        if msm is None:
+            # ES 7.x default: 1 iff there are should clauses and no
+            # must/filter, else 0
+            msm = 1 if should and not must and not filters else 0
+        msm = int(msm)
+
+        parts = []
+        for i, n in enumerate(must):
+            parts.append(self.score(n).select(
+                "doc_id", "score", F.lit("must").alias("role"),
+                F.lit(i).alias("cid")))
+        for i, n in enumerate(should):
+            parts.append(self.score(n).select(
+                "doc_id", "score", F.lit("should").alias("role"),
+                F.lit(i).alias("cid")))
+        if not parts and not filters:
+            raise EsDslError("empty bool query")
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.count_distinct(
+                    F.when(F.col("role") == "must", F.col("cid"))
+                ).alias("nm"),
+                F.count_distinct(
+                    F.when(F.col("role") == "should", F.col("cid"))
+                ).alias("ns"),
+            )
+            out = (agg.filter((F.col("nm") == F.lit(len(must)))
+                              & (F.col("ns") >= F.lit(msm)))
+                   .select("doc_id", "score"))
+        else:
+            out = None
+        if not must and msm == 0 and filters:
+            # msm=0 with no must: the FILTER set defines the matches;
+            # should clauses only boost (docs matching zero should
+            # clauses still match with score 0) — exact ES semantics.
+            base = None
+            for n in filters:
+                s = self.filter(n)
+                base = s if base is None else base.join(s, "doc_id",
+                                                        "left_semi")
+            boost = (out.select("doc_id", "score") if out is not None
+                     else None)
+            if boost is None:
+                out = base.withColumn("score", F.lit(0.0))
+            else:
+                out = (base.join(boost, "doc_id", "left")
+                       .select("doc_id",
+                               F.coalesce(F.col("score"), F.lit(0.0))
+                               .alias("score")))
+        else:
+            if out is None:
+                raise EsDslError("bool query matches nothing: should-less "
+                                 "filter-less body with msm > 0")
+            for n in filters:
+                out = out.join(self.filter(n), "doc_id", "left_semi")
+        for n in must_not:
+            out = out.join(self.filter(n), "doc_id", "left_anti")
+        return out
+
+    # filter leaves ----------------------------------------------------
+
+    def _meta_col(self, field: str) -> bool:
+        return field in self.docs.columns and field not in self.text_fields
+
+    def _match_term(self, spec: dict) -> DataFrame:
+        field, value, _ = self._field_spec(spec, "value")
+        if self._meta_col(field):
+            return (self.docs.filter(F.col(field) == F.lit(value))
+                    .select(F.col(self.id_col).alias("doc_id")))
+        return (self.tf(field).filter(F.col("term") == F.lit(str(value)))
+                .select("doc_id").distinct())
+
+    def _match_terms(self, spec: dict) -> DataFrame:
+        field, values, _ = self._field_spec(spec, "value")
+        values = _as_list(values)
+        if self._meta_col(field):
+            return (self.docs.filter(F.col(field).isin(values))
+                    .select(F.col(self.id_col).alias("doc_id")))
+        return (self.tf(field)
+                .filter(F.col("term").isin([str(v) for v in values]))
+                .select("doc_id").distinct())
+
+    def _match_ids(self, spec: dict) -> DataFrame:
+        values = [int(v) for v in spec["values"]]
+        return (self.docs.filter(F.col(self.id_col).isin(values))
+                .select(F.col(self.id_col).alias("doc_id")))
+
+    def _match_range(self, spec: dict) -> DataFrame:
+        field, _, params = self._field_spec(spec)
+        c = F.col(field)
+        pred = F.lit(True)
+        for op, fn in (("gte", c.__ge__), ("gt", c.__gt__),
+                       ("lte", c.__le__), ("lt", c.__lt__)):
+            if op in params:
+                pred = pred & fn(F.lit(params[op]))
+        return (self.docs.filter(pred)
+                .select(F.col(self.id_col).alias("doc_id")))
+
+    def _match_exists(self, spec: dict) -> DataFrame:
+        field = spec["field"]
+        return (self.docs.filter(F.col(field).isNotNull())
+                .select(F.col(self.id_col).alias("doc_id")))
+
+    # ----------------------------------------------------------------- aggs
+
+    def _agg(self, spec: dict, hits: DataFrame) -> DataFrame:
+        from dp_search_data_importer_spark.operators import aggs as agg_ops
+
+        sub = spec.get("aggs") or spec.get("aggregations") or {}
+        (kind, body), = [(k, v) for k, v in spec.items()
+                         if k not in ("aggs", "aggregations")]
+        qhits = hits.select(F.lit(0).cast("long").alias("query_id"),
+                            "doc_id")
+        meta_cols = [c for c in self.docs.columns
+                     if c not in self.text_fields]
+        meta = self.docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            *[c for c in meta_cols if c != self.id_col])
+        if kind == "terms":
+            fld, size = body["field"], int(body.get("size", 10))
+            if sub:
+                (sname, sspec), = sub.items()
+                (skind, sbody), = sspec.items()
+                if skind != "top_hits":
+                    raise EsDslError(
+                        f"only top_hits sub-agg supported, got {skind!r}")
+                sort_spec = _as_list(sbody.get("sort", []))
+                if not sort_spec:
+                    raise EsDslError("top_hits requires a sort field")
+                if isinstance(sort_spec[0], dict):
+                    (sfield, sdir), = sort_spec[0].items()
+                else:
+                    sfield, sdir = sort_spec[0], "asc"
+                asc = (sdir.get("order", "asc") if isinstance(sdir, dict)
+                       else str(sdir)) == "asc"
+                return agg_ops.top_hits_agg(
+                    qhits, meta, fld, sfield,
+                    hits_per_bucket=int(sbody.get("size", 3)),
+                    ascending=asc).drop("query_id")
+            j = qhits.join(meta, "doc_id")
+            buckets = (j.groupBy(F.col(fld).cast("string").alias("key"))
+                       .agg(F.count(F.lit(1)).cast("long")
+                            .alias("doc_count")))
+            return (buckets.orderBy(F.col("doc_count").desc(),
+                                    F.col("key").asc()).limit(size))
+        if kind == "histogram":
+            fld = body["field"]
+            interval = float(body["interval"])
+            j = qhits.join(meta, "doc_id")
+            return (j.groupBy(
+                (F.floor(F.col(fld) / interval) * interval)
+                .cast("double").alias("key"))
+                .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
+        if kind == "range":
+            ranges = [(r.get("from"), r.get("to"))
+                      for r in body["ranges"]]
+            return agg_ops.range_agg(qhits, meta, body["field"],
+                                     ranges).drop("query_id")
+        if kind == "stats":
+            j = qhits.join(meta, "doc_id")
+            v = F.col(body["field"]).cast("long")
+            return j.agg(
+                F.count(F.lit(1)).cast("long").alias("count"),
+                F.min(v).cast("long").alias("min"),
+                F.max(v).cast("long").alias("max"),
+                F.sum(v).cast("long").alias("sum"))
+        if kind == "extended_stats":
+            return agg_ops.extended_stats_agg(
+                qhits, meta, body["field"]).drop("query_id")
+        if kind == "percentiles":
+            return agg_ops.percentiles_agg(
+                qhits, meta, body["field"],
+                [float(p) for p in body.get(
+                    "percents", [1, 5, 25, 50, 75, 95, 99])]
+            ).drop("query_id")
+        if kind == "cardinality":
+            return agg_ops.cardinality_agg(
+                qhits, meta, [body["field"]]).drop("query_id")
+        if kind == "composite":
+            keys, names = [], []
+            for src in body["sources"]:
+                (sname, sdef), = src.items()
+                names.append(sname)
+                keys.append(sdef["terms"]["field"])
+            after = body.get("after")
+            j = qhits.join(meta, "doc_id")
+            if after:
+                # the ES after_key is keyed by SOURCE name; push the
+                # strict-greater tuple predicate BEFORE the bucket agg
+                vals = [after[n] for n in names]
+                gt = F.lit(False)
+                for i in range(len(keys) - 1, -1, -1):
+                    head = F.lit(True)
+                    for k_, v_ in zip(keys[:i], vals[:i]):
+                        head = head & (F.col(k_) == F.lit(v_))
+                    gt = gt | (head & (F.col(keys[i]) > F.lit(vals[i])))
+                j = j.filter(gt)
+            buckets = j.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count"))
+            # single request: TakeOrdered over buckets (batch callers
+            # with real query_id columns use aggs.composite_page)
+            return buckets.orderBy(
+                *[F.col(k).asc() for k in keys]).limit(
+                int(body.get("size", 10)))
+        raise EsDslError(f"unsupported aggregation {kind!r}")
+
+    # --------------------------------------------------------------- search
+
+    @staticmethod
+    def _single_topk(scores: DataFrame, k: int,
+                     after: tuple[float, int] | None = None,
+                     round_digits: int = 4) -> DataFrame:
+        """Single-request top-k: round-then-rank like
+        :func:`~.bm25.topk`, but via ``orderBy().limit()`` — Spark
+        compiles it to TakeOrdered (distributed per-partition top-k +
+        driver merge of k·n_parts rows). A window partitioned by a
+        CONSTANT query_id would constant-fold to an unpartitioned window
+        and funnel every candidate through one task; batch callers with
+        real query_id data columns keep using ``topk``."""
+        r = scores.withColumn("score", F.round("score", round_digits))
+        if after is not None:
+            s, d = round(float(after[0]), round_digits), int(after[1])
+            r = r.filter((F.col("score") < F.lit(s))
+                         | ((F.col("score") == F.lit(s))
+                            & (F.col("doc_id") > F.lit(d))))
+        return r.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+            .limit(k)
+
+    @staticmethod
+    def _single_sort_topk(hits: DataFrame, fld: str, k: int,
+                          ascending: bool,
+                          after: tuple | None = None) -> DataFrame:
+        """Single-request field sort: TakeOrdered on (field, doc_id)
+        with the search_after cursor pushed as a strict-after
+        predicate."""
+        v = F.col(fld)
+        if after is not None:
+            cv, cd = after[0], int(after[1])
+            strict = (v > F.lit(cv)) if ascending else (v < F.lit(cv))
+            hits = hits.filter(strict | ((v == F.lit(cv))
+                                         & (F.col("doc_id") > F.lit(cd))))
+        order = (v.asc(), F.col("doc_id").asc()) if ascending else \
+            (v.desc(), F.col("doc_id").asc())
+        return hits.orderBy(*order).limit(k)
+
+    def search(self, body: dict) -> SearchResult:
+        """Compile a full ``_search`` body. Returns lazy DataFrames:
+        ``hits`` as (doc_id, score) in rank order semantics (apply
+        ``.orderBy`` on collect for display), plus one DataFrame per
+        named aggregation."""
+        unknown = set(body) - {"query", "size", "sort", "search_after",
+                               "rescore", "collapse", "aggs",
+                               "aggregations", "from"}
+        if unknown:
+            raise EsDslError(f"unsupported body keys {sorted(unknown)}")
+        if "from" in body:
+            raise EsDslError(
+                "from+size pagination unsupported — use search_after "
+                "(the cursor is exact and never re-materializes pages)")
+        scores = self.score(body.get("query", {"match_all": {}}))
+        size = int(body.get("size", 10))
+
+        collapse = body.get("collapse")
+        if collapse:
+            fld = collapse["field"]
+            meta = self.docs.select(F.col(self.id_col).alias("doc_id"), fld)
+            from pyspark.sql import Window
+
+            j = scores.withColumn(
+                "score", F.round("score", 4)).join(meta, "doc_id")
+            # per-collapse-key winner: salted two-phase window on the
+            # REAL key column (no constant partition keys anywhere)
+            w = Window.partitionBy(
+                fld, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32))
+            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            wf = Window.partitionBy(fld).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())
+            winners = (j.withColumn("prn", F.row_number().over(w))
+                       .filter(F.col("prn") <= 1).drop("prn")
+                       .withColumn("rn", F.row_number().over(wf))
+                       .filter(F.col("rn") == 1).drop("rn"))
+            hits = (winners.orderBy(F.col("score").desc(),
+                                    F.col("doc_id").asc()).limit(size))
+        else:
+            sort = _as_list(body.get("sort", ["_score"]))
+            primary = sort[0]
+            after = body.get("search_after")
+            if primary == "_score" or primary == {"_score": "desc"} \
+                    or (isinstance(primary, dict) and "_score" in primary):
+                cur = (float(after[0]), int(after[1])) if after else None
+                rescore = body.get("rescore")
+                if rescore:
+                    rq = rescore["query"]
+                    window = self._single_topk(
+                        scores, int(rescore.get("window_size", 10)))
+                    rescorer = self.score(rq["rescore_query"])
+                    joined = window.withColumnRenamed(
+                        "score", "base_score").join(
+                        rescorer.withColumnRenamed("score", "re_score"),
+                        "doc_id", "left")
+                    combined = joined.select(
+                        "doc_id",
+                        (F.lit(float(rq.get("query_weight", 1.0)))
+                         * F.col("base_score")
+                         + F.lit(float(rq.get("rescore_query_weight", 1.0)))
+                         * F.coalesce(F.col("re_score"), F.lit(0.0))
+                         ).alias("score"))
+                    hits = self._single_topk(combined, size)
+                else:
+                    hits = self._single_topk(scores, size, after=cur)
+            else:
+                (fld, fdir), = primary.items()
+                asc = (fdir.get("order", "asc") if isinstance(fdir, dict)
+                       else str(fdir)) == "asc"
+                if body.get("rescore"):
+                    raise EsDslError("rescore requires sort by _score")
+                meta = self.docs.select(
+                    F.col(self.id_col).alias("doc_id"), fld)
+                cur = (after[0], int(after[1])) if after else None
+                hits = self._single_sort_topk(
+                    scores.select("doc_id").join(meta, "doc_id"),
+                    fld, size, ascending=asc, after=cur)
+
+        aggregations = {}
+        aggs_src = scores.select("doc_id")
+        for name, spec in (body.get("aggs")
+                           or body.get("aggregations") or {}).items():
+            aggregations[name] = self._agg(spec, aggs_src)
+        return SearchResult(hits=hits, aggregations=aggregations)
