@@ -1738,7 +1738,56 @@ def q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.topk(scored, 10)
 
 
+ES_DSL_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "hash join"}}],
+        "filter": [{"range": {"n_chars": {"gte": 300, "lte": 1500}}}],
+    }},
+    "size": 10,
+}
+
+
+def _dsl_planner(spark: SparkSession, sf_dir: str):
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    return EsSearchPlanner(spark, load_table(spark, sf_dir, "documents"))
+
+
+def q_es_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ES ``_search`` JSON body compiled end-to-end by
+    ``plans/es_dsl`` — the request shape the reference forwards verbatim
+    to ES (``/root/reference/handler/handler.go:95``): bool must-match
+    scored with GLOBAL statistics, filter-context range gate that never
+    touches the score, top-10 by rounded BM25 with doc_id tie-break.
+    Oracle replays BM25 OR-sum + the range gate in SQL, so the driver's
+    hash check covers the JSON planner path, not only the direct
+    operator calls."""
+    return _dsl_planner(spark, sf_dir).search(ES_DSL_BODY).hits \
+        .select("doc_id", "score")
+
+
+def q_es_dsl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation requested through the ``_search`` JSON
+    body (size:0 faceting): top-5 lang buckets over the match hit set,
+    (doc_count desc, key asc) — the ES terms-agg default order."""
+    body = {"query": {"match": {"text": "window agg"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}}
+    return _dsl_planner(spark, sf_dir).search(body).aggregations["langs"]
+
+
+def q_es_dsl_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field through the ``_search`` JSON body: match hits
+    ordered by a metadata field desc with doc_id tie-break, top-10 —
+    compiles to TakeOrdered (``orderBy().limit()``), no windows."""
+    body = {"query": {"match": {"text": "hash"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 10}
+    return _dsl_planner(spark, sf_dir).search(body).hits
+
+
 EXT_QUERIES = {
+    "es_dsl_search": q_es_dsl_search,
+    "es_dsl_facets": q_es_dsl_facets,
+    "es_dsl_sorted": q_es_dsl_sorted,
     "facet_range": q_facet_range,
     "facet_percentiles": q_facet_percentiles,
     "facet_cardinality": q_facet_cardinality,
@@ -1873,7 +1922,72 @@ _MATCH_HITS_SQL = f"""
     hits AS (SELECT DISTINCT query_id, doc_id FROM qt2 JOIN toks USING (term))
 """
 
+_BM25_CORPUS_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE term <> '' GROUP BY doc_id, term),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+              FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+"""
+
 EXT_ORACLES = {
+    "es_dsl_search": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        filt AS (
+          SELECT sc.doc_id, round(sc.score, 4) AS score
+          FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+          WHERE dc.n_chars >= 300 AND dc.n_chars <= 1500
+        )
+        SELECT doc_id, score FROM filt
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    "es_dsl_facets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('window', 'agg')),
+        g AS (
+          SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+          FROM hits h JOIN documents d USING (doc_id)
+          GROUP BY d.lang
+        )
+        SELECT key, doc_count FROM g
+        ORDER BY doc_count DESC, key ASC LIMIT 5
+    """,
+    "es_dsl_sorted": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash')
+        SELECT h.doc_id, d.n_chars
+        FROM hits h JOIN documents d USING (doc_id)
+        ORDER BY d.n_chars DESC, h.doc_id ASC LIMIT 10
+    """,
     "duplicate_spans": f"""
         WITH aug AS ({_AUG_SQL}),
         toks AS (
