@@ -152,10 +152,12 @@ def more_like_this_terms(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
                 / (F.col("df") + F.lit(0.5)))
     weighted = cand.withColumn(
         "w", F.round(idf * F.col("tf").cast("double"), round_digits))
-    w = Window.orderBy(F.col("w").desc(), F.col("term").asc())
+    # deterministic top-N selection via TakeOrdered (orderBy().limit()),
+    # not an unpartitioned row_number window — same total order, no
+    # single-partition funnel (the set is one doc's vocabulary anyway)
     return (
-        weighted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_query_terms)
+        weighted.orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(max_query_terms)
         .select("term")
     )
 
@@ -173,7 +175,18 @@ def more_like_this_topk(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
                                max_query_terms)
     qt = sel.select(F.lit(1).cast("long").alias("query_id"), "term")
     scores = bm25_scores(tf, qt, dfs, stats, cfg)
-    return topk(scores.filter(F.col("doc_id") != like_doc_id), k)
+    # single-query ranking: the constant query_id would constant-fold
+    # out of topk's window partition (one-task funnel over ALL
+    # candidates of a 25-term OR query); TakeOrdered instead, query_id
+    # re-attached after the limit
+    ranked = (
+        scores.filter(F.col("doc_id") != like_doc_id)
+        .withColumn("score", F.round(F.col("score"), 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return ranked.select(F.lit(1).cast("long").alias("query_id"),
+                         "doc_id", "score")
 
 
 def significant_terms(tf: DataFrame, fg_docs: DataFrame, dfs: DataFrame,
