@@ -1775,6 +1775,28 @@ def q_es_dsl_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsl_planner(spark, sf_dir).search(body).aggregations["langs"]
 
 
+def q_es_dsl_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``suggest`` section through the ``_search`` JSON body:
+    completion suggester, prefix 's' → top-5 dictionary completions by
+    (df desc, term asc). One distributed dictionary pass, TakeOrdered
+    ranking."""
+    body = {"suggest": {"c": {"prefix": "s",
+                              "completion": {"field": "text",
+                                             "size": 5}}}}
+    return _dsl_planner(spark, sf_dir).search(body).suggestions["c"]
+
+
+def q_es_dsl_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` section through the ``_search`` JSON body:
+    ±5-token snippets for the query's scoring terms over the top-10 hit
+    set ONLY (semi-join — the ES execution shape re-analyzes returned
+    docs, not the corpus)."""
+    body = {"query": {"match": {"text": "hash join"}}, "size": 10,
+            "highlight": {"fields": {"text": {}}}}
+    res = _dsl_planner(spark, sf_dir).search(body)
+    return res.highlights.select("doc_id", "term", "pos", "snippet")
+
+
 def q_es_dsl_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sort-by-field through the ``_search`` JSON body: match hits
     ordered by a metadata field desc with doc_id tie-break, top-10 —
@@ -1788,6 +1810,8 @@ EXT_QUERIES = {
     "es_dsl_search": q_es_dsl_search,
     "es_dsl_facets": q_es_dsl_facets,
     "es_dsl_sorted": q_es_dsl_sorted,
+    "es_dsl_suggest": q_es_dsl_suggest,
+    "es_dsl_highlight": q_es_dsl_highlight,
     "facet_range": q_facet_range,
     "facet_percentiles": q_facet_percentiles,
     "facet_cardinality": q_facet_cardinality,
@@ -1987,6 +2011,51 @@ EXT_ORACLES = {
         SELECT h.doc_id, d.n_chars
         FROM hits h JOIN documents d USING (doc_id)
         ORDER BY d.n_chars DESC, h.doc_id ASC LIMIT 10
+    """,
+    "es_dsl_suggest": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term FROM toks WHERE term <> ''
+               GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT term, df FROM dfs WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 5
+    """,
+    "es_dsl_highlight": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        top10 AS (
+          SELECT doc_id FROM scored
+          ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+        ),
+        tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS tk
+          FROM documents JOIN top10 USING (doc_id)
+        ),
+        h AS (
+          SELECT doc_id, term, tk, list_position(tk, term) AS pos1
+          FROM tk CROSS JOIN qt
+        )
+        SELECT doc_id, term, (pos1 - 1)::BIGINT AS pos,
+               array_to_string(tk[greatest(pos1 - 5, 1)
+                 : greatest(pos1 - 5, 1) + 10], ' ') AS snippet
+        FROM h WHERE pos1 > 0
     """,
     "duplicate_spans": f"""
         WITH aug AS ({_AUG_SQL}),

@@ -17,7 +17,9 @@ boosting, function_score [field_value_factor]), ``size``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
 sub-agg], histogram, range, stats, extended_stats, percentiles,
-cardinality, composite [+after]).
+cardinality, composite [+after]), ``highlight`` (token-granularity
+snippets over the HIT set for the query's scoring terms), ``suggest``
+(completion + term suggesters over the field's term dictionary).
 
 Documented divergences (each chosen for scale-sane Spark semantics):
 
@@ -61,6 +63,8 @@ class SearchResult:
     rows — callers choose when/where to materialize."""
     hits: DataFrame
     aggregations: dict[str, DataFrame] = dc_field(default_factory=dict)
+    highlights: DataFrame | None = None
+    suggestions: dict[str, DataFrame] = dc_field(default_factory=dict)
 
 
 def _as_list(x):
@@ -619,6 +623,122 @@ class EsSearchPlanner:
                 int(body.get("size", 10)))
         raise EsDslError(f"unsupported aggregation {kind!r}")
 
+    # --------------------------------------------- highlight / suggest
+
+    def _collect_terms(self, node: dict) -> list[str]:
+        """Analyzed scoring terms of a query tree — what ES's highlighter
+        marks up: match-family texts and text-field term/terms values
+        from SCORING context (must/should/positive/queries branches);
+        filter context and must_not are never highlighted."""
+        (kind, spec), = node.items()
+        if kind in ("match", "match_phrase", "match_phrase_prefix"):
+            _, text, _ = self._field_spec(spec, "query")
+            return self._tokens(str(text))
+        if kind == "multi_match":
+            return self._tokens(str(spec["query"]))
+        if kind in ("term", "terms"):
+            field, value, _ = self._field_spec(spec, "value")
+            if not self._meta_col(field):
+                return [str(v) for v in _as_list(value)]
+            return []
+        if kind == "bool":
+            out: list[str] = []
+            for n in _as_list(spec.get("must", [])) \
+                    + _as_list(spec.get("should", [])):
+                out += self._collect_terms(n)
+            return out
+        if kind == "dis_max":
+            return [t for q in spec["queries"]
+                    for t in self._collect_terms(q)]
+        if kind == "boosting":
+            return self._collect_terms(spec["positive"])
+        if kind == "function_score":
+            return self._collect_terms(spec["query"])
+        return []  # match_all / expansion families / filter leaves
+
+    def _highlight(self, hl: dict, query: dict,
+                   hits: DataFrame) -> DataFrame:
+        """``highlight`` section: first-occurrence ±window-token snippet
+        per (hit doc, scoring term, field) — ``operators/phrase.
+        term_snippets`` restricted to the hit set by a semi-join (only
+        returned docs are re-analyzed, the ES execution shape). Token
+        granularity; the per-field ``fragment_token_window`` option (ES
+        custom per-field options passthrough) sizes the fragment,
+        default ±5 tokens."""
+        from dp_search_data_importer_spark.operators.phrase import (
+            term_snippets,
+        )
+
+        terms = sorted(set(self._collect_terms(query)))
+        if not terms:
+            raise EsDslError("highlight requires a query with scoring "
+                             "terms (match/term families)")
+        fields = hl.get("fields") or {"text": {}}
+        hit_docs = self.docs.join(
+            hits.select(F.col("doc_id").alias(self.id_col)),
+            self.id_col, "left_semi")
+        parts = []
+        for fld, opts in fields.items():
+            win = int((opts or {}).get("fragment_token_window", 5))
+            parts.append(
+                term_snippets(hit_docs, terms, window=win,
+                              id_col=self.id_col, text_col=fld)
+                .withColumn("field", F.lit(fld)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _suggest(self, spec: dict) -> dict[str, DataFrame]:
+        """``suggest`` section: completion (prefix → dictionary terms by
+        popularity) and term (did-you-mean: bounded-edit-distance
+        dictionary corrections) suggesters. Both are one distributed
+        pass over the field's term dictionary with TakeOrdered ranking;
+        the term suggester applies the length-window and char-set
+        prunes before the levenshtein kernel."""
+        out: dict[str, DataFrame] = {}
+        for name, s in spec.items():
+            if "completion" in s:
+                c = s["completion"]
+                d = self.dfs(c.get("field", self.text_fields[0]))
+                out[name] = (
+                    d.filter(F.col("term").startswith(str(s["prefix"])))
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(int(c.get("size", 5)))
+                    .select("term", "df"))
+            elif "term" in s:
+                t = s["term"]
+                token = str(s["text"])
+                max_edits = int(t.get("max_edits", 2))
+                d = self.dfs(t.get("field", self.text_fields[0]))
+
+                def chars(c):
+                    return F.array_distinct(F.split(c, ""))
+
+                cand = d.filter(
+                    (F.length("term") >= F.lit(len(token) - max_edits))
+                    & (F.length("term") <= F.lit(len(token) + max_edits))
+                    & (F.size(F.array_except(
+                        chars(F.col("term")), chars(F.lit(token))))
+                       <= max_edits)
+                    & (F.size(F.array_except(
+                        chars(F.lit(token)), chars(F.col("term"))))
+                       <= max_edits)
+                ).withColumn(
+                    "dist",
+                    F.levenshtein(F.col("term"), F.lit(token)))
+                out[name] = (
+                    cand.filter(F.col("dist") <= max_edits)
+                    .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                             F.col("term").asc())
+                    .limit(int(t.get("size", 5)))
+                    .select("term", F.col("dist").cast("long")
+                            .alias("dist"), "df"))
+            else:
+                raise EsDslError(
+                    f"suggester {name!r}: need 'completion' or 'term'")
+        return out
+
     # --------------------------------------------------------------- search
 
     @staticmethod
@@ -665,7 +785,8 @@ class EsSearchPlanner:
         named aggregation."""
         unknown = set(body) - {"query", "size", "sort", "search_after",
                                "rescore", "collapse", "aggs",
-                               "aggregations", "from"}
+                               "aggregations", "from", "highlight",
+                               "suggest"}
         if unknown:
             raise EsDslError(f"unsupported body keys {sorted(unknown)}")
         if "from" in body:
@@ -741,4 +862,12 @@ class EsSearchPlanner:
         for name, spec in (body.get("aggs")
                            or body.get("aggregations") or {}).items():
             aggregations[name] = self._agg(spec, aggs_src)
-        return SearchResult(hits=hits, aggregations=aggregations)
+        highlights = None
+        if "highlight" in body:
+            highlights = self._highlight(
+                body["highlight"],
+                body.get("query", {"match_all": {}}), hits)
+        suggestions = self._suggest(body.get("suggest") or {})
+        return SearchResult(hits=hits, aggregations=aggregations,
+                            highlights=highlights,
+                            suggestions=suggestions)

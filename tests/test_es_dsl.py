@@ -256,6 +256,45 @@ def test_expansion_families_and_phrase_prefix(planner):
     assert pp.count() > 0
 
 
+def test_highlight_hit_scoped_snippets(planner):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 10,
+            "highlight": {"fields": {"text": {}}}}
+    res = planner.search(body)
+    hit_ids = {r["doc_id"] for r in res.hits.collect()}
+    hl = res.highlights.collect()
+    assert hl
+    for r in hl:
+        assert r["doc_id"] in hit_ids          # hit-scoped only
+        assert r["term"] in ("hash", "join")   # scoring terms only
+        assert r["term"] in r["snippet"].split()
+        assert r["field"] == "text"
+    # filter-context terms are never highlighted
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"term": {"text": "join"}}]}},
+        "size": 10, "highlight": {"fields": {"text": {}}}}
+    assert all(r["term"] == "hash"
+               for r in planner.search(body2).highlights.collect())
+
+
+def test_suggest_completion_and_term(planner):
+    body = {"suggest": {
+        "c": {"prefix": "ha", "completion": {"field": "text", "size": 5}},
+        "t": {"text": "hassh", "term": {"field": "text", "size": 3}},
+    }}
+    res = planner.search(body)
+    comp = res.suggestions["c"].collect()
+    assert comp and all(r["term"].startswith("ha") for r in comp)
+    dfs = [r["df"] for r in comp]
+    assert dfs == sorted(dfs, reverse=True)
+    term = res.suggestions["t"].collect()
+    assert term and all(r["dist"] <= 2 for r in term)
+    assert any(r["term"] == "hash" for r in term)
+    # ranked (dist asc, df desc, term asc)
+    keys = [(r["dist"], -r["df"], r["term"]) for r in term]
+    assert keys == sorted(keys)
+
+
 def test_errors(planner):
     with pytest.raises(EsDslError):
         planner.search({"query": {"nested": {"path": "dims"}}})
