@@ -871,3 +871,190 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+
+# ---------------------------------------------------------------------------
+# stored-index execution
+
+
+def _meta_predicate(node: dict):
+    """Filter-context leaf → Column predicate over the index ``docs/``
+    table (range/term/terms/exists on metadata)."""
+    (kind, spec), = node.items()
+    if kind == "range":
+        (field, params), = [(k, v) for k, v in spec.items() if k != "boost"]
+        c = F.col(field)
+        pred = F.lit(True)
+        for op, fn in (("gte", c.__ge__), ("gt", c.__gt__),
+                       ("lte", c.__le__), ("lt", c.__lt__)):
+            if op in params:
+                pred = pred & fn(F.lit(params[op]))
+        return pred
+    if kind == "term":
+        (field, v), = [(k, v) for k, v in spec.items() if k != "boost"]
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(field) == F.lit(v)
+    if kind == "terms":
+        (field, vs), = [(k, v) for k, v in spec.items() if k != "boost"]
+        return F.col(field).isin(list(vs))
+    if kind == "exists":
+        return F.col(spec["field"]).isNotNull()
+    raise EsDslError(f"unsupported filter-context query {kind!r} against "
+                     "the stored index")
+
+
+def _bool_term_spec(spec: dict, has_filter: bool):
+    """bool body with TERM-level scoring clauses → BoolSpec. Each
+    must/should entry must be a ``term`` query on the indexed text field
+    or a single-token ``match`` (an ES match clause with several tokens
+    is an embedded OR, which BoolSpec's per-term clauses cannot
+    express)."""
+    from dp_search_data_importer_spark.operators.bm25 import BoolSpec
+
+    def one_term(node):
+        (kind, s), = node.items()
+        if kind in ("term", "match"):
+            pairs = [(k, v) for k, v in s.items() if k != "boost"]
+            (field, v), = pairs
+            boost = float(s.get("boost", 1.0))
+            if isinstance(v, dict):
+                boost = float(v.get("boost", boost))
+                v = v.get("value", v.get("query"))
+            toks = [t for t in str(v).lower().split() if t]
+            if len(toks) != 1:
+                raise EsDslError(
+                    "stored-index bool needs single-token clauses, got "
+                    f"{v!r} (multi-token match clauses embed an OR)")
+            return toks[0], boost
+        raise EsDslError(
+            f"unsupported stored-index bool clause {kind!r}")
+
+    must = [one_term(n) for n in _as_list(spec.get("must", []))]
+    should = [one_term(n) for n in _as_list(spec.get("should", []))]
+    must_not = [one_term(n)[0] for n in _as_list(spec.get("must_not", []))]
+    return BoolSpec(0, must=must, should=should, must_not=must_not,
+                    minimum_should_match=spec.get("minimum_should_match"))
+
+
+def search_indexed(spark: SparkSession, out_dir: str, body: dict,
+                   cfg: EngineConfig | None = None,
+                   use_wand: bool = False) -> SearchResult:
+    """Compile an ES ``_search`` body against the STORED index under
+    ``out_dir`` — the scale path: candidates come from term-pruned
+    compressed postings (``plans/query``), never a corpus scan, and the
+    analyzer follows the index's recorded ``code_aware`` flag (analyzer
+    symmetry).
+
+    Supported subset (each routes to the corresponding ``plans/query``
+    entry): ``match`` (OR; optionally WAND when neither pagination nor
+    rescoring needs exhaustive scores), top-level ``prefix`` / ``fuzzy``
+    / ``wildcard`` / ``regexp``, ``bool`` — a single must-``match``
+    clause with filter context routes to ``filtered_topk``; term-level
+    clause sets route to ``bool_topk_indexed`` — plus ``sort`` by a
+    docs-table metadata field, ``search_after`` under both sort orders,
+    and ``terms`` ``aggs`` (facets). Everything else raises
+    ``EsDslError``: the dataflow planner (:class:`EsSearchPlanner`) is
+    the semantics reference with full coverage; this is its stored-index
+    twin for the operators the index accelerates."""
+    from dp_search_data_importer_spark.plans import query as q
+
+    cfg = cfg or EngineConfig()
+    unknown = set(body) - {"query", "size", "sort", "search_after", "aggs",
+                           "aggregations"}
+    if unknown:
+        raise EsDslError(
+            f"unsupported stored-index body keys {sorted(unknown)}")
+    node = body.get("query")
+    if not node:
+        raise EsDslError("stored-index search requires a query")
+    (kind, spec), = node.items()
+    size = int(body.get("size", 10))
+    after = body.get("search_after")
+    sort = _as_list(body.get("sort", ["_score"]))
+    primary = sort[0]
+    score_sorted = primary == "_score" or (
+        isinstance(primary, dict) and "_score" in primary)
+
+    def match_queries(s):
+        pairs = [(k, v) for k, v in s.items() if k != "boost"]
+        (field, v), = pairs
+        if isinstance(v, dict):
+            v = v["query"]
+        return spark.createDataFrame([(0, str(v))],
+                                     "query_id long, query_text string")
+
+    hits = None
+    if not score_sorted:
+        if kind != "match":
+            raise EsDslError("stored-index field sort supports match "
+                             "queries")
+        (fld, fdir), = primary.items()
+        asc = (fdir.get("order", "asc") if isinstance(fdir, dict)
+               else str(fdir)) == "asc"
+        cur = {0: (after[0], int(after[1]))} if after else None
+        hits = q.sorted_topk(spark, out_dir, match_queries(spec), fld,
+                             ascending=asc, k=size, after=cur)
+    elif kind == "match":
+        cur = {0: (float(after[0]), int(after[1]))} if after else None
+        if use_wand and cur is None:
+            hits = q.wand_topk(spark, out_dir, match_queries(spec), cfg,
+                               k=size)
+        else:
+            hits = q.exact_topk(spark, out_dir, match_queries(spec), cfg,
+                                k=size, after=cur)
+    elif kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        pairs = [(k, v) for k, v in spec.items() if k != "boost"]
+        (field, v), = pairs
+        if isinstance(v, dict):
+            v = v.get("value")
+        fn = {"prefix": q.prefix_topk, "wildcard": q.wildcard_topk,
+              "regexp": q.regexp_topk, "fuzzy": q.fuzzy_topk}[kind]
+        hits = fn(spark, out_dir, [str(v)], cfg, k=size)
+    elif kind == "bool":
+        filters = _as_list(spec.get("filter", []))
+        pred = None
+        for f_node in filters:
+            p = _meta_predicate(f_node)
+            pred = p if pred is None else (pred & p)
+        must = _as_list(spec.get("must", []))
+        simple = (len(must) == 1 and not spec.get("should")
+                  and not spec.get("must_not")
+                  and next(iter(must[0])) == "match")
+        if simple:
+            mq = match_queries(must[0]["match"])
+            if pred is not None:
+                hits = q.filtered_topk(spark, out_dir, mq, pred, cfg,
+                                       k=size)
+            else:
+                hits = q.exact_topk(spark, out_dir, mq, cfg, k=size)
+        else:
+            bs = _bool_term_spec(spec, has_filter=pred is not None)
+            hits = q.bool_topk_indexed(spark, out_dir, [bs], cfg, k=size,
+                                       doc_filter=pred)
+    else:
+        raise EsDslError(
+            f"unsupported stored-index query type {kind!r}")
+    hits = hits.drop("query_id")
+
+    aggregations: dict[str, DataFrame] = {}
+    aggs = body.get("aggs") or body.get("aggregations") or {}
+    if aggs:
+        if kind != "match":
+            raise EsDslError("stored-index aggs support match queries")
+        wants = {}
+        for name, a in aggs.items():
+            (akind, abody), = a.items()
+            if akind != "terms":
+                raise EsDslError("stored-index aggs support terms only")
+            wants[name] = (abody["field"], int(abody.get("size", 10)))
+        fields = sorted({f for f, _ in wants.values()})
+        fc = q.facet_counts(spark, out_dir, match_queries(spec),
+                            fields, top_n=max(s for _, s in wants.values()))
+        for name, (f_, s_) in wants.items():
+            aggregations[name] = (
+                fc.filter(F.col("facet") == f_)
+                .select("key", "doc_count")
+                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+                .limit(s_))
+    return SearchResult(hits=hits, aggregations=aggregations)

@@ -295,6 +295,96 @@ def test_suggest_completion_and_term(planner):
     assert keys == sorted(keys)
 
 
+@pytest.fixture(scope="module")
+def doc_index(spark, planner, tmp_path_factory):
+    """Stored index built from the SAME documents table the dataflow
+    planner reads — the cross-planner identity substrate."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.plans.build_index import build_index
+
+    out = str(tmp_path_factory.mktemp("dsl_idx"))
+    build_index(spark, planner.docs, out,
+                EngineConfig(n_shards=4, block_size=64),
+                code_aware=False, text_col="text",
+                already_normalized=True, waves=1)
+    return out
+
+
+def _indexed(spark, out, body, **kw):
+    from dp_search_data_importer_spark.plans.es_dsl import search_indexed
+
+    return search_indexed(spark, out, body, **kw)
+
+
+def test_indexed_match_equals_dataflow(spark, planner, doc_index):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 10}
+    got = _ranked(_indexed(spark, doc_index, body).hits)
+    exp = _ranked(planner.search(body).hits)
+    assert got == exp
+    # WAND route: same ranking, exhaustive-scan-free
+    wand = _ranked(_indexed(spark, doc_index, body, use_wand=True).hits)
+    assert wand == exp
+
+
+def test_indexed_bool_and_filtered_equal_dataflow(spark, planner,
+                                                  doc_index):
+    # single must-match + filter context → filtered_topk route
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "hash join"}}],
+        "filter": [{"range": {"n_chars": {"gte": 300, "lte": 1500}}}],
+    }}, "size": 10}
+    assert _ranked(_indexed(spark, doc_index, body).hits) == \
+        _ranked(planner.search(body).hits)
+    # term-level clause set → bool_topk_indexed route
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "should": [{"match": {"text": "merge"}},
+                   {"match": {"text": "join"}}],
+        "must_not": [{"match": {"text": "zzznope"}}],
+    }}, "size": 10}
+    assert _ranked(_indexed(spark, doc_index, body2).hits) == \
+        _ranked(planner.search(body2).hits)
+
+
+def test_indexed_sort_and_facets_equal_dataflow(spark, planner,
+                                                doc_index):
+    body = {"query": {"match": {"text": "hash"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 5}
+    got = [(r["doc_id"], r["n_chars"])
+           for r in _indexed(spark, doc_index, body).hits
+           .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+           .collect()]
+    exp = [(r["doc_id"], r["n_chars"])
+           for r in planner.search(body).hits
+           .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+           .collect()]
+    assert got == exp
+    body_a = {"query": {"match": {"text": "hash"}}, "size": 0,
+              "aggs": {"langs": {"terms": {"field": "lang", "size": 4}}}}
+    got_a = sorted((r["key"], r["doc_count"]) for r in
+                   _indexed(spark, doc_index, body_a)
+                   .aggregations["langs"].collect())
+    exp_a = sorted((r["key"], r["doc_count"]) for r in
+                   planner.search(body_a).aggregations["langs"].collect())
+    assert got_a == exp_a
+
+
+def test_indexed_errors(spark, doc_index):
+    from dp_search_data_importer_spark.plans.es_dsl import (
+        EsDslError,
+        search_indexed,
+    )
+
+    with pytest.raises(EsDslError):
+        search_indexed(spark, doc_index,
+                       {"query": {"match_phrase": {"text": "a b"}}})
+    with pytest.raises(EsDslError):
+        search_indexed(spark, doc_index,
+                       {"query": {"bool": {"must": [
+                           {"match": {"text": "two tokens"}},
+                           {"match": {"text": "x"}}]}}})
+
+
 def test_errors(planner):
     with pytest.raises(EsDslError):
         planner.search({"query": {"nested": {"path": "dims"}}})
