@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dp_search_data_importer_spark.config import EngineConfig
@@ -352,6 +352,52 @@ class EsSearchPlanner:
             field, self._expand(field, str(pat), "fuzzy", max_edits),
             float(params.get("boost", 1.0)))
 
+    def _score_query_string(self, spec: dict) -> DataFrame:
+        """Lucene-syntax ``query_string``: parsed by
+        ``plans/query_string.parse_query_string`` into the node tree this
+        planner already executes — stats memoization and ranking shared."""
+        from dp_search_data_importer_spark.plans.query_string import (
+            parse_query_string,
+        )
+
+        fields = _as_list(spec.get("fields", []))
+        if len(fields) > 1:
+            raise EsDslError("query_string: multi-field not supported; "
+                             "use multi_match")
+        default_field = (fields[0] if fields
+                         else spec.get("default_field", self.text_fields[0]))
+        node = parse_query_string(
+            str(spec["query"]), default_field=default_field,
+            default_operator=str(spec.get("default_operator", "OR")),
+            is_meta=self._meta_col)
+        out = self.score(node)
+        boost = float(spec.get("boost", 1.0))
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(boost))
+        return out
+
+    def _score_simple_query_string(self, spec: dict) -> DataFrame:
+        """``simple_query_string``: the reduced never-raising dialect —
+        malformed input degrades to literal terms (the ES contract)."""
+        from dp_search_data_importer_spark.plans.query_string import (
+            parse_simple_query_string,
+        )
+
+        fields = _as_list(spec.get("fields", []))
+        if len(fields) > 1:
+            raise EsDslError("simple_query_string: multi-field not "
+                             "supported; use multi_match")
+        default_field = fields[0] if fields else self.text_fields[0]
+        node = parse_simple_query_string(
+            str(spec["query"]), default_field=default_field,
+            default_operator=str(spec.get("default_operator", "OR")),
+            is_meta=self._meta_col)
+        out = self.score(node)
+        boost = float(spec.get("boost", 1.0))
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(boost))
+        return out
+
     def _score_constant_score(self, spec: dict) -> DataFrame:
         boost = float(spec.get("boost", 1.0))
         return self.filter(spec["filter"]).withColumn(
@@ -474,6 +520,9 @@ class EsSearchPlanner:
                 out = out.join(self.filter(n), "doc_id", "left_semi")
         for n in must_not:
             out = out.join(self.filter(n), "doc_id", "left_anti")
+        boost = float(spec.get("boost", 1.0))
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(boost))
         return out
 
     # filter leaves ----------------------------------------------------
@@ -537,12 +586,10 @@ class EsSearchPlanner:
             *[c for c in meta_cols if c != self.id_col])
         if kind == "terms":
             fld, size = body["field"], int(body.get("size", 10))
-            if sub:
+            if sub and len(sub) == 1 \
+                    and next(iter(next(iter(sub.values())))) == "top_hits":
                 (sname, sspec), = sub.items()
                 (skind, sbody), = sspec.items()
-                if skind != "top_hits":
-                    raise EsDslError(
-                        f"only top_hits sub-agg supported, got {skind!r}")
                 sort_spec = _as_list(sbody.get("sort", []))
                 if not sort_spec:
                     raise EsDslError("top_hits requires a sort field")
@@ -556,12 +603,13 @@ class EsSearchPlanner:
                     qhits, meta, fld, sfield,
                     hits_per_bucket=int(sbody.get("size", 3)),
                     ascending=asc).drop("query_id")
+            if sub:
+                return self._terms_with_subaggs(body, sub, qhits, meta)
             j = qhits.join(meta, "doc_id")
             buckets = (j.groupBy(F.col(fld).cast("string").alias("key"))
                        .agg(F.count(F.lit(1)).cast("long")
                             .alias("doc_count")))
-            return (buckets.orderBy(F.col("doc_count").desc(),
-                                    F.col("key").asc()).limit(size))
+            return self._order_buckets(buckets, body, size)
         if kind == "histogram":
             fld = body["field"]
             interval = float(body["interval"])
@@ -622,6 +670,104 @@ class EsSearchPlanner:
                 *[F.col(k).asc() for k in keys]).limit(
                 int(body.get("size", 10)))
         raise EsDslError(f"unsupported aggregation {kind!r}")
+
+    _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
+                     "cardinality")
+
+    def _metric_exprs(self, metrics: dict) -> list:
+        """Aggregate expressions for metric sub-aggs — evaluated in the
+        SAME groupBy as the bucket counts (one shuffle, map-side
+        partials). avg/sum/min/max surface as double (the ES JSON shape),
+        value_count/cardinality as long."""
+        exprs = []
+        for name, sspec in metrics.items():
+            (skind, sbody), = sspec.items()
+            c = F.col(sbody["field"])
+            if skind == "avg":
+                e = F.avg(c.cast("double"))
+            elif skind == "sum":
+                e = F.sum(c.cast("double"))
+            elif skind == "min":
+                e = F.min(c.cast("double"))
+            elif skind == "max":
+                e = F.max(c.cast("double"))
+            elif skind == "value_count":
+                e = F.count(c).cast("long")
+            elif skind == "cardinality":
+                e = F.count_distinct(c).cast("long")
+            else:  # pragma: no cover
+                raise EsDslError(f"unsupported metric sub-agg {skind!r}")
+            exprs.append(e.alias(name))
+        return exprs
+
+    def _order_buckets(self, buckets: DataFrame, body: dict,
+                       size: int) -> DataFrame:
+        """ES terms-agg bucket ordering: ``order`` on ``_count`` (the
+        default, desc), ``_key``, or a metric sub-agg name; key asc always
+        breaks ties. TakeOrdered (orderBy().limit()), never a window."""
+        order = body.get("order") or {"_count": "desc"}
+        (okey, odir), = order.items()
+        col = {"_count": "doc_count", "_key": "key"}.get(okey, okey)
+        if col not in buckets.columns:
+            raise EsDslError(f"order target {okey!r} is not a sub-agg")
+        lead = (F.col(col).desc() if str(odir) == "desc"
+                else F.col(col).asc())
+        return buckets.orderBy(lead, F.col("key").asc()).limit(size)
+
+    def _terms_with_subaggs(self, body: dict, sub: dict, qhits: DataFrame,
+                            meta: DataFrame) -> DataFrame:
+        """``terms`` with sub-aggregations. Metric children fold into the
+        parent's single hash aggregation; ONE nested ``terms`` child (with
+        optional metric children of its own) runs as a single doc-level
+        groupBy(parent, child) — parent doc_counts re-derive from the
+        child partials at bucket scale, so the hit set shuffles once
+        regardless of nesting. Flattened child shape: ``key, doc_count,
+        sub_key, sub_count[, metric…]`` rows, parents ordered per the ES
+        bucket order, children by (count desc, key asc) within each."""
+        fld, size = body["field"], int(body.get("size", 10))
+        nested = {n: s for n, s in sub.items() if "terms" in s}
+        metrics = {n: s for n, s in sub.items()
+                   if len(s) == 1 and next(iter(s)) in self._METRIC_KINDS}
+        if set(sub) - set(nested) - set(metrics):
+            bad = set(sub) - set(nested) - set(metrics)
+            raise EsDslError(f"unsupported sub-aggs {sorted(bad)!r}")
+        if len(nested) > 1:
+            raise EsDslError("at most one nested terms sub-agg")
+        if nested and metrics:
+            raise EsDslError("metric sub-aggs must sit under the nested "
+                             "terms child, not alongside it")
+        j = qhits.join(meta, "doc_id")
+        if not nested:
+            buckets = (j.groupBy(F.col(fld).cast("string").alias("key"))
+                       .agg(F.count(F.lit(1)).cast("long")
+                            .alias("doc_count"),
+                            *self._metric_exprs(metrics)))
+            return self._order_buckets(buckets, body, size)
+        (cname, cspec), = nested.items()
+        cbody = cspec["terms"]
+        csub = cspec.get("aggs") or cspec.get("aggregations") or {}
+        if any("terms" in s for s in csub.values()):
+            raise EsDslError("terms nesting deeper than two levels")
+        cfld, csize = cbody["field"], int(cbody.get("size", 10))
+        # ONE doc-level shuffle: child buckets keyed (parent, child); the
+        # child key keeps nulls so parent doc_counts stay exact, null-key
+        # child rows drop from the output (the ES terms-agg contract)
+        cb = (j.groupBy(F.col(fld).cast("string").alias("key"),
+                        F.col(cfld).cast("string").alias("sub_key"))
+              .agg(F.count(F.lit(1)).cast("long").alias("sub_count"),
+                   *self._metric_exprs(csub)))
+        parents = (cb.groupBy("key")
+                   .agg(F.sum("sub_count").cast("long").alias("doc_count")))
+        top = self._order_buckets(parents, body, size)
+        ranked = (cb.filter(F.col("sub_key").isNotNull())
+                  .join(F.broadcast(top), "key")
+                  .withColumn("_rk", F.row_number().over(
+                      Window.partitionBy("key")
+                      .orderBy(F.col("sub_count").desc(),
+                               F.col("sub_key").asc())))
+                  .filter(F.col("_rk") <= F.lit(csize)).drop("_rk"))
+        return ranked.select("key", "doc_count", "sub_key", "sub_count",
+                             *list(csub))
 
     # --------------------------------------------- highlight / suggest
 

@@ -394,3 +394,192 @@ def test_errors(planner):
         planner.search({"knn": {}})
     with pytest.raises(EsDslError):
         planner.search({"query": {"bool": {}}})
+
+
+# ------------------------------------------------- query_string family
+
+def test_query_string_equals_node_tree(planner):
+    """The parsed query_string must execute identically to the explicit
+    bool body it documents — same planner, same statistics."""
+    qs = {"query": {"query_string": {
+        "query": '(hash OR merge) AND join'}}, "size": 10}
+    explicit = {"query": {"bool": {"must": [
+        {"bool": {"should": [{"match": {"text": "hash"}},
+                             {"match": {"text": "merge"}}],
+                  "minimum_should_match": 1}},
+        {"match": {"text": "join"}}]}}, "size": 10}
+    assert _ranked(planner.search(qs).hits) \
+        == _ranked(planner.search(explicit).hits)
+
+
+def test_query_string_default_operator_and_phrase(planner):
+    qs_or = planner.search({"query": {"query_string": {
+        "query": 'hash join'}}, "size": 500}).hits
+    explicit_or = planner.search({"query": {"bool": {"should": [
+        {"match": {"text": "hash"}}, {"match": {"text": "join"}}],
+        "minimum_should_match": 1}}, "size": 500}).hits
+    assert _ranked(qs_or) == _ranked(explicit_or)
+    qs_and = planner.search({"query": {"query_string": {
+        "query": 'hash join', "default_operator": "AND"}},
+        "size": 500}).hits
+    explicit_and = planner.search({"query": {"bool": {"must": [
+        {"match": {"text": "hash"}}, {"match": {"text": "join"}}]}},
+        "size": 500}).hits
+    assert _ranked(qs_and) == _ranked(explicit_and)
+    # negated phrase excludes exactly the phrase-matching docs
+    neg = planner.search({"query": {"query_string": {
+        "query": 'join -"hash join"'}}, "size": 500}).hits
+    phrase_ids = {r["doc_id"] for r in planner.score(
+        {"match_phrase": {"text": "hash join"}}).collect()}
+    neg_ids = {d for d, _ in _ranked(neg)}
+    assert neg_ids and not (neg_ids & phrase_ids)
+
+
+def test_query_string_meta_range_boost_fuzzy(planner):
+    got = planner.search({"query": {"query_string": {
+        "query": 'lang:python AND n_chars:[300 TO 1500] AND hash'}},
+        "size": 500}).hits
+    explicit = planner.search({"query": {"bool": {"must": [
+        {"term": {"lang": {"value": "python"}}},
+        {"range": {"n_chars": {"gte": 300, "lte": 1500}}},
+        {"match": {"text": "hash"}}]}}, "size": 500}).hits
+    assert _ranked(got) == _ranked(explicit)
+    # ^boost scales scores 2x (constant-score term leaves add 1.0 each)
+    base = dict(_ranked(planner.search({"query": {"query_string": {
+        "query": "hash"}}, "size": 500}).hits))
+    boosted = dict(_ranked(planner.search({"query": {"query_string": {
+        "query": "hash^2"}}, "size": 500}).hits))
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert abs(boosted[d] - 2 * s) < 1e-3
+    # fuzzy ~1 equals the fuzzy leaf
+    fz = planner.search({"query": {"query_string": {
+        "query": "hsah~1"}}, "size": 500}).hits
+    leaf = planner.search({"query": {"fuzzy": {"text": {
+        "value": "hsah", "fuzziness": 1}}}, "size": 500}).hits
+    assert _ranked(fz) == _ranked(leaf)
+
+
+def test_simple_query_string_dialect(planner):
+    got = planner.search({"query": {"simple_query_string": {
+        "query": '"hash join" | merge -scan'}}, "size": 500}).hits
+    explicit = planner.search({"query": {"bool": {
+        "should": [{"match_phrase": {"text": "hash join"}},
+                   {"match": {"text": "merge"}}],
+        "minimum_should_match": 1,
+        "must_not": [{"match": {"text": "scan"}}]}}, "size": 500}).hits
+    assert _ranked(got) == _ranked(explicit)
+    # + is binary AND; trailing * is a prefix query
+    got2 = planner.search({"query": {"simple_query_string": {
+        "query": "hash + tabl*"}}, "size": 500}).hits
+    explicit2 = planner.search({"query": {"bool": {"must": [
+        {"match": {"text": "hash"}},
+        {"prefix": {"text": {"value": "tabl"}}}]}}, "size": 500}).hits
+    assert _ranked(got2) == _ranked(explicit2)
+    # malformed input NEVER raises: degrades to literal terms
+    deg = planner.search({"query": {"simple_query_string": {
+        "query": "bad ( unbalanced"}}, "size": 500}).hits
+    lit = planner.search({"query": {"match": {
+        "text": "bad unbalanced"}}, "size": 500}).hits
+    assert _ranked(deg) == _ranked(lit)
+
+
+def test_query_string_errors(planner):
+    from dp_search_data_importer_spark.plans.query_string import (
+        QueryStringError,
+    )
+
+    with pytest.raises(QueryStringError):
+        planner.search({"query": {"query_string": {
+            "query": '"unterminated'}}})
+    with pytest.raises(QueryStringError):
+        planner.search({"query": {"query_string": {"query": "(a b"}}})
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"query_string": {
+            "query": "x", "fields": ["text", "lang"]}}})
+
+
+# ------------------------------------------------- terms sub-aggregations
+
+def test_terms_metric_subaggs(planner):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 100},
+                               "aggs": {
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "total_chars": {"sum": {"field": "n_chars"}},
+                "nsrc": {"cardinality": {"field": "source"}}}}}}
+    got = {r["key"]: r for r in
+           planner.search(body).aggregations["langs"].collect()}
+    hit_ids = [r["doc_id"] for r in planner.score(
+        {"match": {"text": "hash join"}}).select("doc_id").collect()]
+    rows = planner.docs.filter(F.col("doc_id").isin(hit_ids)) \
+        .select("lang", "n_chars", "source").collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(got) == set(by_lang)
+    for lang, rs in by_lang.items():
+        g = got[lang]
+        assert g["doc_count"] == len(rs)
+        assert abs(g["avg_chars"]
+                   - sum(x["n_chars"] for x in rs) / len(rs)) < 1e-9
+        assert g["total_chars"] == float(sum(x["n_chars"] for x in rs))
+        assert g["nsrc"] == len({x["source"] for x in rs})
+
+
+def test_terms_order_by_metric(planner):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"langs": {
+                "terms": {"field": "lang", "size": 3,
+                          "order": {"avg_chars": "desc"}},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}
+    rows = planner.search(body).aggregations["langs"].collect()
+    assert len(rows) == 3
+    avgs = [r["avg_chars"] for r in rows]
+    assert avgs == sorted(avgs, reverse=True)
+
+
+def test_nested_terms_subagg(planner):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 100},
+                               "aggs": {"srcs": {
+                "terms": {"field": "source", "size": 2},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}}}
+    rows = planner.search(body).aggregations["langs"].collect()
+    hit_ids = [r["doc_id"] for r in planner.score(
+        {"match": {"text": "hash join"}}).select("doc_id").collect()]
+    docs = planner.docs.filter(F.col("doc_id").isin(hit_ids)) \
+        .select("lang", "source", "n_chars").collect()
+    # parent doc_count covers the whole bucket, children are top-2 by
+    # (count desc, key asc), child metrics are per-(parent, child)
+    from collections import Counter, defaultdict
+    parent_n = Counter(r["lang"] for r in docs)
+    pair_n = Counter((r["lang"], r["source"]) for r in docs)
+    pair_chars = defaultdict(list)
+    for r in docs:
+        pair_chars[(r["lang"], r["source"])].append(r["n_chars"])
+    seen_children = defaultdict(list)
+    for r in rows:
+        assert r["doc_count"] == parent_n[r["key"]]
+        assert r["sub_count"] == pair_n[(r["key"], r["sub_key"])]
+        vals = pair_chars[(r["key"], r["sub_key"])]
+        assert abs(r["avg_chars"] - sum(vals) / len(vals)) < 1e-9
+        seen_children[r["key"]].append((r["sub_count"], r["sub_key"]))
+    for lang, kids in seen_children.items():
+        expect = sorted(((pair_n[(lang, s)], s) for (la, s) in pair_n
+                         if la == lang),
+                        key=lambda t: (-t[0], t[1]))[:2]
+        assert sorted(kids, key=lambda t: (-t[0], t[1])) == expect
+
+
+def test_subagg_errors(planner):
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"a": {"terms": {"field": "lang"},
+                                       "aggs": {"b": {"derivative": {
+                                           "field": "n_chars"}}}}}})
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"a": {
+                            "terms": {"field": "lang",
+                                      "order": {"nope": "desc"}}}}})
