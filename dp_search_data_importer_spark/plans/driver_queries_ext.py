@@ -1806,7 +1806,78 @@ def q_es_dsl_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsl_planner(spark, sf_dir).search(body).hits
 
 
+QS_BODY = {"query": {"query_string": {
+    "query": "(hash OR merge) AND join AND n_chars:[300 TO 1500] -scan"}},
+    "size": 10}
+
+
+def q_es_dsl_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-syntax ``query_string`` through the ``_search`` JSON body:
+    parsed by ``plans/query_string`` into the planner's node tree — an
+    OR-group must-bound with a term, a meta-field range (constant-score
+    +1.0 in scoring context, the ES behavior), and a pinned ``-`` negation.
+    Oracle replays the gates (either of hash/merge, join, the range, no
+    scan) and the matched-clause BM25 sum + 1.0 in SQL."""
+    return _dsl_planner(spark, sf_dir).search(QS_BODY).hits \
+        .select("doc_id", "score")
+
+
+SQS_BODY = {"query": {"simple_query_string": {"query": "hash + s*"}},
+            "size": 10}
+
+
+def q_es_dsl_simple_query_string(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``simple_query_string`` through the ``_search`` JSON body: ``+`` is
+    binary AND, trailing ``*`` a prefix query expanded against the term
+    dictionary capped at max_expansions=50 by (df desc, term asc). Score =
+    BM25(hash) + OR-sum over the matched expansions; oracle mirrors the
+    LIKE-expansion window cap and the sum."""
+    return _dsl_planner(spark, sf_dir).search(SQS_BODY).hits \
+        .select("doc_id", "score")
+
+
+TMF_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"langs": {
+                "terms": {"field": "lang", "size": 3,
+                          "order": {"avg_chars": "desc"}},
+                "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                         "total_chars": {"sum": {"field": "n_chars"}},
+                         "nsrc": {"cardinality": {"field": "source"}}}}}}
+
+
+def q_terms_metric_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation with metric sub-aggs (avg/sum/cardinality)
+    computed in the SAME hash aggregation as the bucket counts, buckets
+    ordered by a metric sub-agg (``order: {avg_chars: desc}``) — one
+    doc-level shuffle over the hit set, TakeOrdered bucket ranking."""
+    res = _dsl_planner(spark, sf_dir).search(TMF_BODY)
+    return res.aggregations["langs"]
+
+
+NTF_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 100},
+                               "aggs": {"srcs": {
+                                   "terms": {"field": "source", "size": 2},
+                                   "aggs": {"avg_chars": {
+                                       "avg": {"field": "n_chars"}}}}}}}}
+
+
+def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level ES ``terms`` nesting (terms → terms + metric): ONE
+    doc-level groupBy(parent, child) produces the child buckets; parent
+    doc_counts re-derive from child partials at bucket scale; children
+    rank top-2 per parent by (count desc, key asc). Flattened
+    (key, doc_count, sub_key, sub_count, avg_chars) rows."""
+    res = _dsl_planner(spark, sf_dir).search(NTF_BODY)
+    return res.aggregations["langs"]
+
+
 EXT_QUERIES = {
+    "es_dsl_query_string": q_es_dsl_query_string,
+    "es_dsl_simple_query_string": q_es_dsl_simple_query_string,
+    "terms_metric_facets": q_terms_metric_facets,
+    "nested_terms_facets": q_nested_terms_facets,
     "es_dsl_search": q_es_dsl_search,
     "es_dsl_facets": q_es_dsl_facets,
     "es_dsl_sorted": q_es_dsl_sorted,
@@ -1963,6 +2034,110 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_query_string": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('merge'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score,
+                 max(CASE WHEN t.term IN ('hash', 'merge')
+                     THEN 1 ELSE 0 END) AS has_hm,
+                 max(CASE WHEN t.term = 'join' THEN 1 ELSE 0 END) AS has_j
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        keep AS (
+          SELECT sc.doc_id, round(sc.score + 1.0, 4) AS score
+          FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+          WHERE sc.has_hm = 1 AND sc.has_j = 1
+            AND dc.n_chars >= 300 AND dc.n_chars <= 1500
+            AND NOT EXISTS (SELECT 1 FROM tf x
+                            WHERE x.doc_id = sc.doc_id
+                              AND x.term = 'scan')
+        )
+        SELECT doc_id, score FROM keep
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    "es_dsl_simple_query_string": f"""
+        WITH {_BM25_CORPUS_SQL},
+        exp AS (
+          SELECT term FROM (
+            SELECT term, row_number() OVER (
+              ORDER BY df DESC, term ASC) AS rn
+            FROM dfs WHERE term LIKE 's%'
+          ) WHERE rn <= 50
+        ),
+        qt AS (SELECT 'hash' AS term UNION SELECT term FROM exp),
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score,
+                 max(CASE WHEN t.term = 'hash' THEN 1 ELSE 0 END) AS h,
+                 max(CASE WHEN t.term <> 'hash' THEN 1 ELSE 0 END) AS e
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scored
+        WHERE h = 1 AND e = 1
+        ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+    """,
+    "terms_metric_facets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('hash', 'join')),
+        j AS (SELECT d.lang, d.source, d.n_chars
+              FROM hits h JOIN documents d USING (doc_id)),
+        b AS (
+          SELECT lang AS key, count(*)::BIGINT AS doc_count,
+                 (sum(n_chars)::DOUBLE
+                  / count(n_chars)::DOUBLE) AS avg_chars,
+                 sum(n_chars)::DOUBLE AS total_chars,
+                 count(DISTINCT source)::BIGINT AS nsrc
+          FROM j GROUP BY lang
+        )
+        SELECT key, doc_count, avg_chars, total_chars, nsrc FROM b
+        ORDER BY avg_chars DESC, key ASC LIMIT 3
+    """,
+    "nested_terms_facets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('hash', 'join')),
+        j AS (SELECT d.lang, d.source, d.n_chars
+              FROM hits h JOIN documents d USING (doc_id)),
+        cb AS (
+          SELECT lang AS key, source AS sub_key,
+                 count(*)::BIGINT AS sub_count,
+                 (sum(n_chars)::DOUBLE
+                  / count(n_chars)::DOUBLE) AS avg_chars
+          FROM j GROUP BY lang, source
+        ),
+        parents AS (
+          SELECT key, sum(sub_count)::BIGINT AS doc_count
+          FROM cb GROUP BY key
+        )
+        SELECT cb.key, p.doc_count, cb.sub_key, cb.sub_count, cb.avg_chars
+        FROM cb JOIN parents p USING (key)
+        QUALIFY row_number() OVER (
+          PARTITION BY cb.key
+          ORDER BY cb.sub_count DESC, cb.sub_key ASC) <= 2
+    """,
     "es_dsl_search": f"""
         WITH qt(term) AS (VALUES ('hash'), ('join')),
         {_BM25_CORPUS_SQL},

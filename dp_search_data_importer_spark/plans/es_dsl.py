@@ -683,10 +683,13 @@ class EsSearchPlanner:
         for name, sspec in metrics.items():
             (skind, sbody), = sspec.items()
             c = F.col(sbody["field"])
+            # avg/sum accumulate in the column's native type (exact for
+            # integers — no double-associativity drift across partition
+            # orders) and surface as double, the ES JSON shape
             if skind == "avg":
-                e = F.avg(c.cast("double"))
+                e = F.sum(c).cast("double") / F.count(c).cast("double")
             elif skind == "sum":
-                e = F.sum(c.cast("double"))
+                e = F.sum(c).cast("double")
             elif skind == "min":
                 e = F.min(c.cast("double"))
             elif skind == "max":
