@@ -1028,8 +1028,11 @@ class EsSearchPlanner:
 
 def _meta_predicate(node: dict):
     """Filter-context leaf → Column predicate over the index ``docs/``
-    table (range/term/terms/exists on metadata)."""
+    table (range/term/terms/exists on metadata; ``__not__`` wraps a
+    negated leaf — produced by query_string ``-meta:value`` clauses)."""
     (kind, spec), = node.items()
+    if kind == "__not__":
+        return ~_meta_predicate(spec)
     if kind == "range":
         (field, params), = [(k, v) for k, v in spec.items() if k != "boost"]
         c = F.col(field)
@@ -1051,6 +1054,47 @@ def _meta_predicate(node: dict):
         return F.col(spec["field"]).isNotNull()
     raise EsDslError(f"unsupported filter-context query {kind!r} against "
                      "the stored index")
+
+
+_META_LEAF_KINDS = ("range", "terms", "exists", "term")
+
+
+def _qs_indexed_bool(spec: dict) -> dict:
+    """Parsed query_string bool → the flat stored-index bool shape.
+
+    Meta-field scoring leaves (the parser emits ``term``/``range`` only
+    for non-text fields) move to FILTER context — rank-identical to the
+    dataflow planner, score shifted down by the 1.0-per-leaf
+    constant-score contribution filter context never adds. Negated meta
+    leaves become ``__not__`` filter nodes. Anything the flat BoolSpec
+    form cannot express (nested groups, phrases, expansion leaves inside
+    the bool, multi-token match clauses) raises — the dataflow planner
+    is the full-coverage reference."""
+    flat: dict = {"must": [], "should": [], "must_not": [], "filter": []}
+    for role in ("must", "should", "must_not"):
+        for n in _as_list(spec.get(role, [])):
+            (k, s), = n.items()
+            if k in _META_LEAF_KINDS:
+                if role == "should":
+                    raise EsDslError(
+                        "stored-index query_string: meta leaves in "
+                        "should context are constant-score boosts the "
+                        "BoolSpec form cannot express")
+                flat["filter"].append({"__not__": n}
+                                      if role == "must_not" else n)
+                continue
+            if k != "match":
+                raise EsDslError(
+                    "stored-index query_string supports flat term "
+                    f"clauses, got {k!r}; use the dataflow planner")
+            flat[role].append(n)
+    if spec.get("boost", 1.0) != 1.0:
+        raise EsDslError("stored-index query_string: bool-level boost "
+                         "not supported")
+    out = {r: v for r, v in flat.items() if v}
+    if "minimum_should_match" in spec:
+        out["minimum_should_match"] = spec["minimum_should_match"]
+    return out
 
 
 def _bool_term_spec(spec: dict, has_filter: bool):
@@ -1118,6 +1162,26 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
     if not node:
         raise EsDslError("stored-index search requires a query")
     (kind, spec), = node.items()
+    if kind in ("query_string", "simple_query_string"):
+        from dp_search_data_importer_spark.plans.query_string import (
+            parse_query_string,
+            parse_simple_query_string,
+        )
+
+        fields = _as_list(spec.get("fields", []))
+        if len(fields) > 1:
+            raise EsDslError("stored-index query_string: single field "
+                             "only; use multi_match")
+        dfield = fields[0] if fields else spec.get("default_field", "text")
+        parse = (parse_query_string if kind == "query_string"
+                 else parse_simple_query_string)
+        node = parse(str(spec["query"]), default_field=dfield,
+                     default_operator=str(
+                         spec.get("default_operator", "OR")),
+                     is_meta=lambda f: f != dfield)
+        (kind, spec), = node.items()
+        if kind == "bool":
+            spec = _qs_indexed_bool(spec)
     size = int(body.get("size", 10))
     after = body.get("search_after")
     sort = _as_list(body.get("sort", ["_score"]))

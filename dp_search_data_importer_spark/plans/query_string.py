@@ -177,12 +177,16 @@ def _build_bool(clauses: list[tuple[str, str | None, dict]],
     if len(groups) == 1 and not must and not must_not:
         return groups[0]
     body: dict = {}
-    if len(groups) == 1 and must:
-        # single plain group alongside pinned musts: it is required too
-        # only when the default operator is AND; under OR it stays should
-        if default_operator == "AND":
+    if len(groups) == 1:
+        # a single plain group is required exactly like a must clause
+        # (one should with msm=1 ≡ must — Lucene's implicit-msm rule);
+        # pure must-groups splice flat so the tree stays one level
+        (gk, gs), = groups[0].items()
+        if gk == "bool" and set(gs) == {"must"}:
+            must = must + list(gs["must"])
+        else:
             must = must + groups
-            groups = []
+        groups = []
     if must:
         body["must"] = must
     if groups:

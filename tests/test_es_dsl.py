@@ -583,3 +583,41 @@ def test_subagg_errors(planner):
                         "aggs": {"a": {
                             "terms": {"field": "lang",
                                       "order": {"nope": "desc"}}}}})
+
+
+def test_indexed_query_string_equals_dataflow(spark, planner, doc_index):
+    """Stored-index query_string: rank-identical to the dataflow planner;
+    meta scoring leaves run in filter context, so scores shift down by
+    exactly the 1.0-per-leaf constant-score contribution."""
+    body = {"query": {"query_string": {
+        "query": "hash AND join -scan"}}, "size": 10}
+    got = _ranked(_indexed(spark, doc_index, body).hits)
+    exp = _ranked(planner.search(body).hits)
+    assert got == exp
+    # meta leaf: same ranks, dataflow scores exactly +1.0
+    body2 = {"query": {"query_string": {
+        "query": "lang:python AND hash AND join"}}, "size": 300}
+    got2 = _ranked(_indexed(spark, doc_index, body2).hits)
+    exp2 = _ranked(planner.search(body2).hits)
+    assert [d for d, _ in got2] == [d for d, _ in exp2]
+    for (d1, s1), (d2, s2) in zip(got2, exp2):
+        assert abs((s2 - s1) - 1.0) < 2e-4
+    # simple_query_string: binary + over the stored index
+    body3 = {"query": {"simple_query_string": {
+        "query": "hash + join"}}, "size": 10}
+    assert _ranked(_indexed(spark, doc_index, body3).hits) \
+        == _ranked(planner.search(body3).hits)
+
+
+def test_indexed_query_string_unsupported_shapes(spark, doc_index):
+    from dp_search_data_importer_spark.plans.es_dsl import (
+        EsDslError,
+        search_indexed,
+    )
+
+    with pytest.raises(EsDslError):  # nested OR group inside AND
+        search_indexed(spark, doc_index, {"query": {"query_string": {
+            "query": "(hash OR merge) AND join"}}})
+    with pytest.raises(EsDslError):  # phrase clause in a bool
+        search_indexed(spark, doc_index, {"query": {"query_string": {
+            "query": '"hash join" AND merge'}}})
