@@ -1837,6 +1837,33 @@ def q_es_dsl_simple_query_string(spark: SparkSession,
         .select("doc_id", "score")
 
 
+DH_BODY = {"query": {"match": {"text": "dup"}}, "size": 0,
+           "aggs": {"per_day": {
+               "date_histogram": {"field": "release_date",
+                                  "calendar_interval": "day"},
+               "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}
+
+
+def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` through the ``_search`` JSON body: calendar-
+    day buckets over a rare query's hit set with a sum metric sub-agg in
+    the SAME groupBy, and the ES ``min_doc_count: 0`` default — EMPTY
+    buckets between the first and last populated day are filled
+    (doc_count 0, sum 0) via one single-row bounds agg + ``sequence``
+    explode, no driver collect. ``release_date`` is derived
+    deterministically from doc_id (the reference's documents carry the
+    field — ``models/elastic.go:13``; the synthetic table does not), and
+    the oracle replays the same derivation + generate_series fill."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "release_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")))
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    res = EsSearchPlanner(spark, docs).search(DH_BODY)
+    return res.aggregations["per_day"]
+
+
 TMF_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
             "aggs": {"langs": {
                 "terms": {"field": "lang", "size": 3,
@@ -1874,6 +1901,7 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "es_dsl_date_histogram": q_es_dsl_date_histogram,
     "es_dsl_query_string": q_es_dsl_query_string,
     "es_dsl_simple_query_string": q_es_dsl_simple_query_string,
     "terms_metric_facets": q_terms_metric_facets,
@@ -2034,6 +2062,36 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_date_histogram": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+        dated AS (
+          SELECT h.doc_id,
+                 (DATE '2024-01-01'
+                  + CAST(d.doc_id % 365 AS INT)) AS release_date,
+                 d.n_chars
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT date_trunc('day', release_date)::TIMESTAMP AS key,
+                 count(*)::BIGINT AS doc_count,
+                 sum(n_chars)::DOUBLE AS sum_chars
+          FROM dated GROUP BY 1
+        ),
+        bounds AS (SELECT min(key) AS lo, max(key) AS hi FROM b),
+        keys AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS key
+          FROM bounds
+        )
+        SELECT k.key,
+               coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+               coalesce(b.sum_chars, 0)::DOUBLE AS sum_chars
+        FROM keys k LEFT JOIN b USING (key)
+    """,
     "es_dsl_query_string": f"""
         WITH qt(term) AS (VALUES ('hash'), ('merge'), ('join')),
         {_BM25_CORPUS_SQL},

@@ -16,8 +16,9 @@ filter, minimum_should_match, per-clause boost], dis_max, constant_score,
 boosting, function_score [field_value_factor]), ``size``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
-sub-agg], histogram, range, stats, extended_stats, percentiles,
-cardinality, composite [+after]), ``highlight`` (token-granularity
+sub-agg], histogram, date_histogram [calendar/fixed interval, empty
+buckets filled per min_doc_count:0, metric sub-aggs], range, stats,
+extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
 (completion + term suggesters over the field's term dictionary).
 
@@ -618,6 +619,8 @@ class EsSearchPlanner:
                 (F.floor(F.col(fld) / interval) * interval)
                 .cast("double").alias("key"))
                 .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
+        if kind == "date_histogram":
+            return self._date_histogram(body, sub, qhits, meta)
         if kind == "range":
             ranges = [(r.get("from"), r.get("to"))
                       for r in body["ranges"]]
@@ -702,6 +705,82 @@ class EsSearchPlanner:
                 raise EsDslError(f"unsupported metric sub-agg {skind!r}")
             exprs.append(e.alias(name))
         return exprs
+
+    _CALENDAR_UNITS = {
+        "minute": "minute", "1m": "minute", "hour": "hour", "1h": "hour",
+        "day": "day", "1d": "day", "week": "week", "1w": "week",
+        "month": "month", "1M": "month", "quarter": "quarter",
+        "1q": "quarter", "year": "year", "1y": "year",
+    }
+
+    def _date_histogram(self, body: dict, sub: dict, qhits: DataFrame,
+                        meta: DataFrame) -> DataFrame:
+        """ES ``date_histogram`` over the hit set: ``calendar_interval``
+        truncates with ``date_trunc`` (week = ISO Monday, matching ES);
+        ``fixed_interval`` (``ms/s/m/h/d``) floors epoch seconds. Key
+        surfaces as timestamp (ES returns epoch millis + key_as_string —
+        same instant, Spark-native type). ``min_doc_count: 0`` (the ES
+        default) fills EMPTY buckets between the first and last populated
+        key via one single-row bounds agg + ``sequence`` explode — no
+        driver collect, bucket count bounded by the data's time span.
+        Metric sub-aggs evaluate in the SAME groupBy (one shuffle);
+        sum/value_count fill 0 on empty buckets, the ES shape."""
+        import re as _re
+
+        fld = body["field"]
+        mdc = int(body.get("min_doc_count", 0))
+        metrics = sub or {}
+        bad = [n for n, s in metrics.items()
+               if next(iter(s)) not in self._METRIC_KINDS]
+        if bad:
+            raise EsDslError(
+                f"date_histogram sub-aggs must be metrics, got {bad}")
+        cal = body.get("calendar_interval")
+        fixed = body.get("fixed_interval", body.get("interval"))
+        ts = F.col(fld).cast("timestamp")
+        if cal is not None:
+            unit = self._CALENDAR_UNITS.get(str(cal))
+            if unit is None:
+                raise EsDslError(
+                    f"unsupported calendar_interval {cal!r}")
+            key = F.date_trunc(unit, ts)
+            step = f"interval 1 {unit}"
+        elif fixed is not None:
+            m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(fixed))
+            if not m:
+                raise EsDslError(
+                    f"unsupported fixed_interval {fixed!r}")
+            n, u = int(m.group(1)), m.group(2)
+            secs = {"ms": 0.001, "s": 1, "m": 60,
+                    "h": 3600, "d": 86400}[u] * n
+            if secs < 1 or secs != int(secs):
+                raise EsDslError("fixed_interval must be >= 1s here")
+            secs = int(secs)
+            key = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(ts) / secs) * secs)
+            step = f"interval {secs} second"
+        else:
+            raise EsDslError("date_histogram requires calendar_interval "
+                             "or fixed_interval")
+        j = qhits.join(meta, "doc_id")
+        buckets = (j.groupBy(key.alias("key"))
+                   .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                        *self._metric_exprs(metrics)))
+        if mdc == 0:
+            bounds = buckets.agg(F.min("key").alias("lo"),
+                                 F.max("key").alias("hi"))
+            keys = bounds.select(
+                F.explode(F.sequence("lo", "hi", F.expr(step)))
+                .alias("key"))
+            buckets = keys.join(buckets, "key", "left")
+            fills: dict = {"doc_count": 0}
+            for n_, s_ in metrics.items():
+                if next(iter(s_)) in ("sum", "value_count"):
+                    fills[n_] = 0
+            buckets = buckets.na.fill(fills)
+        else:
+            buckets = buckets.filter(F.col("doc_count") >= mdc)
+        return buckets.orderBy("key")
 
     def _order_buckets(self, buckets: DataFrame, body: dict,
                        size: int) -> DataFrame:

@@ -621,3 +621,84 @@ def test_indexed_query_string_unsupported_shapes(spark, doc_index):
     with pytest.raises(EsDslError):  # phrase clause in a bool
         search_indexed(spark, doc_index, {"query": {"query_string": {
             "query": '"hash join" AND merge'}}})
+
+
+def test_date_histogram_agg(spark, planner):
+    """``date_histogram``: calendar-month buckets over the hit set equal
+    the direct date_trunc groupBy; empty buckets between the first and
+    last populated key are filled (min_doc_count 0, the ES default) with
+    doc_count 0 and sum 0; min_doc_count 1 drops them."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs2 = planner.docs.withColumn(
+        "release_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 60).cast("int")))
+    p2 = EsSearchPlanner(spark, docs2)
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"per_month": {
+                "date_histogram": {"field": "release_date",
+                                   "calendar_interval": "month"},
+                "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}
+    res = p2.search(body)
+    got = {r["key"]: (r["doc_count"], r["sum_chars"])
+           for r in res.aggregations["per_month"].collect()}
+    hit_ids = [r["doc_id"] for r in
+               p2.search({"query": {"match": {"text": "hash join"}},
+                          "size": 100000}).hits.collect()]
+    exp = {r["key"]: (r["doc_count"], float(r["sum_chars"]))
+           for r in docs2.filter(F.col("doc_id").isin(hit_ids))
+           .groupBy(F.date_trunc("month", F.col("release_date")
+                                 .cast("timestamp")).alias("key"))
+           .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                F.sum("n_chars").cast("double").alias("sum_chars"))
+           .collect()}
+    assert {k: v for k, v in got.items() if v[0] > 0} == exp
+    assert sum(v[0] for v in got.values()) == len(hit_ids)
+
+    # fixed_interval + gap filling: a rare query spans more days than it
+    # has hits, so zero-count buckets must appear and be contiguous
+    docs3 = planner.docs.withColumn(
+        "release_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")))
+    p3 = EsSearchPlanner(spark, docs3)
+    bodyd = {"query": {"match": {"text": "dup"}}, "size": 0,
+             "aggs": {"d": {"date_histogram": {
+                 "field": "release_date", "fixed_interval": "1d"}}}}
+    rows = sorted(res_r["key"] for res_r in
+                  p3.search(bodyd).aggregations["d"].collect())
+    assert len(rows) >= 2
+    import datetime
+    span = (rows[-1] - rows[0]).days + 1
+    assert len(rows) == span  # contiguous daily keys, gaps filled
+    counts = {r["key"]: r["doc_count"]
+              for r in p3.search(bodyd).aggregations["d"].collect()}
+    assert 0 in counts.values() or span == sum(
+        1 for v in counts.values() if v > 0)
+    # min_doc_count 1: only populated buckets remain
+    bodyd1 = {"query": {"match": {"text": "dup"}}, "size": 0,
+              "aggs": {"d": {"date_histogram": {
+                  "field": "release_date", "fixed_interval": "1d",
+                  "min_doc_count": 1}}}}
+    only = p3.search(bodyd1).aggregations["d"].collect()
+    assert all(r["doc_count"] >= 1 for r in only)
+    assert len(only) == sum(1 for v in counts.values() if v > 0)
+
+
+def test_date_histogram_errors(planner):
+    with pytest.raises(EsDslError):  # no interval at all
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"d": {"date_histogram": {
+                            "field": "n_chars"}}}})
+    with pytest.raises(EsDslError):  # bucket sub-agg under date_histogram
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"d": {
+                            "date_histogram": {"field": "n_chars",
+                                               "calendar_interval": "day"},
+                            "aggs": {"t": {"terms": {"field": "lang"}}}}}})
+    with pytest.raises(EsDslError):  # unsupported calendar unit
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"d": {"date_histogram": {
+                            "field": "n_chars",
+                            "calendar_interval": "fortnight"}}}})
