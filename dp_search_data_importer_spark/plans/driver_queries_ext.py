@@ -1864,6 +1864,33 @@ def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["per_day"]
 
 
+MS_BODIES = [
+    {"query": {"match": {"text": "hash join"}}, "size": 10},
+    {"query": {"match": {"text": "window agg"}}, "size": 5},
+    {"query": {"match": {"text": "dup"}}, "size": 3},
+]
+
+
+def q_es_dsl_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch`` endpoint twin: three match bodies with different
+    sizes in ONE call — ``EsSearchPlanner.msearch`` batches them into a
+    single shared scoring job (one tf/dfs/stats scan set, one scoring
+    shuffle keyed by request slot, one batch top-k window) instead of
+    three independent plans; per-slot sizes trim the bounded persisted
+    result. Scores are identical to per-body ``search`` (global BM25
+    statistics). Returned as the union (slot, doc_id, score); the oracle
+    replays each slot's BM25 ranking and its own size cap."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    p = EsSearchPlanner(spark, load_table(spark, sf_dir, "documents"))
+    out = None
+    for slot, res in enumerate(p.msearch(MS_BODIES)):
+        h = res.hits.select(F.lit(slot).cast("long").alias("slot"),
+                            "doc_id", "score")
+        out = h if out is None else out.unionByName(h)
+    return out
+
+
 TMF_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
             "aggs": {"langs": {
                 "terms": {"field": "lang", "size": 3,
@@ -1901,6 +1928,7 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "es_dsl_msearch": q_es_dsl_msearch,
     "es_dsl_date_histogram": q_es_dsl_date_histogram,
     "es_dsl_query_string": q_es_dsl_query_string,
     "es_dsl_simple_query_string": q_es_dsl_simple_query_string,
@@ -2062,6 +2090,33 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_msearch": f"""
+        WITH qt(slot, term) AS (VALUES
+          (0, 'hash'), (0, 'join'),
+          (1, 'window'), (1, 'agg'),
+          (2, 'dup')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT q.slot, t.doc_id,
+                 round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)
+                              / (d.df + 0.5))
+                       * t.tf * (1.2 + 1.0)
+                       / (t.tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dd.dl / s.avgdl))), 4) AS score
+          FROM tf t JOIN qt q USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.slot, t.doc_id
+        ),
+        ranked AS (
+          SELECT slot, doc_id, score,
+                 row_number() OVER (PARTITION BY slot
+                                    ORDER BY score DESC, doc_id ASC) AS rn
+          FROM scored
+        )
+        SELECT slot::BIGINT AS slot, doc_id, score FROM ranked
+        WHERE rn <= CASE slot WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 3 END
+    """,
     "es_dsl_date_histogram": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),

@@ -21,6 +21,8 @@ buckets filled per min_doc_count:0, metric sub-aggs], range, stats,
 extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
 (completion + term suggesters over the field's term dictionary).
+``EsSearchPlanner.msearch`` is the ``_msearch`` endpoint twin: plain
+match bodies batch per field into one shared scoring job.
 
 Documented divergences (each chosen for scale-sane Spark semantics):
 
@@ -1099,6 +1101,73 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+    def msearch(self, bodies: list[dict]) -> list[SearchResult]:
+        """ES ``_msearch``: N request bodies in one call.
+
+        Plain single-field ``match`` bodies (body keys ⊆ {query, size},
+        match spec a string or ``{"query": str}``) BATCH per field into
+        ONE scoring job: the memoized tf/dfs/stats scans and the scoring
+        shuffle are shared across the batch (query_id = request slot),
+        ranking is the batch ``topk`` window over real query_id keys at
+        max(size), and the bounded result (≤ max_size · n_queries rows)
+        is persisted so every slot's hits read the shared job once — the
+        scan-amortization the endpoint exists for (the same effect
+        measured at 26× on phrase batches, BENCH/ANALYSIS.md). Scores
+        are identical to per-body :meth:`search`: BM25 statistics are
+        global, so co-execution cannot change them. Non-batchable bodies
+        (sorts, aggs, compound queries, …) compile independently via
+        :meth:`search`, preserving exact per-body semantics."""
+        from dp_search_data_importer_spark.operators.bm25 import (
+            bm25_scores,
+            topk,
+        )
+        from dp_search_data_importer_spark.session import local_df
+
+        def _batchable(b: dict):
+            if set(b) - {"query", "size"}:
+                return None
+            q = b.get("query")
+            if not (isinstance(q, dict) and len(q) == 1 and "match" in q):
+                return None
+            (fld, spec), = q["match"].items()
+            if isinstance(spec, str):
+                return fld, spec
+            if isinstance(spec, dict) and set(spec) == {"query"} \
+                    and isinstance(spec["query"], str):
+                return fld, spec["query"]
+            return None
+
+        results: list[SearchResult | None] = [None] * len(bodies)
+        groups: dict[str, list[tuple[int, str, int]]] = {}
+        for i, b in enumerate(bodies):
+            fs = _batchable(b)
+            if fs is None:
+                results[i] = self.search(b)
+            else:
+                groups.setdefault(fs[0], []).append(
+                    (i, fs[1], int(b.get("size", 10))))
+        for fld, entries in groups.items():
+            if len(entries) == 1:
+                i = entries[0][0]
+                results[i] = self.search(bodies[i])
+                continue
+            pairs = {(i, t) for i, text, _ in entries
+                     for t in self._tokens(text)}
+            qt = local_df(self.spark, sorted(pairs),
+                          "query_id long, term string")
+            scores = bm25_scores(self.tf(fld), qt, self.dfs(fld),
+                                 self.stats(fld), self.cfg)
+            kmax = max(s for _, _, s in entries)
+            batched = topk(scores, kmax).persist()
+            for i, _, size in entries:
+                hits = (batched.filter(F.col("query_id") == i)
+                        .drop("query_id"))
+                if size < kmax:
+                    hits = hits.orderBy(F.col("score").desc(),
+                                        F.col("doc_id").asc()).limit(size)
+                results[i] = SearchResult(hits=hits)
+        return results
 
 
 # ---------------------------------------------------------------------------

@@ -702,3 +702,26 @@ def test_date_histogram_errors(planner):
                         "aggs": {"d": {"date_histogram": {
                             "field": "n_chars",
                             "calendar_interval": "fortnight"}}}})
+
+
+def test_msearch_equals_per_body_search(planner):
+    """``_msearch``: every slot's hits equal the same body through
+    ``search`` — batched match bodies (shared scoring job), a different
+    size, an unbatchable sort body, and a no-hit query."""
+    bodies = [
+        {"query": {"match": {"text": "hash join"}}, "size": 10},
+        {"query": {"match": {"text": {"query": "window agg"}}}, "size": 5},
+        {"query": {"match": {"text": "hash"}},
+         "sort": [{"n_chars": {"order": "desc"}}], "size": 10},
+        {"query": {"match": {"text": "zzznope"}}, "size": 10},
+        {"query": {"match": {"text": "dup"}}, "size": 3},
+    ]
+    got = planner.msearch(bodies)
+    for body, res in zip(bodies, got):
+        exp = planner.search(body)
+        if "sort" in body:
+            a = [(r["doc_id"], r["n_chars"]) for r in res.hits.collect()]
+            b = [(r["doc_id"], r["n_chars"]) for r in exp.hits.collect()]
+            assert a == b
+        else:
+            assert _ranked(res.hits) == _ranked(exp.hits)
