@@ -1864,6 +1864,32 @@ def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["per_day"]
 
 
+FLT_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"by": {"filters": {"filters": {
+                "short": {"range": {"n_chars": {"lt": 500}}},
+                "long": {"range": {"n_chars": {"gte": 1500}}},
+                "en": {"term": {"lang": "en"}}}}}}}
+
+
+def q_es_dsl_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation through the ``_search`` JSON body:
+    three named filter buckets counted over the match hit set in ONE
+    conditional-sum aggregation (map-side partials, no per-filter jobs),
+    then a width-3 stack to (key, doc_count) rows."""
+    res = _dsl_planner(spark, sf_dir).search(FLT_BODY)
+    return res.aggregations["by"]
+
+
+def q_es_dsl_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_count`` endpoint twin: hit-set cardinality of a bool query
+    (must match + filter range) as one aggregate — the scoring plan
+    without ranking."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "hash join"}}],
+        "filter": [{"range": {"n_chars": {"gte": 300, "lte": 1500}}}]}}}
+    return _dsl_planner(spark, sf_dir).count(body)
+
+
 MS_BODIES = [
     {"query": {"match": {"text": "hash join"}}, "size": 10},
     {"query": {"match": {"text": "window agg"}}, "size": 5},
@@ -1928,6 +1954,8 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "es_dsl_filters": q_es_dsl_filters,
+    "es_dsl_count": q_es_dsl_count,
     "es_dsl_msearch": q_es_dsl_msearch,
     "es_dsl_date_histogram": q_es_dsl_date_histogram,
     "es_dsl_query_string": q_es_dsl_query_string,
@@ -2090,6 +2118,41 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_filters": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('hash', 'join')),
+        j AS (SELECT d.n_chars, d.lang
+              FROM hits h JOIN documents d USING (doc_id)),
+        agg AS (
+          SELECT sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)::BIGINT
+                   AS b_short,
+                 sum(CASE WHEN n_chars >= 1500 THEN 1 ELSE 0 END)::BIGINT
+                   AS b_long,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                   AS b_en
+          FROM j
+        )
+        SELECT 'short' AS key, b_short AS doc_count FROM agg
+        UNION ALL SELECT 'long', b_long FROM agg
+        UNION ALL SELECT 'en', b_en FROM agg
+    """,
+    "es_dsl_count": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('hash', 'join'))
+        SELECT count(*)::BIGINT AS count
+        FROM hits h JOIN documents d USING (doc_id)
+        WHERE d.n_chars >= 300 AND d.n_chars <= 1500
+    """,
     "es_dsl_msearch": f"""
         WITH qt(slot, term) AS (VALUES
           (0, 'hash'), (0, 'join'),

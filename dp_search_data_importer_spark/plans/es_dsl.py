@@ -17,8 +17,9 @@ boosting, function_score [field_value_factor]), ``size``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
 sub-agg], histogram, date_histogram [calendar/fixed interval, empty
-buckets filled per min_doc_count:0, metric sub-aggs], range, stats,
-extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
+buckets filled per min_doc_count:0, metric sub-aggs], filters [named
+buckets, one conditional-sum pass], range, stats, extended_stats,
+percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
 (completion + term suggesters over the field's term dictionary).
 ``EsSearchPlanner.msearch`` is the ``_msearch`` endpoint twin: plain
@@ -623,6 +624,24 @@ class EsSearchPlanner:
                 .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
         if kind == "date_histogram":
             return self._date_histogram(body, sub, qhits, meta)
+        if kind == "filters":
+            named = body["filters"]
+            if not isinstance(named, dict) or not named:
+                raise EsDslError("filters agg requires named filters")
+            j = qhits.join(meta, "doc_id")
+            # ONE pass over the hit set: every named bucket is a
+            # conditional sum in the same aggregation (map-side
+            # partials), then a width-n → n-row stack — no per-filter
+            # jobs, no repeated scans
+            row = j.agg(*[
+                F.sum(F.when(_meta_predicate(node), 1).otherwise(0))
+                .cast("long").alias(f"__f{i}")
+                for i, node in enumerate(named.values())])
+            stack = ", ".join(
+                "'{}', `__f{}`".format(name.replace("'", "''"), i)
+                for i, name in enumerate(named))
+            return row.selectExpr(
+                f"stack({len(named)}, {stack}) AS (key, doc_count)")
         if kind == "range":
             ranges = [(r.get("from"), r.get("to"))
                       for r in body["ranges"]]
@@ -1101,6 +1120,17 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+    def count(self, body: dict) -> DataFrame:
+        """ES ``_count`` endpoint twin: number of documents matching the
+        body's query, as a lazy 1-row (count) frame. Compiles the same
+        scoring plan and aggregates — no ranking window, no top-k."""
+        unknown = set(body) - {"query"}
+        if unknown:
+            raise EsDslError(f"_count accepts only 'query', got "
+                             f"{sorted(unknown)}")
+        scores = self.score(body.get("query", {"match_all": {}}))
+        return scores.agg(F.count(F.lit(1)).cast("long").alias("count"))
 
     def msearch(self, bodies: list[dict]) -> list[SearchResult]:
         """ES ``_msearch``: N request bodies in one call.

@@ -725,3 +725,34 @@ def test_msearch_equals_per_body_search(planner):
             assert a == b
         else:
             assert _ranked(res.hits) == _ranked(exp.hits)
+
+
+def test_filters_agg_and_count(planner):
+    """``filters`` agg: named buckets equal direct filtered counts over
+    the hit set, computed in one conditional-sum pass; ``_count`` twin
+    equals the hit-set size."""
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"by": {"filters": {"filters": {
+                "short": {"range": {"n_chars": {"lt": 500}}},
+                "en": {"term": {"lang": "en"}},
+                "none": {"term": {"lang": "zz-nope"}}}}}}}
+    res = planner.search(body)
+    got = {r["key"]: r["doc_count"]
+           for r in res.aggregations["by"].collect()}
+    hits = planner.search({"query": {"match": {"text": "hash join"}},
+                           "size": 100000}).hits
+    ids = [r["doc_id"] for r in hits.collect()]
+    d = planner.docs.filter(F.col("doc_id").isin(ids))
+    assert got == {
+        "short": d.filter("n_chars < 500").count(),
+        "en": d.filter("lang = 'en'").count(),
+        "none": 0,
+    }
+    cnt = planner.count(
+        {"query": {"match": {"text": "hash join"}}}).collect()[0]["count"]
+    assert cnt == len(ids)
+    with pytest.raises(EsDslError):
+        planner.count({"query": {"match_all": {}}, "size": 5})
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"by": {"filters": {"filters": {}}}}})
