@@ -1864,6 +1864,34 @@ def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["per_day"]
 
 
+def q_es_dsl_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` aggregation null-key semantics through the JSON body:
+    lang nulled for doc_id % 7 == 0, then (a) default terms drops null
+    keys, (b) the ``missing`` param buckets them under a literal, and
+    (c) a ``missing`` agg counts them — all three in one request over
+    the match hit set. Returned as (agg, key, doc_count) union; the
+    oracle replays the null derivation."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("lang")))
+    res = EsSearchPlanner(spark, docs).search(
+        {"query": {"match": {"text": "hash"}}, "size": 0,
+         "aggs": {"drop": {"terms": {"field": "lang", "size": 100}},
+                  "keep": {"terms": {"field": "lang", "size": 100,
+                                     "missing": "unknown"}},
+                  "nolang": {"missing": {"field": "lang"}}}})
+    a = res.aggregations["drop"].select(
+        F.lit("drop").alias("agg"), "key", "doc_count")
+    b = res.aggregations["keep"].select(
+        F.lit("keep").alias("agg"), "key", "doc_count")
+    c = res.aggregations["nolang"].select(
+        F.lit("missing").alias("agg"), F.lit("-").alias("key"),
+        "doc_count")
+    return a.unionByName(b).unionByName(c)
+
+
 FLT_BODY = {"query": {"match": {"text": "hash join"}}, "size": 0,
             "aggs": {"by": {"filters": {"filters": {
                 "short": {"range": {"n_chars": {"lt": 500}}},
@@ -1954,6 +1982,7 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "es_dsl_missing_buckets": q_es_dsl_missing_buckets,
     "es_dsl_filters": q_es_dsl_filters,
     "es_dsl_count": q_es_dsl_count,
     "es_dsl_msearch": q_es_dsl_msearch,
@@ -2118,6 +2147,37 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_missing_buckets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        j AS (
+          SELECT CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                 ELSE d.lang END AS lang
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        dropb AS (
+          SELECT 'drop' AS agg, lang AS key, count(*)::BIGINT AS doc_count
+          FROM j WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        keepb AS (
+          SELECT 'keep' AS agg, coalesce(lang, 'unknown') AS key,
+                 count(*)::BIGINT AS doc_count
+          FROM j GROUP BY coalesce(lang, 'unknown')
+        ),
+        miss AS (
+          SELECT 'missing' AS agg, '-' AS key,
+                 sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS doc_count
+          FROM j
+        )
+        SELECT * FROM dropb UNION ALL
+        SELECT * FROM keepb UNION ALL
+        SELECT * FROM miss
+    """,
     "es_dsl_filters": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),

@@ -16,10 +16,11 @@ filter, minimum_should_match, per-clause boost], dis_max, constant_score,
 boosting, function_score [field_value_factor]), ``size``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
-sub-agg], histogram, date_histogram [calendar/fixed interval, empty
-buckets filled per min_doc_count:0, metric sub-aggs], filters [named
-buckets, one conditional-sum pass], range, stats, extended_stats,
-percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
+sub-agg, `missing` param, null keys dropped by default], histogram,
+date_histogram [calendar/fixed interval, empty buckets filled per
+min_doc_count:0, metric sub-aggs], filters [named buckets, one
+conditional-sum pass], global [escapes query scope], missing, range,
+stats, extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
 (completion + term suggesters over the field's term dictionary).
 ``EsSearchPlanner.msearch`` is the ``_msearch`` endpoint twin: plain
@@ -588,8 +589,29 @@ class EsSearchPlanner:
         meta = self.docs.select(
             F.col(self.id_col).alias("doc_id"),
             *[c for c in meta_cols if c != self.id_col])
+        if kind == "global":
+            # ES global agg: escapes the query scope — sub-agg over ALL
+            # docs. One sub-agg supported (one frame per agg name).
+            if len(sub) != 1:
+                raise EsDslError("global agg requires exactly one "
+                                 "sub-aggregation")
+            (sname, sspec), = sub.items()
+            all_hits = self.docs.select(
+                F.col(self.id_col).alias("doc_id"))
+            return self._agg(sspec, all_hits)
+        if kind == "missing":
+            fld = body["field"]
+            j = qhits.join(meta, "doc_id")
+            return j.agg(
+                F.sum(F.when(F.col(fld).isNull(), 1).otherwise(0))
+                .cast("long").alias("doc_count"))
         if kind == "terms":
             fld, size = body["field"], int(body.get("size", 10))
+            if "missing" in body:
+                # ES terms `missing` param: null keys bucket under the
+                # given literal instead of dropping
+                meta = meta.withColumn(
+                    fld, F.coalesce(F.col(fld), F.lit(body["missing"])))
             if sub and len(sub) == 1 \
                     and next(iter(next(iter(sub.values())))) == "top_hits":
                 (sname, sspec), = sub.items()
@@ -609,7 +631,7 @@ class EsSearchPlanner:
                     ascending=asc).drop("query_id")
             if sub:
                 return self._terms_with_subaggs(body, sub, qhits, meta)
-            j = qhits.join(meta, "doc_id")
+            j = qhits.join(meta, "doc_id").filter(F.col(fld).isNotNull())
             buckets = (j.groupBy(F.col(fld).cast("string").alias("key"))
                        .agg(F.count(F.lit(1)).cast("long")
                             .alias("doc_count")))

@@ -756,3 +756,52 @@ def test_filters_agg_and_count(planner):
     with pytest.raises(EsDslError):
         planner.search({"query": {"match_all": {}}, "size": 0,
                         "aggs": {"by": {"filters": {"filters": {}}}}})
+
+
+def test_global_missing_and_terms_missing(spark, planner):
+    """``global`` escapes the query scope (sub-agg over ALL docs);
+    ``missing`` counts null-field hits; ``terms`` drops null keys by
+    default and buckets them under the ``missing`` literal when given."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    # docs with lang nulled for doc_id % 7 == 0
+    docs2 = planner.docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("lang")))
+    p2 = EsSearchPlanner(spark, docs2)
+    res = p2.search({"query": {"match": {"text": "dup"}}, "size": 0,
+                     "aggs": {
+                         "all_langs": {"global": {},
+                                       "aggs": {"l": {"terms": {
+                                           "field": "lang",
+                                           "size": 100}}}},
+                         "nolang": {"missing": {"field": "lang"}},
+                         "langs": {"terms": {"field": "lang",
+                                             "size": 100}},
+                         "langs_m": {"terms": {"field": "lang",
+                                               "size": 100,
+                                               "missing": "unknown"}}}})
+    # global: buckets over ALL docs, not the 'dup' hit set
+    g = {r["key"]: r["doc_count"]
+         for r in res.aggregations["all_langs"].collect()}
+    exp_g = {r["lang"]: r["cnt"] for r in
+             docs2.filter("lang IS NOT NULL").groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert g == exp_g
+    # hit set for the scoped aggs
+    ids = [r["doc_id"] for r in
+           p2.search({"query": {"match": {"text": "dup"}},
+                      "size": 100000}).hits.collect()]
+    d = docs2.filter(F.col("doc_id").isin(ids))
+    assert res.aggregations["nolang"].collect()[0]["doc_count"] \
+        == d.filter("lang IS NULL").count()
+    got = {r["key"]: r["doc_count"]
+           for r in res.aggregations["langs"].collect()}
+    assert None not in got and "unknown" not in got
+    gotm = {r["key"]: r["doc_count"]
+            for r in res.aggregations["langs_m"].collect()}
+    assert gotm.get("unknown", 0) == d.filter("lang IS NULL").count()
+    assert sum(gotm.values()) == len(ids)
+    with pytest.raises(EsDslError):  # global needs exactly one sub-agg
+        p2.search({"query": {"match_all": {}}, "size": 0,
+                   "aggs": {"g": {"global": {}}}})
