@@ -1346,7 +1346,12 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
     clause with filter context routes to ``filtered_topk``; term-level
     clause sets route to ``bool_topk_indexed`` — plus ``sort`` by a
     docs-table metadata field, ``search_after`` under both sort orders,
-    and ``terms`` ``aggs`` (facets). Everything else raises
+    and ``aggs`` — the FULL dataflow agg family (terms [+sub-aggs],
+    histogram, date_histogram, filters, global, missing, range, stats,
+    extended_stats, percentiles, cardinality, composite) over the hit
+    set: candidates from term-pruned postings, metadata from the stored
+    content-free ``docs/`` table through the same ``_agg`` code path as
+    :class:`EsSearchPlanner`. Everything else raises
     ``EsDslError``: the dataflow planner (:class:`EsSearchPlanner`) is
     the semantics reference with full coverage; this is its stored-index
     twin for the operators the index accelerates."""
@@ -1455,19 +1460,16 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
     if aggs:
         if kind != "match":
             raise EsDslError("stored-index aggs support match queries")
-        wants = {}
+        import os as _os
+
+        # full hit set from term-pruned postings (never a corpus scan),
+        # then the ENTIRE dataflow agg family runs over the stored
+        # content-free docs/ metadata table via a planner shim — one agg
+        # code path for both planners
+        hits_all = q._match_hits(
+            spark, out_dir, match_queries(spec)).select("doc_id")
+        docs_meta = spark.read.parquet(_os.path.join(out_dir, "docs"))
+        shim = EsSearchPlanner(spark, docs_meta, cfg)
         for name, a in aggs.items():
-            (akind, abody), = a.items()
-            if akind != "terms":
-                raise EsDslError("stored-index aggs support terms only")
-            wants[name] = (abody["field"], int(abody.get("size", 10)))
-        fields = sorted({f for f, _ in wants.values()})
-        fc = q.facet_counts(spark, out_dir, match_queries(spec),
-                            fields, top_n=max(s for _, s in wants.values()))
-        for name, (f_, s_) in wants.items():
-            aggregations[name] = (
-                fc.filter(F.col("facet") == f_)
-                .select("key", "doc_count")
-                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
-                .limit(s_))
+            aggregations[name] = shim._agg(a, hits_all)
     return SearchResult(hits=hits, aggregations=aggregations)

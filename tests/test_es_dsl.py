@@ -805,3 +805,23 @@ def test_global_missing_and_terms_missing(spark, planner):
     with pytest.raises(EsDslError):  # global needs exactly one sub-agg
         p2.search({"query": {"match_all": {}}, "size": 0,
                    "aggs": {"g": {"global": {}}}})
+
+
+def test_indexed_agg_family_equals_dataflow(spark, planner, doc_index):
+    """Stored-index aggs now route through the SAME _agg code path as
+    the dataflow planner over the stored docs/ metadata — the whole
+    family, not just terms."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"st": {"stats": {"field": "n_chars"}},
+                     "h": {"histogram": {"field": "n_chars",
+                                         "interval": 400}},
+                     "by": {"filters": {"filters": {
+                         "short": {"range": {"n_chars": {"lt": 500}}},
+                         "en": {"term": {"lang": "en"}}}}},
+                     "card": {"cardinality": {"field": "lang"}}}}
+    got = _indexed(spark, doc_index, body)
+    exp = planner.search(body)
+    for name in body["aggs"]:
+        g = sorted(tuple(r) for r in got.aggregations[name].collect())
+        e = sorted(tuple(r) for r in exp.aggregations[name].collect())
+        assert g == e, name
