@@ -1864,6 +1864,26 @@ def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["per_day"]
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_analyze``-shaped positional token stream, distributed:
+    (doc_id, position, token) from the Catalyst tokenizer via
+    ``posexplode`` — zero Python, and exactly the coordinates the
+    positional block codec stores for phrase matching
+    (``EsSearchPlanner.analyze`` is the single-string endpoint twin of
+    the same analyzer). Bounded to doc_id < 30 for the gate."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30)
+    return (docs.select("doc_id",
+                        F.posexplode(tokenize_expr(F.col("text")))
+                        .alias("position", "token"))
+            .select("doc_id", F.col("position").cast("long")
+                    .alias("position"), "token"))
+
+
 def q_es_dsl_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``terms`` aggregation null-key semantics through the JSON body:
     lang nulled for doc_id % 7 == 0, then (a) default terms drops null
@@ -1982,6 +2002,7 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "token_positions": q_token_positions,
     "es_dsl_missing_buckets": q_es_dsl_missing_buckets,
     "es_dsl_filters": q_es_dsl_filters,
     "es_dsl_count": q_es_dsl_count,
@@ -2147,6 +2168,19 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "token_positions": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks)))::BIGINT - 1
+                 AS position,
+               unnest(toks) AS token
+        FROM base
+    """,
     "es_dsl_missing_buckets": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),

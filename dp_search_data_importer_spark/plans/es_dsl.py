@@ -1143,6 +1143,22 @@ class EsSearchPlanner:
                             highlights=highlights,
                             suggestions=suggestions)
 
+    def analyze(self, text: str, field: str | None = None) -> DataFrame:
+        """ES ``_analyze`` endpoint twin: the analyzer's token stream for
+        ONE input string as a lazy (token, position) frame — the same
+        ``_tokens`` path every query-side clause uses, so what this
+        returns is exactly what the engine matches against. Byte offsets
+        (ES ``start_offset``/``end_offset``) are not reproduced — the
+        engine's positional index is token-granular; positions are the
+        phrase-matching coordinates and are faithful."""
+        from dp_search_data_importer_spark.session import local_df
+
+        del field  # single analyzer per planner; accepted for API shape
+        toks = self._tokens(text)
+        return local_df(self.spark,
+                        [(t, i) for i, t in enumerate(toks)],
+                        "token string, position long")
+
     def count(self, body: dict) -> DataFrame:
         """ES ``_count`` endpoint twin: number of documents matching the
         body's query, as a lazy 1-row (count) frame. Compiles the same

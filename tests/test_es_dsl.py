@@ -825,3 +825,13 @@ def test_indexed_agg_family_equals_dataflow(spark, planner, doc_index):
         g = sorted(tuple(r) for r in got.aggregations[name].collect())
         e = sorted(tuple(r) for r in exp.aggregations[name].collect())
         assert g == e, name
+
+
+def test_analyze_endpoint_twin(planner):
+    """``_analyze``: the planner's own query-side token stream, with
+    token-granular positions."""
+    rows = [(r["token"], r["position"])
+            for r in planner.analyze("Hash-Join, or MERGE join?").collect()]
+    assert rows == [("hash", 0), ("join", 1), ("or", 2),
+                    ("merge", 3), ("join", 4)]
+    assert planner.analyze("").count() == 0
