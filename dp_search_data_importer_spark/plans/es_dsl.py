@@ -815,7 +815,10 @@ class EsSearchPlanner:
             keys = bounds.select(
                 F.explode(F.sequence("lo", "hi", F.expr(step)))
                 .alias("key"))
-            buckets = keys.join(buckets, "key", "left")
+            # both sides are bucket-scale (bounded by time span ÷
+            # interval, post-aggregation); broadcast the aggregated side
+            # so the fill never sort-merge-shuffles
+            buckets = keys.join(F.broadcast(buckets), "key", "left")
             fills: dict = {"doc_count": 0}
             for n_, s_ in metrics.items():
                 if next(iter(s_)) in ("sum", "value_count"):
