@@ -1864,6 +1864,31 @@ def q_es_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["per_day"]
 
 
+FD_BODY = {"query": {"function_score": {
+    "query": {"match": {"text": "hash join"}},
+    "functions": [
+        {"gauss": {"n_chars": {"origin": 800, "scale": 400}},
+         "weight": 2.0},
+        {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+    ],
+    "score_mode": "sum", "boost_mode": "multiply", "max_boost": 4.0}},
+    "size": 30}
+
+
+def q_es_dsl_function_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with a ``functions`` array through the JSON
+    body: a gauss decay on n_chars (weight 2) plus a filter-gated
+    constant weight (lang=en → 3), score_mode sum over APPLIED functions,
+    max_boost cap, boost_mode multiply. Every function column evaluates
+    in ONE projection over docs (no extra joins); the oracle replays the
+    published ES decay equation exp(−dist²/2σ²), σ² = −scale²/(2·ln
+    decay) in SQL."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    p = EsSearchPlanner(spark, load_table(spark, sf_dir, "documents"))
+    return p.search(FD_BODY).hits
+
+
 def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_analyze``-shaped positional token stream, distributed:
     (doc_id, position, token) from the Catalyst tokenizer via
@@ -2002,6 +2027,7 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
+    "es_dsl_function_decay": q_es_dsl_function_decay,
     "token_positions": q_token_positions,
     "es_dsl_missing_buckets": q_es_dsl_missing_buckets,
     "es_dsl_filters": q_es_dsl_filters,
@@ -2168,6 +2194,33 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_function_decay": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS base
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        boosted AS (
+          SELECT sc.doc_id,
+                 round(sc.base * least(
+                   exp(-pow(greatest(0.0, abs(dc.n_chars - 800.0)), 2)
+                       / (2.0 * (-(400.0 * 400.0) / (2.0 * ln(0.5)))))
+                   * 2.0
+                   + CASE WHEN dc.lang = 'en' THEN 3.0 ELSE 0.0 END,
+                   4.0), 4) AS score
+          FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+        )
+        SELECT doc_id, score FROM boosted
+        ORDER BY score DESC, doc_id ASC LIMIT 30
+    """,
     "token_positions": """
         WITH base AS (
           SELECT doc_id,

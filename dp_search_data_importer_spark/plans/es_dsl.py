@@ -13,7 +13,9 @@ Supported body keys: ``query`` (match, match_all, match_phrase [+slop],
 match_phrase_prefix, multi_match [3 modes], term, terms, ids, range,
 exists, prefix, wildcard, regexp, fuzzy, bool [must/should/must_not/
 filter, minimum_should_match, per-clause boost], dis_max, constant_score,
-boosting, function_score [field_value_factor]), ``size``,
+boosting, function_score [field_value_factor; functions array with
+filter/weight/gauss/linear/exp decay, score_mode, boost_mode,
+max_boost]), ``size``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
 sub-agg, `missing` param, null keys dropped by default], histogram,
@@ -430,30 +432,128 @@ class EsSearchPlanner:
                          * F.when(F.col("neg").isNotNull(), F.lit(nb))
                          .otherwise(F.lit(1.0))).alias("score")))
 
-    def _score_function_score(self, spec: dict) -> DataFrame:
-        base = self.score(spec.get("query", {"match_all": {}}))
-        fvf = spec.get("field_value_factor")
-        if fvf is None:
-            raise EsDslError("function_score requires field_value_factor")
+    def _fvf_col(self, fvf: dict):
         v = F.col(fvf["field"]).cast("double") * F.lit(
             float(fvf.get("factor", 1.0)))
         modifier = fvf.get("modifier", "none")
         if modifier == "log1p":
             v = F.log1p(v)
+            if fvf.get("plus_one", True):
+                v = F.lit(1.0) + v
         elif modifier == "sqrt":
             v = F.sqrt(v)
         elif modifier != "none":
             raise EsDslError(f"unsupported modifier {modifier!r}")
-        boost_mode = spec.get("boost_mode", "multiply")
+        return v
+
+    _DECAY_KINDS = ("gauss", "linear", "exp")
+
+    def _decay_col(self, kind: str, body: dict):
+        """ES numeric decay function → Column in (0, 1]. Distance is
+        ``max(0, |value − origin| − offset)``; the curve passes through
+        ``decay`` at distance ``scale`` (the published ES 7.10 decay
+        equations, numeric fields)."""
+        import math
+
+        (field, params), = body.items()
+        origin = float(params["origin"])
+        scale = float(params["scale"])
+        offset = float(params.get("offset", 0.0))
+        decay = float(params.get("decay", 0.5))
+        if scale <= 0 or not (0.0 < decay < 1.0):
+            raise EsDslError("decay requires scale > 0 and 0 < decay < 1")
+        dist = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(field).cast("double") - F.lit(origin))
+            - F.lit(offset))
+        if kind == "gauss":
+            sigma2 = -scale * scale / (2.0 * math.log(decay))
+            return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+        if kind == "exp":
+            lam = math.log(decay) / scale
+            return F.exp(F.lit(lam) * dist)
+        s = scale / (1.0 - decay)
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+
+    def _score_function_score(self, spec: dict) -> DataFrame:
+        """``function_score``: single ``field_value_factor`` (legacy
+        shape) or a ``functions`` array — per-entry filter-context
+        ``filter`` (meta predicate), ``weight``, ``field_value_factor``,
+        or a numeric decay (``gauss``/``linear``/``exp``). All function
+        columns evaluate in ONE projection over docs (zero extra joins,
+        zero Python); ``score_mode`` combines the APPLIED functions
+        (multiply/sum/avg/max/min, identity when none apply — ES
+        semantics), ``max_boost`` caps the combined factor, and
+        ``boost_mode`` merges with the query score
+        (multiply/sum/replace/avg/max/min)."""
+        base = self.score(spec.get("query", {"match_all": {}}))
+        fns = _as_list(spec.get("functions", []))
+        fvf = spec.get("field_value_factor")
+        if fvf is not None and not fns:
+            fns = [{"field_value_factor": fvf}]
+        if not fns:
+            raise EsDslError("function_score requires functions or "
+                             "field_value_factor")
+        applied, factors = [], []
+        for fn in fns:
+            weight = float(fn.get("weight", 1.0))
+            kinds = set(fn) - {"filter", "weight"}
+            if not kinds:
+                col = F.lit(1.0)
+            elif kinds == {"field_value_factor"}:
+                col = self._fvf_col(fn["field_value_factor"])
+            elif len(kinds) == 1 and next(iter(kinds)) in self._DECAY_KINDS:
+                k_ = next(iter(kinds))
+                col = self._decay_col(k_, fn[k_])
+            else:
+                raise EsDslError(
+                    f"unsupported function_score entry {sorted(kinds)}")
+            col = col * F.lit(weight)
+            cond = (_meta_predicate(fn["filter"]) if "filter" in fn
+                    else F.lit(True))
+            applied.append(cond)
+            factors.append(col)
+        score_mode = spec.get("score_mode", "multiply")
+        n_app = sum((a.cast("int") for a in applied), F.lit(0))
+        gated = [F.when(a, c) for a, c in zip(applied, factors)]
+        if score_mode == "multiply":
+            prod = F.lit(1.0)
+            for g in gated:
+                prod = prod * F.coalesce(g, F.lit(1.0))
+            combined = prod
+        elif score_mode in ("sum", "avg"):
+            tot = F.lit(0.0)
+            for g in gated:
+                tot = tot + F.coalesce(g, F.lit(0.0))
+            combined = (tot / n_app.cast("double")
+                        if score_mode == "avg" else tot)
+        elif score_mode == "max":
+            combined = F.greatest(*gated) if len(gated) > 1 else gated[0]
+        elif score_mode == "min":
+            combined = F.least(*gated) if len(gated) > 1 else gated[0]
+        else:
+            raise EsDslError(f"unsupported score_mode {score_mode!r}")
+        combined = F.when(n_app == 0, F.lit(1.0)) \
+            .otherwise(F.coalesce(combined, F.lit(1.0)))
+        if "max_boost" in spec:
+            combined = F.least(combined,
+                               F.lit(float(spec["max_boost"])))
         factor = self.docs.select(
-            F.col(self.id_col).alias("doc_id"),
-            (F.lit(1.0) + v if modifier == "log1p"
-             and fvf.get("plus_one", True) else v).alias("factor"))
+            F.col(self.id_col).alias("doc_id"), combined.alias("factor"))
         j = base.join(factor, "doc_id")
+        boost_mode = spec.get("boost_mode", "multiply")
         if boost_mode == "multiply":
             expr = F.col("score") * F.col("factor")
         elif boost_mode == "sum":
             expr = F.col("score") + F.col("factor")
+        elif boost_mode == "replace":
+            expr = F.col("factor")
+        elif boost_mode == "avg":
+            expr = (F.col("score") + F.col("factor")) / F.lit(2.0)
+        elif boost_mode == "max":
+            expr = F.greatest(F.col("score"), F.col("factor"))
+        elif boost_mode == "min":
+            expr = F.least(F.col("score"), F.col("factor"))
         else:
             raise EsDslError(f"unsupported boost_mode {boost_mode!r}")
         return j.select("doc_id", expr.alias("score"))

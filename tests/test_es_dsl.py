@@ -835,3 +835,65 @@ def test_analyze_endpoint_twin(planner):
     assert rows == [("hash", 0), ("join", 1), ("or", 2),
                     ("merge", 3), ("join", 4)]
     assert planner.analyze("").count() == 0
+
+
+def test_function_score_decay_and_functions_array(planner):
+    """functions[] with filters/weights/decay: ES numeric decay curves,
+    applied-only score_mode combination, max_boost cap, boost_mode
+    variants — all checked against a Python replay."""
+    import math
+
+    base_body = {"query": {"match": {"text": "dup"}}, "size": 10000}
+    base = dict(_ranked(planner.search(base_body).hits))
+    meta = {r["doc_id"]: (r["n_chars"], r["lang"])
+            for r in planner.docs.select(
+                "doc_id", "n_chars", "lang").collect()}
+
+    spec = {"query": {"match": {"text": "dup"}},
+            "functions": [
+                {"gauss": {"n_chars": {"origin": 800, "scale": 400}},
+                 "weight": 2.0},
+                {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+            ],
+            "score_mode": "sum", "boost_mode": "multiply",
+            "max_boost": 4.0}
+    got = dict(_ranked(planner.search(
+        {"query": {"function_score": spec}, "size": 10000}).hits))
+
+    assert got, "query must match documents"
+    for doc_id, score in got.items():
+        n_chars, lang = meta[doc_id]
+        dist = max(0.0, abs(n_chars - 800.0))
+        sigma2 = -400.0 * 400.0 / (2.0 * math.log(0.5))
+        g = math.exp(-(dist * dist) / (2.0 * sigma2)) * 2.0
+        f = g + (3.0 if lang == "en" else 0.0)
+        f = min(f, 4.0)
+        assert abs(score - round(base[doc_id] * f, 4)) < 2e-3, doc_id
+
+    # no function applies → score unchanged (identity)
+    spec2 = {"query": {"match": {"text": "dup"}},
+             "functions": [{"filter": {"term": {"lang": "zz"}},
+                            "weight": 9.0}],
+             "boost_mode": "multiply"}
+    got2 = dict(_ranked(planner.search(
+        {"query": {"function_score": spec2}, "size": 10000}).hits))
+    assert got2 == base
+
+    # boost_mode replace + linear decay: pure function ranking
+    spec3 = {"query": {"match": {"text": "dup"}},
+             "functions": [{"linear": {"n_chars": {
+                 "origin": 0, "scale": 1000, "decay": 0.5}}}],
+             "boost_mode": "replace"}
+    got3 = dict(_ranked(planner.search(
+        {"query": {"function_score": spec3}, "size": 10000}).hits))
+    s = 1000.0 / 0.5
+    for doc_id, score in got3.items():
+        n_chars, _ = meta[doc_id]
+        expect = max(0.0, (s - abs(float(n_chars))) / s)
+        assert abs(score - round(expect, 4)) < 2e-3
+
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"gauss": {"n_chars": {
+                "origin": 0, "scale": -1}}}]}}})
