@@ -1478,12 +1478,41 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
 
     cfg = cfg or EngineConfig()
     unknown = set(body) - {"query", "size", "sort", "search_after", "aggs",
-                           "aggregations"}
+                           "aggregations", "suggest"}
     if unknown:
         raise EsDslError(
             f"unsupported stored-index body keys {sorted(unknown)}")
+
+    def _suggest_indexed() -> dict[str, DataFrame]:
+        """suggest section against the STORED term dictionary: the
+        planner's ``_suggest`` runs unchanged with ``dfs()`` backed by
+        the index's ``term_df`` parquet (prefix filters push into the
+        scan; the dictionary is never built from text)."""
+        sug = body.get("suggest") or {}
+        if not sug:
+            return {}
+        import os as _os
+
+        from dp_search_data_importer_spark.plans.update_index import (
+            recover_for_read,
+        )
+
+        recover_for_read(out_dir)
+        shim = EsSearchPlanner(
+            spark, spark.read.parquet(_os.path.join(out_dir, "docs")),
+            cfg)
+        shim._dfs["text"] = spark.read.parquet(
+            _os.path.join(out_dir, "term_df")).select("term", "df")
+        return shim._suggest(sug)
+
     node = body.get("query")
     if not node:
+        if body.get("suggest"):
+            from dp_search_data_importer_spark.session import local_df
+
+            return SearchResult(
+                hits=local_df(spark, [], "doc_id long, score double"),
+                suggestions=_suggest_indexed())
         raise EsDslError("stored-index search requires a query")
     (kind, spec), = node.items()
     if kind in ("query_string", "simple_query_string"):
@@ -1591,4 +1620,5 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
         shim = EsSearchPlanner(spark, docs_meta, cfg)
         for name, a in aggs.items():
             aggregations[name] = shim._agg(a, hits_all)
-    return SearchResult(hits=hits, aggregations=aggregations)
+    return SearchResult(hits=hits, aggregations=aggregations,
+                        suggestions=_suggest_indexed())

@@ -897,3 +897,28 @@ def test_function_score_decay_and_functions_array(planner):
             "query": {"match_all": {}},
             "functions": [{"gauss": {"n_chars": {
                 "origin": 0, "scale": -1}}}]}}})
+
+
+def test_indexed_suggest_equals_dataflow(spark, planner, doc_index):
+    """Stored-index suggest: completion + term suggesters against the
+    stored term_df dictionary equal the dataflow planner's (same corpus,
+    same dictionary)."""
+    body = {"suggest": {
+        "c": {"prefix": "s", "completion": {"field": "text", "size": 5}},
+        "t": {"text": "hashh", "term": {"field": "text", "size": 3}}}}
+    got = _indexed(spark, doc_index, body)
+    exp = planner.search(body)
+    for name in ("c", "t"):
+        g = [tuple(r) for r in got.suggestions[name].collect()]
+        e = [tuple(r) for r in exp.suggestions[name].collect()]
+        assert g == e, name
+    assert got.hits.count() == 0
+    # suggest alongside a query still works
+    body2 = {"query": {"match": {"text": "hash"}}, "size": 5,
+             "suggest": {"c": {"prefix": "jo",
+                               "completion": {"field": "text"}}}}
+    got2 = _indexed(spark, doc_index, body2)
+    exp2 = planner.search(body2)
+    assert _ranked(got2.hits) == _ranked(exp2.hits)
+    assert [tuple(r) for r in got2.suggestions["c"].collect()] \
+        == [tuple(r) for r in exp2.suggestions["c"].collect()]
