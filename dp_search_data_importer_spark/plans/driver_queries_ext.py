@@ -2026,7 +2026,63 @@ def q_nested_terms_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["langs"]
 
 
+SCR_BODY = {"query": {"script_score": {
+    "query": {"match": {"text": "hash join"}},
+    "script": {"source": "_score * saturation(doc['n_chars'].value, "
+                         "params.k) + Math.log10(1 + "
+                         "doc['n_chars'].value)",
+               "params": {"k": 500}}}},
+    "size": 25}
+
+
+def q_es_dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``script_score`` query through the ``_search`` JSON body: the
+    match hits re-scored by a Painless-subset script (saturation of the
+    doc's length plus a log term), compiled on the driver into ONE
+    Catalyst projection (``plans/painless``) — zero Python at execution,
+    the doc_id join carries only the field the script references. Oracle
+    replays BM25 + the identical arithmetic in SQL."""
+    return _dsl_planner(spark, sf_dir).search(SCR_BODY).hits \
+        .select("doc_id", "score")
+
+
+PIN_BODY = {"query": {"pinned": {
+    "ids": [7, 3, 999_999_999],
+    "organic": {"match": {"text": "hash join"}}}},
+    "size": 15}
+
+
+def q_es_dsl_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``pinned`` query twin: ids [7, 3] rank first in LIST order
+    (scores 1e9 − index — deterministic stand-ins for ES's
+    above-any-float constants), the organic match follows by BM25 with
+    pinned ids deduplicated out; an id absent from the corpus never
+    surfaces (semi-join)."""
+    return _dsl_planner(spark, sf_dir).search(PIN_BODY).hits \
+        .select("doc_id", "score")
+
+
+SIG_DSL_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+                "aggs": {"sig": {"significant_terms": {
+                    "field": "text", "size": 15, "min_doc_count": 3}}}}
+
+
+def q_es_dsl_significant_terms(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` aggregation requested through the
+    ``_search`` JSON body: the query's hit set is the foreground, JLH
+    against the whole corpus — the faceted "what is distinctive about
+    these results" shape every ES search UI sends. Routes to the same
+    size-gated operator as the direct contract query; the oracle replays
+    the fg/bg rate algebra with fg = docs matching the query term."""
+    return _dsl_planner(spark, sf_dir).search(
+        SIG_DSL_BODY).aggregations["sig"]
+
+
 EXT_QUERIES = {
+    "es_dsl_script_score": q_es_dsl_script_score,
+    "es_dsl_pinned": q_es_dsl_pinned,
+    "es_dsl_significant_terms": q_es_dsl_significant_terms,
     "es_dsl_function_decay": q_es_dsl_function_decay,
     "token_positions": q_token_positions,
     "es_dsl_missing_buckets": q_es_dsl_missing_buckets,
@@ -2194,6 +2250,92 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_script_score": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS base
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        rescored AS (
+          SELECT sc.doc_id,
+                 round(sc.base * (dc.n_chars
+                                  / (dc.n_chars + 500.0::DOUBLE))
+                       + log10(1.0::DOUBLE + dc.n_chars), 4) AS score
+          FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+        )
+        SELECT doc_id, score FROM rescored
+        ORDER BY score DESC, doc_id ASC LIMIT 25
+    """,
+    "es_dsl_pinned": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS base
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        pins(doc_id, score) AS (VALUES
+          (7, 1000000000.0), (3, 999999999.0),
+          (999999999, 999999998.0)),
+        pe AS (
+          SELECT p.doc_id::BIGINT AS doc_id, p.score::DOUBLE AS score
+          FROM pins p JOIN documents d ON p.doc_id = d.doc_id
+        ),
+        org AS (
+          SELECT sc.doc_id, round(sc.base, 4)::DOUBLE AS score
+          FROM scored sc
+          WHERE sc.doc_id NOT IN (SELECT doc_id FROM pins)
+        ),
+        u AS (SELECT * FROM pe UNION ALL SELECT * FROM org)
+        SELECT doc_id, score FROM u
+        ORDER BY score DESC, doc_id ASC LIMIT 15
+    """,
+    "es_dsl_significant_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term),
+        stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'hash'),
+        fgtot AS (SELECT count(*)::BIGINT AS n FROM fg),
+        fgt AS (
+          SELECT term, count(*)::BIGINT AS fg_df
+          FROM tf JOIN fg USING (doc_id)
+          GROUP BY term HAVING count(*) >= 3
+        ),
+        j AS (
+          SELECT fgt.term, fgt.fg_df, dfs.df AS bg_df,
+                 round(
+                   (fgt.fg_df::DOUBLE / t.n - dfs.df::DOUBLE / s.n_docs)
+                   * ((fgt.fg_df::DOUBLE / t.n)
+                      / (dfs.df::DOUBLE / s.n_docs)),
+                 4) AS jlh
+          FROM fgt JOIN dfs USING (term)
+          CROSS JOIN stats s CROSS JOIN fgtot t
+        )
+        SELECT term, fg_df, bg_df, jlh FROM (
+          SELECT *, row_number() OVER (ORDER BY jlh DESC, term ASC)
+            AS rn FROM j
+        ) WHERE rn <= 15
+    """,
     "es_dsl_function_decay": f"""
         WITH qt(term) AS (VALUES ('hash'), ('join')),
         {_BM25_CORPUS_SQL},

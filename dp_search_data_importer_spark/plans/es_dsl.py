@@ -15,12 +15,14 @@ exists, prefix, wildcard, regexp, fuzzy, bool [must/should/must_not/
 filter, minimum_should_match, per-clause boost], dis_max, constant_score,
 boosting, function_score [field_value_factor; functions array with
 filter/weight/gauss/linear/exp decay, score_mode, boost_mode,
-max_boost]), ``size``,
+max_boost], script_score [restricted Painless subset compiled to one
+Catalyst Column — ``plans/painless``], pinned), ``size``, ``min_score``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
 tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
 sub-agg, `missing` param, null keys dropped by default], histogram,
 date_histogram [calendar/fixed interval, empty buckets filled per
-min_doc_count:0, metric sub-aggs], filters [named buckets, one
+min_doc_count:0, metric sub-aggs], significant_terms [JLH over the hit
+set], filters [named buckets, one
 conditional-sum pass], global [escapes query scope], missing, range,
 stats, extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
@@ -410,6 +412,69 @@ class EsSearchPlanner:
         return self.filter(spec["filter"]).withColumn(
             "score", F.lit(boost))
 
+    def _score_script_score(self, spec: dict) -> DataFrame:
+        """ES ``script_score`` query: the wrapped query's hits re-scored
+        by a script. The script compiles ON THE DRIVER into one Catalyst
+        Column via the restricted Painless subset (``plans/painless``) —
+        ``_score``, ``doc['field'].value``, ``params``, arithmetic,
+        ``Math.*``, ``saturation``/``sigmoid`` — so execution is a single
+        JVM-side projection after one doc_id join that carries ONLY the
+        fields the script references (exact column pruning at the parquet
+        scan). ``min_score`` prunes hits below the threshold (the ES
+        parameter on this query)."""
+        from dp_search_data_importer_spark.plans.painless import (
+            compile_script,
+        )
+
+        base = self.score(spec["query"])
+        script = spec["script"]
+        src = script["source"] if isinstance(script, dict) else str(script)
+        params = (script.get("params") or {}) \
+            if isinstance(script, dict) else {}
+        col, fields = compile_script(src, params, F.col("score"),
+                                     lambda f: F.col(f))
+        bad = [f for f in fields if f not in self.docs.columns
+               or f in self.text_fields]
+        if bad:
+            raise EsDslError(f"script references non-doc-value fields "
+                             f"{sorted(bad)}")
+        scored = base
+        if fields:
+            meta = self.docs.select(
+                F.col(self.id_col).alias("doc_id"), *sorted(fields))
+            scored = base.join(meta, "doc_id")
+        boost = float(spec.get("boost", 1.0))
+        out = scored.select(
+            "doc_id", (col * F.lit(boost)).alias("score"))
+        if "min_score" in spec:
+            out = out.filter(
+                F.col("score") >= F.lit(float(spec["min_score"])))
+        return out
+
+    def _score_pinned(self, spec: dict) -> DataFrame:
+        """ES ``pinned`` query: the listed ids rank first IN LIST ORDER,
+        organic hits follow by their own score. ES implements this by
+        assigning pinned docs descending scores above any float the
+        organic query can produce; the twin uses 1e9 − list_index (the
+        same order, a deterministic value for the oracle). Pinned ids
+        must exist in the corpus to surface (semi-join — ES behavior);
+        organic duplicates of a pinned id are dropped (anti-join on the
+        tiny broadcast id list)."""
+        ids = [int(i) for i in _as_list(spec["ids"])]
+        if not ids:
+            raise EsDslError("pinned requires ids")
+        from dp_search_data_importer_spark.session import local_df
+
+        pins = local_df(self.spark,
+                        [(d, 1e9 - i) for i, d in enumerate(ids)],
+                        "doc_id long, score double")
+        existing = pins.join(
+            self.docs.select(F.col(self.id_col).alias("doc_id")),
+            "doc_id", "semi")
+        organic = self.score(spec["organic"]).join(
+            F.broadcast(pins.select("doc_id")), "doc_id", "anti")
+        return existing.unionByName(organic)
+
     def _score_dis_max(self, spec: dict) -> DataFrame:
         from dp_search_data_importer_spark.operators.bm25 import (
             dis_max_scores,
@@ -746,6 +811,25 @@ class EsSearchPlanner:
                 .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
         if kind == "date_histogram":
             return self._date_histogram(body, sub, qhits, meta)
+        if kind == "significant_terms":
+            # the hit set IS the foreground; the planner's memoized
+            # per-field tf/dfs/stats are the background — one fg-sized
+            # hash agg + a broadcast join on the surviving term set
+            # (size-gated inside the operator)
+            from dp_search_data_importer_spark.operators.bm25 import (
+                significant_terms,
+            )
+
+            fld = body["field"]
+            if fld not in self.text_fields:
+                raise EsDslError(
+                    f"significant_terms runs over text fields, "
+                    f"got {fld!r}")
+            return significant_terms(
+                self.tf(fld), hits.select("doc_id"), self.dfs(fld),
+                self.stats(fld),
+                min_fg_df=int(body.get("min_doc_count", 3)),
+                top_n=int(body.get("size", 10)))
         if kind == "filters":
             named = body["filters"]
             if not isinstance(named, dict) or not named:
@@ -1160,7 +1244,7 @@ class EsSearchPlanner:
         unknown = set(body) - {"query", "size", "sort", "search_after",
                                "rescore", "collapse", "aggs",
                                "aggregations", "from", "highlight",
-                               "suggest"}
+                               "suggest", "min_score"}
         if unknown:
             raise EsDslError(f"unsupported body keys {sorted(unknown)}")
         if "from" in body:
@@ -1168,6 +1252,11 @@ class EsSearchPlanner:
                 "from+size pagination unsupported — use search_after "
                 "(the cursor is exact and never re-materializes pages)")
         scores = self.score(body.get("query", {"match_all": {}}))
+        if "min_score" in body:
+            # ES body-level min_score: hits below the threshold leave
+            # the result set entirely — aggs see the pruned set too
+            scores = scores.filter(
+                F.col("score") >= F.lit(float(body["min_score"])))
         size = int(body.get("size", 10))
 
         collapse = body.get("collapse")

@@ -922,3 +922,139 @@ def test_indexed_suggest_equals_dataflow(spark, planner, doc_index):
     assert _ranked(got2.hits) == _ranked(exp2.hits)
     assert [tuple(r) for r in got2.suggestions["c"].collect()] \
         == [tuple(r) for r in exp2.suggestions["c"].collect()]
+
+
+def test_script_score_matches_manual(planner):
+    """script_score re-scores the wrapped query's hits with the compiled
+    Painless-subset expression — verified against the same arithmetic
+    done in Python over the plain match scores + doc metadata."""
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": "hash join"}},
+        "script": {
+            "source": "_score * saturation(doc['n_chars'].value, "
+                      "params.k) + Math.log(1 + doc['n_chars'].value)",
+            "params": {"k": 500}},
+    }}, "size": 10000}
+    got = dict(_ranked(planner.search(body).hits))
+
+    import math
+
+    plain = dict(_ranked(planner.search(
+        {"query": {"match": {"text": "hash join"}}, "size": 10000}).hits))
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in planner.docs.select("doc_id", "n_chars").collect()}
+    assert set(got) == set(plain)
+    for d, s in plain.items():
+        n = float(nchars[d])
+        exp = s * (n / (n + 500.0)) + math.log(1.0 + n)
+        assert abs(got[d] - exp) < 1e-3, d
+
+
+def test_script_score_min_score_and_errors(planner):
+    from dp_search_data_importer_spark.plans.painless import PainlessError
+
+    base = {"query": {"match": {"text": "hash join"}},
+            "script": {"source": "_score"}}
+    all_hits = planner.search(
+        {"query": {"script_score": base}, "size": 10000}).hits
+    scores = [r["score"] for r in all_hits.collect()]
+    cut = sorted(scores)[len(scores) // 2]
+    pruned = planner.search({"query": {"script_score": {
+        **base, "min_score": cut}}, "size": 10000}).hits
+    assert pruned.count() == sum(1 for s in scores if s >= cut)
+    # text fields are not doc-values: rejected at compile time
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "doc['text'].value"}}}})
+    # syntax outside the subset never reaches executors
+    with pytest.raises(PainlessError):
+        planner.search({"query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "for (x in y) { }"}}}})
+    with pytest.raises(PainlessError):  # undefined param
+        planner.search({"query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "params.nope"}}}})
+
+
+def test_painless_precedence_and_functions(planner):
+    """Compile-and-evaluate checks for the expression subset: operator
+    precedence, unary minus, %, pow/max/min, sigmoid."""
+    from dp_search_data_importer_spark.plans.painless import compile_script
+    from dp_search_data_importer_spark.session import local_df
+
+    df = local_df(planner.spark, [(7.0,)], "v double")
+    cases = [
+        ("1 + 2 * 3", 7.0),
+        ("(1 + 2) * 3", 9.0),
+        ("-2 * 3 + 10", 4.0),
+        ("7 % 4", 3.0),
+        ("Math.pow(2, 10)", 1024.0),
+        ("Math.max(3, Math.min(9, 5))", 5.0),
+        ("sigmoid(4, 2, 2)", 16.0 / (4.0 + 16.0)),
+        ("saturation(1, 3)", 0.25),
+    ]
+    cols = []
+    for i, (src, _) in enumerate(cases):
+        col, used = compile_script(src, {}, F.lit(0.0), F.col)
+        assert not used
+        cols.append(col.alias(f"c{i}"))
+    row = df.select(*cols).collect()[0]
+    for i, (src, want) in enumerate(cases):
+        assert abs(row[f"c{i}"] - want) < 1e-9, src
+
+
+def test_pinned_query(planner):
+    """pinned: listed ids first in list order, organic follows by score,
+    no duplicates, ids absent from the corpus never surface."""
+    organic = {"match": {"text": "hash join"}}
+    top = [r["doc_id"] for r in planner.search(
+        {"query": organic, "size": 3}).hits
+        .orderBy(F.desc("score"), "doc_id").collect()]
+    pins = [top[2], 1, 10 ** 12]  # one organic hit, one cold doc, one missing
+    res = planner.search({"query": {"pinned": {
+        "ids": pins, "organic": organic}}, "size": 10000}).hits
+    rows = res.orderBy(F.desc("score"), "doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[:2] == [top[2], 1]          # pinned order, missing id gone
+    assert len(ids) == len(set(ids))       # organic duplicate dropped
+    organic_ids = [r for r in ids[2:]]
+    assert top[0] in organic_ids and top[2] not in organic_ids
+
+
+def test_min_score_body_prunes_hits_and_aggs(planner):
+    plain = planner.search(
+        {"query": {"match": {"text": "hash join"}}, "size": 10000}).hits
+    scores = sorted(r["score"] for r in plain.collect())
+    cut = scores[len(scores) // 2]
+    body = {"query": {"match": {"text": "hash join"}},
+            "min_score": cut, "size": 10000,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 100}}}}
+    res = planner.search(body)
+    kept = res.hits.count()
+    assert kept == sum(1 for s in scores if s >= cut) < len(scores)
+    agg_total = sum(r["doc_count"]
+                    for r in res.aggregations["langs"].collect())
+    assert agg_total == kept
+
+
+def test_significant_terms_agg_matches_operator(planner):
+    from dp_search_data_importer_spark.operators.bm25 import (
+        significant_terms,
+    )
+
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"sig": {"significant_terms": {
+                "field": "text", "size": 15, "min_doc_count": 3}}}}
+    got = [tuple(r) for r in
+           planner.search(body).aggregations["sig"].collect()]
+    fg = planner.search({"query": {"match": {"text": "hash"}},
+                         "size": 10000}).hits.select("doc_id")
+    exp = [tuple(r) for r in significant_terms(
+        planner.tf("text"), fg, planner.dfs("text"),
+        planner.stats("text"), min_fg_df=3, top_n=15).collect()]
+    assert got == exp and len(got) == 15
+    with pytest.raises(EsDslError):
+        planner.search({"size": 0, "aggs": {"sig": {
+            "significant_terms": {"field": "n_chars"}}}})
