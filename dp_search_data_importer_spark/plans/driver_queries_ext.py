@@ -2079,7 +2079,98 @@ def q_es_dsl_significant_terms(spark: SparkSession,
         SIG_DSL_BODY).aggregations["sig"]
 
 
+PIPE_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"per_week": {
+                 "date_histogram": {"field": "release_date",
+                                    "calendar_interval": "week"},
+                 "aggs": {
+                     "total": {"sum": {"field": "n_chars"}},
+                     "deriv": {"derivative": {"buckets_path": "total"}},
+                     "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                     "mavg": {"moving_fn": {
+                         "buckets_path": "total", "window": 3,
+                         "script":
+                             "MovingFunctions.unweightedAvg(values)"}},
+                 }}}}
+
+
+def _dated_planner(spark: SparkSession, sf_dir: str):
+    """Planner over documents + the deterministic doc_id-derived
+    release_date (the reference's documents carry the field —
+    ``models/elastic.go:13``; the synthetic table does not)."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "release_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")))
+    return EsSearchPlanner(spark, docs)
+
+
+def q_es_dsl_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent pipeline aggregations through the ``_search`` JSON
+    body: weekly date_histogram over the hit set with a sum metric, then
+    ``derivative`` (week-over-week delta, null first bucket),
+    ``cumulative_sum`` of the doc counts, and ``moving_fn`` unweighted
+    3-week average (ES shift=0: the window EXCLUDES the current bucket).
+    The windows run over BUCKETS — cardinality = time-span ÷ interval,
+    bucket-scale at any corpus size — never over the hit set. Oracle
+    replays the same series with SQL window functions."""
+    res = _dated_planner(spark, sf_dir).search(PIPE_BODY)
+    return res.aggregations["per_week"]
+
+
+BSORT_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+              "aggs": {"langs": {
+                  "terms": {"field": "lang", "size": 100},
+                  "aggs": {
+                      "avg_len": {"avg": {"field": "n_chars"}},
+                      "sel": {"bucket_selector": {
+                          "buckets_path": {"n": "_count"},
+                          "script": "params.n >= 3"}},
+                      "srt": {"bucket_sort": {
+                          "sort": [{"avg_len": {"order": "desc"}}],
+                          "size": 5}},
+                  }}}}
+
+
+def q_es_dsl_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline aggs under a
+    terms agg (the HAVING + ORDER BY of faceted search): language
+    buckets of the hit set keep doc_count >= 3 (a Painless-subset
+    predicate over params bound to bucket columns — compiled on the
+    driver, zero Python at execution), then rank by mean doc length,
+    top 5. Both pipelines run over the final bucket frame (ES
+    reduce-phase contract), bucket-scale input."""
+    res = _dated_planner(spark, sf_dir).search(BSORT_BODY)
+    return res.aggregations["langs"]
+
+
+SBUCKET_BODY = {"query": {"match": {"text": "dup"}}, "size": 0,
+                "aggs": {"per_day": {
+                    "date_histogram": {"field": "release_date",
+                                       "calendar_interval": "day"},
+                    "aggs": {"total": {
+                        "sum": {"field": "n_chars"}}}},
+                    "count_stats": {"stats_bucket": {
+                        "buckets_path": "per_day>_count"}}}}
+
+
+def q_es_dsl_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline agg (``stats_bucket``) through the JSON body:
+    count/min/max/avg/sum over the daily bucket doc counts of a rare
+    query — INCLUDING the min_doc_count:0 gap-filled empty days (count 0
+    is a present value, the ES contract), so min exercises the fill.
+    The sibling reduces the already-aggregated bucket frame: one tiny
+    agg job over time-span ÷ interval rows."""
+    res = _dated_planner(spark, sf_dir).search(SBUCKET_BODY)
+    return res.aggregations["count_stats"]
+
+
 EXT_QUERIES = {
+    "es_dsl_pipeline_aggs": q_es_dsl_pipeline_aggs,
+    "es_dsl_bucket_sort": q_es_dsl_bucket_sort,
+    "es_dsl_stats_bucket": q_es_dsl_stats_bucket,
     "es_dsl_script_score": q_es_dsl_script_score,
     "es_dsl_pinned": q_es_dsl_pinned,
     "es_dsl_significant_terms": q_es_dsl_significant_terms,
@@ -2250,6 +2341,96 @@ _BM25_CORPUS_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_pipeline_aggs": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        dated AS (
+          SELECT h.doc_id,
+                 (DATE '2024-01-01'
+                  + CAST(d.doc_id % 365 AS INT)) AS release_date,
+                 d.n_chars
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT date_trunc('week', release_date)::TIMESTAMP AS key,
+                 count(*)::BIGINT AS doc_count,
+                 sum(n_chars)::DOUBLE AS total
+          FROM dated GROUP BY 1
+        ),
+        bounds AS (SELECT min(key) AS lo, max(key) AS hi FROM b),
+        keys AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 WEEK)) AS key
+          FROM bounds
+        ),
+        filled AS (
+          SELECT k.key,
+                 coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+                 coalesce(b.total, 0)::DOUBLE AS total
+          FROM keys k LEFT JOIN b USING (key)
+        )
+        SELECT key, doc_count, total,
+               (total - lag(total) OVER w)::DOUBLE AS deriv,
+               sum(doc_count) OVER (ORDER BY key
+                 ROWS UNBOUNDED PRECEDING)::DOUBLE AS cum,
+               avg(total) OVER (ORDER BY key
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)::DOUBLE
+                 AS mavg
+        FROM filled WINDOW w AS (ORDER BY key)
+    """,
+    "es_dsl_bucket_sort": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        b AS (
+          SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+                 (sum(d.n_chars)::DOUBLE
+                  / count(d.n_chars)::DOUBLE) AS avg_len
+          FROM hits h JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+          GROUP BY d.lang HAVING count(*) >= 3
+        )
+        SELECT key, doc_count, avg_len FROM b
+        ORDER BY avg_len DESC, key ASC LIMIT 5
+    """,
+    "es_dsl_stats_bucket": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+        dated AS (
+          SELECT h.doc_id,
+                 (DATE '2024-01-01'
+                  + CAST(d.doc_id % 365 AS INT)) AS release_date
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT date_trunc('day', release_date)::TIMESTAMP AS key,
+                 count(*)::BIGINT AS doc_count
+          FROM dated GROUP BY 1
+        ),
+        bounds AS (SELECT min(key) AS lo, max(key) AS hi FROM b),
+        keys AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS key
+          FROM bounds
+        ),
+        filled AS (
+          SELECT coalesce(b.doc_count, 0)::DOUBLE AS v
+          FROM keys k LEFT JOIN b USING (key)
+        )
+        SELECT count(v)::BIGINT AS count, min(v)::DOUBLE AS min,
+               max(v)::DOUBLE AS max, avg(v)::DOUBLE AS avg,
+               sum(v)::DOUBLE AS sum
+        FROM filled
+    """,
     "es_dsl_script_score": f"""
         WITH qt(term) AS (VALUES ('hash'), ('join')),
         {_BM25_CORPUS_SQL},

@@ -24,7 +24,10 @@ date_histogram [calendar/fixed interval, empty buckets filled per
 min_doc_count:0, metric sub-aggs], significant_terms [JLH over the hit
 set], filters [named buckets, one
 conditional-sum pass], global [escapes query scope], missing, range,
-stats, extended_stats, percentiles, cardinality, composite [+after]), ``highlight`` (token-granularity
+stats, extended_stats, percentiles, cardinality, composite [+after],
+pipeline aggs [derivative, serial_diff, cumulative_sum, moving_fn,
+bucket_sort, bucket_selector under date_histogram/histogram/terms;
+sibling avg/sum/min/max/stats_bucket via buckets_path]), ``highlight`` (token-granularity
 snippets over the HIT set for the query's scoring terms), ``suggest``
 (completion + term suggesters over the field's term dictionary).
 ``EsSearchPlanner.msearch`` is the ``_msearch`` endpoint twin: plain
@@ -78,6 +81,18 @@ class SearchResult:
 
 def _as_list(x):
     return x if isinstance(x, list) else [x]
+
+
+def _bucket_metric_col(path: str, cols) -> str:
+    """Resolve an ES ``buckets_path`` leaf against a bucket frame's
+    columns: ``_count`` is the doc count, anything else must be a metric
+    (or earlier pipeline) column already on the frame."""
+    col = "doc_count" if path in ("_count", "doc_count") else path
+    if col not in cols:
+        raise EsDslError(
+            f"buckets_path {path!r} does not resolve to a bucket column "
+            f"(have {sorted(c for c in cols if c != 'key')})")
+    return col
 
 
 class EsSearchPlanner:
@@ -804,11 +819,16 @@ class EsSearchPlanner:
         if kind == "histogram":
             fld = body["field"]
             interval = float(body["interval"])
+            metrics, pipes = self._split_subaggs(sub, "histogram")
             j = qhits.join(meta, "doc_id")
-            return (j.groupBy(
+            buckets = (j.groupBy(
                 (F.floor(F.col(fld) / interval) * interval)
                 .cast("double").alias("key"))
-                .agg(F.count(F.lit(1)).cast("long").alias("doc_count")))
+                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                     *self._metric_exprs(metrics)))
+            if pipes:
+                return self._apply_bucket_pipelines(buckets, pipes)
+            return buckets
         if kind == "date_histogram":
             return self._date_histogram(body, sub, qhits, meta)
         if kind == "significant_terms":
@@ -903,6 +923,166 @@ class EsSearchPlanner:
 
     _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                      "cardinality")
+    # parent pipeline aggs: run over a multi-bucket agg's OWN buckets
+    _PIPELINE_KINDS = ("derivative", "cumulative_sum", "serial_diff",
+                       "moving_fn", "bucket_sort", "bucket_selector")
+    # sibling pipeline aggs: reduce a NAMED sibling agg's bucket frame
+    _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
+                          "max_bucket", "stats_bucket")
+    _MOVING_FNS = {
+        "MovingFunctions.unweightedAvg": F.avg,
+        "MovingFunctions.min": F.min,
+        "MovingFunctions.max": F.max,
+        "MovingFunctions.sum": F.sum,
+    }
+
+    def _split_subaggs(self, sub: dict, parent: str,
+                       pipeline_ok: tuple | None = None) -> tuple:
+        """Partition a sub-agg dict into metric and pipeline specs;
+        anything else is an error naming the parent."""
+        allowed = (self._PIPELINE_KINDS if pipeline_ok is None
+                   else pipeline_ok)
+        metrics, pipes = {}, {}
+        for n, s in (sub or {}).items():
+            k = next(iter(s))
+            if k in self._METRIC_KINDS:
+                metrics[n] = s
+            elif k in allowed:
+                pipes[n] = s
+            else:
+                raise EsDslError(
+                    f"{parent} sub-aggs must be metrics or pipeline "
+                    f"aggregations, got {n!r} ({k!r})")
+        return metrics, pipes
+
+    def _apply_bucket_pipelines(self, buckets: DataFrame,
+                                pipes: dict) -> DataFrame:
+        """ES parent pipeline aggregations (public 7.10 pipeline-agg
+        docs), applied to the bucket frame in request order:
+        ``derivative``, ``serial_diff`` (lag n), ``cumulative_sum``,
+        ``moving_fn`` (window w, shift s → the w buckets ending at
+        s−1 relative to current, the ES default shift=0 excludes the
+        current bucket), ``bucket_selector`` (Painless-subset predicate
+        over params bound to bucket columns), ``bucket_sort``
+        (sort/from/size truncation). The windows are deliberately
+        UNPARTITIONED: they run over BUCKETS — cardinality bounded by
+        time-span ÷ interval (or the terms ``size``) AFTER aggregation,
+        thousands of rows at any corpus size — never over the hit set,
+        so the single-task window is bucket-scale by construction."""
+        import re as _re
+
+        from pyspark.sql import Window
+
+        w = Window.orderBy("key")
+        sorted_last = False
+        for name, spec in pipes.items():
+            (kind, body), = spec.items()
+            sorted_last = False
+            if kind == "bucket_sort":
+                cols = []
+                for s in _as_list(body.get("sort", [])):
+                    if isinstance(s, dict):
+                        (f_, d_), = s.items()
+                        od = (d_.get("order", "asc")
+                              if isinstance(d_, dict) else str(d_))
+                    else:
+                        f_, od = s, "asc"
+                    c = F.col(_bucket_metric_col(f_, buckets.columns))
+                    cols.append(c.desc() if od == "desc" else c.asc())
+                if cols:
+                    buckets = buckets.orderBy(*cols, F.col("key").asc())
+                    sorted_last = True
+                frm = int(body.get("from", 0))
+                if frm:
+                    buckets = buckets.offset(frm)
+                if "size" in body:
+                    buckets = buckets.limit(int(body["size"]))
+                continue
+            if kind == "bucket_selector":
+                from dp_search_data_importer_spark.plans.painless import (
+                    compile_script,
+                )
+
+                script = body["script"]
+                src = (script["source"] if isinstance(script, dict)
+                       else str(script))
+                params = {
+                    p: F.col(_bucket_metric_col(v, buckets.columns))
+                    .cast("double")
+                    for p, v in body["buckets_path"].items()}
+
+                def _no_doc(fname: str):
+                    raise EsDslError(
+                        "bucket_selector scripts reference params, "
+                        f"not doc values (doc[{fname!r}])")
+
+                pred, _ = compile_script(src, params, F.lit(0.0), _no_doc)
+                buckets = buckets.filter(pred)
+                continue
+            p = _bucket_metric_col(str(body["buckets_path"]),
+                                   buckets.columns)
+            v = F.col(p).cast("double")
+            if kind == "derivative":
+                e = v - F.lag(v, 1).over(w)
+            elif kind == "serial_diff":
+                e = v - F.lag(v, int(body.get("lag", 1))).over(w)
+            elif kind == "cumulative_sum":
+                e = F.sum(v).over(w.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow))
+            elif kind == "moving_fn":
+                m = _re.fullmatch(r"(MovingFunctions\.\w+)\(values\)",
+                                  str(body["script"]).strip())
+                fn = self._MOVING_FNS.get(m.group(1)) if m else None
+                if fn is None:
+                    raise EsDslError(
+                        f"unsupported moving_fn script "
+                        f"{body.get('script')!r} — supported: "
+                        f"{sorted(self._MOVING_FNS)}")
+                wsize = int(body["window"])
+                shift = int(body.get("shift", 0))
+                e = fn(v).over(w.rowsBetween(-wsize + shift, shift - 1))
+            else:  # pragma: no cover — _split_subaggs gates kinds
+                raise EsDslError(f"unsupported pipeline agg {kind!r}")
+            buckets = buckets.withColumn(name, e.cast("double"))
+        return buckets if sorted_last else buckets.orderBy("key")
+
+    def assemble_aggs(self, aggs: dict, hits: DataFrame) -> dict:
+        """Run every named top-level aggregation over the hit set.
+        Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/
+        ``min_bucket``/``max_bucket``/``stats_bucket``) resolve AFTER
+        their targets: each reduces an already-aggregated sibling bucket
+        frame through ``buckets_path`` (``sibling>metric``, ``_count``
+        for doc counts) — bucket-scale input, one tiny agg job, nulls
+        (gap policy ``skip``) ignored by the aggregate itself."""
+        out: dict[str, DataFrame] = {}
+        siblings: dict[str, dict] = {}
+        for name, spec in aggs.items():
+            kind = next(k for k in spec
+                        if k not in ("aggs", "aggregations"))
+            if kind in self._SIBLING_PIPELINES:
+                siblings[name] = spec
+            else:
+                out[name] = self._agg(spec, hits)
+        for name, spec in siblings.items():
+            (kind, body), = spec.items()
+            sib, _, metric = str(body["buckets_path"]).partition(">")
+            if sib not in out:
+                raise EsDslError(
+                    f"buckets_path target {sib!r} is not a sibling "
+                    f"aggregation")
+            frame = out[sib]
+            col = _bucket_metric_col(metric or "_count", frame.columns)
+            v = F.col(col).cast("double")
+            if kind == "stats_bucket":
+                out[name] = frame.agg(
+                    F.count(v).cast("long").alias("count"),
+                    F.min(v).alias("min"), F.max(v).alias("max"),
+                    F.avg(v).alias("avg"), F.sum(v).alias("sum"))
+            else:
+                fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                      "min_bucket": F.min, "max_bucket": F.max}[kind]
+                out[name] = frame.agg(fn(v).alias("value"))
+        return out
 
     def _metric_exprs(self, metrics: dict) -> list:
         """Aggregate expressions for metric sub-aggs — evaluated in the
@@ -956,12 +1136,7 @@ class EsSearchPlanner:
 
         fld = body["field"]
         mdc = int(body.get("min_doc_count", 0))
-        metrics = sub or {}
-        bad = [n for n, s in metrics.items()
-               if next(iter(s)) not in self._METRIC_KINDS]
-        if bad:
-            raise EsDslError(
-                f"date_histogram sub-aggs must be metrics, got {bad}")
+        metrics, pipes = self._split_subaggs(sub, "date_histogram")
         cal = body.get("calendar_interval")
         fixed = body.get("fixed_interval", body.get("interval"))
         ts = F.col(fld).cast("timestamp")
@@ -1010,6 +1185,8 @@ class EsSearchPlanner:
             buckets = buckets.na.fill(fills)
         else:
             buckets = buckets.filter(F.col("doc_count") >= mdc)
+        if pipes:
+            return self._apply_bucket_pipelines(buckets, pipes)
         return buckets.orderBy("key")
 
     def _order_buckets(self, buckets: DataFrame, body: dict,
@@ -1038,14 +1215,14 @@ class EsSearchPlanner:
         bucket order, children by (count desc, key asc) within each."""
         fld, size = body["field"], int(body.get("size", 10))
         nested = {n: s for n, s in sub.items() if "terms" in s}
-        metrics = {n: s for n, s in sub.items()
-                   if len(s) == 1 and next(iter(s)) in self._METRIC_KINDS}
-        if set(sub) - set(nested) - set(metrics):
-            bad = set(sub) - set(nested) - set(metrics)
-            raise EsDslError(f"unsupported sub-aggs {sorted(bad)!r}")
+        # terms buckets are unordered, so only the order-free pipeline
+        # aggs apply (ES rejects derivative & co under terms too)
+        metrics, pipes = self._split_subaggs(
+            {n: s for n, s in sub.items() if n not in nested}, "terms",
+            pipeline_ok=("bucket_sort", "bucket_selector"))
         if len(nested) > 1:
             raise EsDslError("at most one nested terms sub-agg")
-        if nested and metrics:
+        if nested and (metrics or pipes):
             raise EsDslError("metric sub-aggs must sit under the nested "
                              "terms child, not alongside it")
         j = qhits.join(meta, "doc_id")
@@ -1054,7 +1231,12 @@ class EsSearchPlanner:
                        .agg(F.count(F.lit(1)).cast("long")
                             .alias("doc_count"),
                             *self._metric_exprs(metrics)))
-            return self._order_buckets(buckets, body, size)
+            # pipelines run over the FINAL (ordered, size-truncated)
+            # bucket response — the ES reduce-phase contract
+            out = self._order_buckets(buckets, body, size)
+            if pipes:
+                out = self._apply_bucket_pipelines(out, pipes)
+            return out
         (cname, cspec), = nested.items()
         cbody = cspec["terms"]
         csub = cspec.get("aggs") or cspec.get("aggregations") or {}
@@ -1320,11 +1502,9 @@ class EsSearchPlanner:
                     scores.select("doc_id").join(meta, "doc_id"),
                     fld, size, ascending=asc, after=cur)
 
-        aggregations = {}
-        aggs_src = scores.select("doc_id")
-        for name, spec in (body.get("aggs")
-                           or body.get("aggregations") or {}).items():
-            aggregations[name] = self._agg(spec, aggs_src)
+        aggregations = self.assemble_aggs(
+            body.get("aggs") or body.get("aggregations") or {},
+            scores.select("doc_id"))
         highlights = None
         if "highlight" in body:
             highlights = self._highlight(
@@ -1707,7 +1887,6 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
             spark, out_dir, match_queries(spec)).select("doc_id")
         docs_meta = spark.read.parquet(_os.path.join(out_dir, "docs"))
         shim = EsSearchPlanner(spark, docs_meta, cfg)
-        for name, a in aggs.items():
-            aggregations[name] = shim._agg(a, hits_all)
+        aggregations = shim.assemble_aggs(aggs, hits_all)
     return SearchResult(hits=hits, aggregations=aggregations,
                         suggestions=_suggest_indexed())

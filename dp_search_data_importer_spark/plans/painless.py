@@ -15,6 +15,10 @@ on the driver into a single JVM-side expression (zero Python per row):
 - the script_score helpers ``saturation(v, k) = v/(v+k)`` and
   ``sigmoid(v, k, a) = v^a / (k^a + v^a)`` (public ES 7.10
   script-score-query docs)
+- comparisons ``> >= < <= == !=`` and logicals ``&& || !`` — the
+  ``bucket_selector`` pipeline-aggregation script shape
+  (``params.total > 100``); precedence ``||`` < ``&&`` < comparison
+  < additive, as in Painless/Java
 
 Unknown names, fields, or syntax raise ``PainlessError`` at compile
 time — a malformed script never reaches the executors.
@@ -42,7 +46,7 @@ _TOKEN_RE = re.compile(r"""
         |doc\.(?P<docd>[A-Za-z_]\w*)\.value)
     | (?P<param>params\.(?P<pname>[A-Za-z_]\w*))
     | (?P<name>[A-Za-z_][\w.]*)
-    | (?P<op>[-+*/%(),])
+    | (?P<op>&&|\|\||[><!=]=|[-+*/%(),><!])
     )""", re.VERBOSE)
 
 _FUNCS_1 = {
@@ -111,6 +115,32 @@ class _Parser:
             raise PainlessError(f"expected {op!r}, got {t}")
 
     def expr(self) -> Column:
+        c = self.and_expr()
+        while self._peek() == ("op", "||"):
+            self._next()
+            c = c | self.and_expr()
+        return c
+
+    def and_expr(self) -> Column:
+        c = self.cmp()
+        while self._peek() == ("op", "&&"):
+            self._next()
+            c = c & self.cmp()
+        return c
+
+    _CMP = {">": Column.__gt__, ">=": Column.__ge__,
+            "<": Column.__lt__, "<=": Column.__le__,
+            "==": Column.__eq__, "!=": Column.__ne__}
+
+    def cmp(self) -> Column:
+        c = self.add()
+        while (t := self._peek()) is not None and t[0] == "op" \
+                and t[1] in self._CMP:
+            (_, op) = self._next()
+            c = self._CMP[op](c, self.add())
+        return c
+
+    def add(self) -> Column:
         c = self.term()
         while self._peek() in (("op", "+"), ("op", "-")):
             (_, op) = self._next()
@@ -130,6 +160,9 @@ class _Parser:
         if self._peek() == ("op", "-"):
             self._next()
             return -self.unary()
+        if self._peek() == ("op", "!"):
+            self._next()
+            return ~self.unary()
         return self.primary()
 
     def _args(self, n: int, fname: str) -> list[Column]:
@@ -153,7 +186,10 @@ class _Parser:
         if kind == "param":
             if val not in self.params:
                 raise PainlessError(f"undefined script param {val!r}")
-            return F.lit(float(self.params[val]))
+            v = self.params[val]
+            # bucket_selector binds params to bucket COLUMNS; script_score
+            # binds numbers — both are literals by compile time
+            return v if isinstance(v, Column) else F.lit(float(v))
         if kind == "name":
             if val == "_score":
                 return self.score

@@ -1058,3 +1058,132 @@ def test_significant_terms_agg_matches_operator(planner):
     with pytest.raises(EsDslError):
         planner.search({"size": 0, "aggs": {"sig": {
             "significant_terms": {"field": "n_chars"}}}})
+
+
+# ------------------------------------------------------- pipeline aggs
+
+
+@pytest.fixture(scope="module")
+def dated_planner(spark, sf_dir):
+    from dp_search_data_importer_spark.plans.driver_queries import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "release_date",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int"))).cache()
+    docs.count()
+    return EsSearchPlanner(spark, docs)
+
+
+def _weekly(dated_planner, extra_sub):
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"w": {
+                "date_histogram": {"field": "release_date",
+                                   "calendar_interval": "week"},
+                "aggs": {"total": {"sum": {"field": "n_chars"}},
+                         **extra_sub}}}}
+    return dated_planner.search(body).aggregations["w"] \
+        .orderBy("key").collect()
+
+
+def test_pipeline_parent_aggs_match_manual(dated_planner):
+    """derivative / serial_diff / cumulative_sum / moving_fn vs the same
+    recurrences computed in Python over the plain bucket series."""
+    rows = _weekly(dated_planner, {
+        "d": {"derivative": {"buckets_path": "total"}},
+        "sd": {"serial_diff": {"buckets_path": "total", "lag": 2}},
+        "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        "mavg": {"moving_fn": {"buckets_path": "total", "window": 3,
+                 "script": "MovingFunctions.unweightedAvg(values)"}},
+        "mmax": {"moving_fn": {"buckets_path": "total", "window": 2,
+                 "shift": 1,
+                 "script": "MovingFunctions.max(values)"}},
+    })
+    tot = [r["total"] for r in rows]
+    cnt = [r["doc_count"] for r in rows]
+    assert len(rows) > 5
+    run = 0
+    for i, r in enumerate(rows):
+        run += cnt[i]
+        assert r["cum"] == run
+        if i == 0:
+            assert r["d"] is None
+        else:
+            assert abs(r["d"] - (tot[i] - tot[i - 1])) < 1e-9
+        if i < 2:
+            assert r["sd"] is None
+        else:
+            assert abs(r["sd"] - (tot[i] - tot[i - 2])) < 1e-9
+        wa = tot[max(0, i - 3):i]
+        if not wa:
+            assert r["mavg"] is None
+        else:
+            assert abs(r["mavg"] - sum(wa) / len(wa)) < 1e-9
+        # shift=1: window [i-1, i] inclusive of current
+        wm = tot[max(0, i - 1):i + 1]
+        assert abs(r["mmax"] - max(wm)) < 1e-9
+
+
+def test_bucket_selector_and_sort(dated_planner):
+    rows = _weekly(dated_planner, {
+        "sel": {"bucket_selector": {
+            "buckets_path": {"t": "total", "n": "_count"},
+            "script": "params.t > 3000 && !(params.n < 10)"}},
+    })
+    base = _weekly(dated_planner, {})
+    keep = [r for r in base if r["total"] > 3000 and r["doc_count"] >= 10]
+    assert [r["key"] for r in rows] == [r["key"] for r in keep] \
+        and len(keep) < len(base)
+    top = _weekly(dated_planner, {
+        "srt": {"bucket_sort": {"sort": [{"total": "desc"}],
+                                "from": 1, "size": 4}}})
+    exp = sorted(base, key=lambda r: (-r["total"], r["key"]))[1:5]
+    assert sorted((r["key"], r["total"]) for r in top) \
+        == sorted((r["key"], r["total"]) for r in exp)
+
+
+def test_sibling_pipeline_aggs(dated_planner):
+    base = _weekly(dated_planner, {})
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"w": {
+                "date_histogram": {"field": "release_date",
+                                   "calendar_interval": "week"},
+                "aggs": {"total": {"sum": {"field": "n_chars"}}}},
+                "a": {"avg_bucket": {"buckets_path": "w>total"}},
+                "mx": {"max_bucket": {"buckets_path": "w>total"}},
+                "s": {"sum_bucket": {"buckets_path": "w>_count"}},
+                "st": {"stats_bucket": {"buckets_path": "w>total"}}}}
+    res = dated_planner.search(body)
+    tot = [r["total"] for r in base]
+    assert abs(res.aggregations["a"].collect()[0]["value"]
+               - sum(tot) / len(tot)) < 1e-6
+    assert res.aggregations["mx"].collect()[0]["value"] == max(tot)
+    assert res.aggregations["s"].collect()[0]["value"] \
+        == sum(r["doc_count"] for r in base)
+    st = res.aggregations["st"].collect()[0]
+    assert (st["count"], st["min"], st["max"], st["sum"]) \
+        == (len(tot), min(tot), max(tot), sum(tot))
+
+
+def test_pipeline_agg_errors(dated_planner):
+    with pytest.raises(EsDslError):  # unresolvable buckets_path
+        _weekly(dated_planner, {
+            "d": {"derivative": {"buckets_path": "nope"}}})
+    with pytest.raises(EsDslError):  # sibling target missing
+        dated_planner.search({"size": 0, "aggs": {
+            "a": {"avg_bucket": {"buckets_path": "ghost>total"}}}})
+    with pytest.raises(EsDslError):  # doc values in bucket_selector
+        _weekly(dated_planner, {
+            "sel": {"bucket_selector": {
+                "buckets_path": {"t": "total"},
+                "script": "doc['n_chars'].value > params.t"}}})
+    with pytest.raises(EsDslError):  # derivative under unordered terms
+        dated_planner.search({"size": 0, "aggs": {
+            "l": {"terms": {"field": "lang"},
+                  "aggs": {"d": {"derivative":
+                                 {"buckets_path": "_count"}}}}}})
+    with pytest.raises(EsDslError):  # unknown moving_fn script
+        _weekly(dated_planner, {
+            "m": {"moving_fn": {"buckets_path": "total", "window": 3,
+                                "script": "MovingFunctions.stdDev(values)"
+                                }}})
