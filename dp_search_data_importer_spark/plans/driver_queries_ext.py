@@ -2167,7 +2167,51 @@ def q_es_dsl_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["count_stats"]
 
 
+SPAN_NEAR_BODY = {"query": {"span_first": {
+    "match": {"span_near": {
+        "clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_or": {"clauses": [
+                {"span_term": {"text": "join"}},
+                {"span_term": {"text": "merge"}}]}},
+        ],
+        "slop": 3, "in_order": True}},
+    "end": 120}}, "size": 10}
+
+
+def q_span_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span composition through the JSON body: span_first(span_near(
+    [hash, span_or(join|merge)], slop 3, in_order), end 120) — an
+    increasing chain with ≤3 intervening tokens whose minimal end sits
+    inside the first 120 positions. One broadcast slot join + one hash
+    agg + a Catalyst (start, cur) greedy fold; tf = chain starts, BM25
+    over span frequencies. Oracle replays the chain as a range join with
+    an IN-set slot and the end bound on the last position."""
+    return _dsl_planner(spark, sf_dir).search(SPAN_NEAR_BODY).hits \
+        .select("doc_id", "score")
+
+
+SPAN_NOT_BODY = {"query": {"span_not": {
+    "include": {"span_term": {"text": "hash"}},
+    "exclude": {"span_or": {"clauses": [
+        {"span_term": {"text": "join"}},
+        {"span_term": {"text": "table"}}]}},
+    "pre": 1, "post": 1}}, "size": 10}
+
+
+def q_span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_not`` with an exclusion window: occurrences of "hash"
+    with neither "join" nor "table" in the adjacent ±1 positions (the
+    anti-phrase shape); tf = surviving occurrences, BM25 as usual. Two
+    term-pruned slot joins + one left join; the window test is a
+    Catalyst filter/exists over two sorted position arrays."""
+    return _dsl_planner(spark, sf_dir).search(SPAN_NOT_BODY).hits \
+        .select("doc_id", "score")
+
+
 EXT_QUERIES = {
+    "span_near_search": q_span_near_search,
+    "span_not_search": q_span_not_search,
     "es_dsl_pipeline_aggs": q_es_dsl_pipeline_aggs,
     "es_dsl_bucket_sort": q_es_dsl_bucket_sort,
     "es_dsl_stats_bucket": q_es_dsl_stats_bucket,
@@ -2340,7 +2384,75 @@ _BM25_CORPUS_SQL = """
     dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 """
 
+_SPAN_CORPUS_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks WHERE term <> ''
+    ),
+    dldocs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+              FROM dldocs)
+"""
+
+_SPAN_SCORE_SQL = """
+    d AS (SELECT count(*)::BIGINT AS df FROM m),
+    scored AS (
+      SELECT m.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * m.tf * (1.2 + 1.0)
+             / (m.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             AS score
+      FROM m CROSS JOIN d CROSS JOIN stats s
+      JOIN dldocs dl ON dl.doc_id = m.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(score, 4) AS score,
+             row_number() OVER (ORDER BY round(score, 4) DESC,
+                                doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, score FROM ranked WHERE rn <= 10
+"""
+
 EXT_ORACLES = {
+    "span_near_search": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        m AS (
+          SELECT t0.doc_id, count(DISTINCT t0.p)::BIGINT AS tf
+          FROM tok2 t0
+          JOIN tok2 t1 ON t1.doc_id = t0.doc_id
+            AND t1.term IN ('join', 'merge')
+            AND t1.p > t0.p AND t1.p <= t0.p + 4
+            AND t1.p <= 120
+          WHERE t0.term = 'hash'
+          GROUP BY t0.doc_id
+        ),
+        {_SPAN_SCORE_SQL}
+    """,
+    "span_not_search": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        m AS (
+          SELECT t0.doc_id, count(*)::BIGINT AS tf
+          FROM tok2 t0
+          WHERE t0.term = 'hash' AND NOT EXISTS (
+            SELECT 1 FROM tok2 e WHERE e.doc_id = t0.doc_id
+              AND e.term IN ('join', 'table')
+              AND e.p BETWEEN t0.p - 1 AND t0.p + 1)
+          GROUP BY t0.doc_id
+        ),
+        {_SPAN_SCORE_SQL}
+    """,
     "es_dsl_pipeline_aggs": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),

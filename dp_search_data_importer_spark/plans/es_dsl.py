@@ -350,6 +350,110 @@ class EsSearchPlanner:
     def _score_match_phrase_prefix(self, spec: dict) -> DataFrame:
         return self._phrase_frame(spec, prefix=True)
 
+    # span family -----------------------------------------------------
+
+    def _span_slot(self, node: dict) -> tuple[str, list[str]]:
+        """A span leaf → (field, term-set): ``span_term`` is a singleton
+        slot, ``span_or`` of span_terms the union slot. Values pass
+        through the analyzer (one token — analyzer symmetry with the
+        indexed terms; raw-byte term-level values would silently miss)."""
+        (kind, spec), = node.items()
+        if kind == "span_term":
+            field, val, _ = self._field_spec(spec, "value", "term")
+            toks = self._tokens(str(val))
+            if len(toks) != 1:
+                raise EsDslError(
+                    f"span_term value must analyze to one token: {val!r}")
+            return field, toks
+        if kind == "span_or":
+            fields, terms = set(), []
+            for c in _as_list(spec["clauses"]):
+                f_, ts = self._span_slot(c)
+                fields.add(f_)
+                terms += ts
+            if len(fields) != 1:
+                raise EsDslError("span_or clauses must share one field")
+            return fields.pop(), sorted(set(terms))
+        raise EsDslError(
+            f"span clauses must be span_term or span_or, got {kind!r}")
+
+    def _span_tree(self, node: dict) -> tuple[str, list, int, int | None]:
+        """A span node → (field, slots, slop, end_limit); span_near
+        nests span_term/span_or clauses, span_first wraps any of them."""
+        (kind, spec), = node.items()
+        if kind == "span_near":
+            if not bool(spec.get("in_order", True)):
+                raise EsDslError(
+                    "span_near supports in_order: true (ordered chains); "
+                    "unordered minimal-window matching is not implemented")
+            fields, slots = set(), []
+            for c in _as_list(spec["clauses"]):
+                f_, ts = self._span_slot(c)
+                fields.add(f_)
+                slots.append(ts)
+            if len(fields) != 1:
+                raise EsDslError("span_near clauses must share one field")
+            return fields.pop(), slots, int(spec.get("slop", 0)), None
+        if kind == "span_first":
+            field, slots, slop, _ = self._span_tree(spec["match"])
+            return field, slots, slop, int(spec["end"])
+        field, terms = self._span_slot(node)
+        return field, [terms], 0, None
+
+    def _span_score(self, matches: DataFrame, field: str,
+                    boost: float) -> DataFrame:
+        from dp_search_data_importer_spark.operators.phrase import (
+            phrase_score_batch,
+        )
+
+        n_docs, avgdl = self.stats_row(field)
+        out = phrase_score_batch(
+            matches.withColumnRenamed("span_tf", "phrase_tf"),
+            n_docs, avgdl, self.cfg).drop("query_id")
+        if boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(boost))
+        return out
+
+    def _score_span(self, node_kind: str, spec: dict) -> DataFrame:
+        from dp_search_data_importer_spark.operators.spans import (
+            span_matches_batch,
+        )
+
+        field, slots, slop, end = self._span_tree({node_kind: spec})
+        m = span_matches_batch(self.pos(field),
+                               [(self._next_qid(), slots, slop, end)])
+        return self._span_score(m, field,
+                                float(spec.get("boost", 1.0))
+                                if isinstance(spec, dict) else 1.0)
+
+    def _score_span_term(self, spec: dict) -> DataFrame:
+        return self._score_span("span_term", spec)
+
+    def _score_span_or(self, spec: dict) -> DataFrame:
+        return self._score_span("span_or", spec)
+
+    def _score_span_near(self, spec: dict) -> DataFrame:
+        return self._score_span("span_near", spec)
+
+    def _score_span_first(self, spec: dict) -> DataFrame:
+        return self._score_span("span_first", spec)
+
+    def _score_span_not(self, spec: dict) -> DataFrame:
+        from dp_search_data_importer_spark.operators.spans import (
+            span_not_matches_batch,
+        )
+
+        fi, inc = self._span_slot(spec["include"])
+        fe, exc = self._span_slot(spec["exclude"])
+        if fi != fe:
+            raise EsDslError("span_not include/exclude must share a field")
+        m = span_not_matches_batch(
+            self.pos(fi),
+            [(self._next_qid(), inc, exc,
+              int(spec.get("pre", spec.get("dist", 0))),
+              int(spec.get("post", spec.get("dist", 0))))])
+        return self._span_score(m, fi, float(spec.get("boost", 1.0)))
+
     def _score_prefix(self, spec: dict) -> DataFrame:
         field, pat, params = self._field_spec(spec, "value", "prefix")
         return self._score_terms(

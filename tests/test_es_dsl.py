@@ -1187,3 +1187,93 @@ def test_pipeline_agg_errors(dated_planner):
             "m": {"moving_fn": {"buckets_path": "total", "window": 3,
                                 "script": "MovingFunctions.stdDev(values)"
                                 }}})
+
+
+# --------------------------------------------------------- span family
+
+
+def test_span_near_slop0_equals_phrase(planner):
+    """span_near of single-term clauses at slop 0 IS the exact phrase:
+    rank- and score-identical to match_phrase."""
+    near = planner.search({"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "join"}}],
+        "slop": 0, "in_order": True}}, "size": 10000}).hits
+    phrase = planner.search({"query": {"match_phrase": {
+        "text": "hash join"}}, "size": 10000}).hits
+    assert _ranked(near) == _ranked(phrase) and near.count() > 0
+
+
+def test_span_or_equals_union_tf(planner):
+    """span_or tf = total occurrences of either term — equals the
+    brute-force token count per doc."""
+    res = dict(_ranked(planner.search({"query": {"span_or": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "join"}}]}},
+        "size": 10000}).hits))
+    import re
+
+    rows = planner.docs.select("doc_id", "text").collect()
+    expected_docs = {r["doc_id"] for r in rows
+                     if any(t in ("hash", "join")
+                            for t in re.split(r"[^a-z0-9]+",
+                                              r["text"].lower()))}
+    assert set(res) == expected_docs
+
+
+def test_span_first_bounds_and_monotone(planner):
+    """span_first keeps only docs whose earliest match ends within
+    `end`; results grow monotonically with the bound and match a
+    brute-force position check."""
+    import re
+
+    def hits(end):
+        return set(dict(_ranked(planner.search(
+            {"query": {"span_first": {
+                "match": {"span_term": {"text": "hash"}},
+                "end": end}}, "size": 10000}).hits)))
+
+    h5, h50 = hits(5), hits(50)
+    all_hash = set(dict(_ranked(planner.search(
+        {"query": {"span_term": {"text": "hash"}},
+         "size": 10000}).hits)))
+    assert h5 <= h50 <= all_hash and len(h5) < len(h50) < len(all_hash)
+    for r in planner.docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        want = "hash" in toks[:5]
+        assert (r["doc_id"] in h5) == want, r["doc_id"]
+
+
+def test_span_not_window(planner):
+    """span_not drops occurrences with an excluded term inside the
+    pre/post window — verified against a brute-force token scan."""
+    import re
+
+    got = set(dict(_ranked(planner.search({"query": {"span_not": {
+        "include": {"span_term": {"text": "hash"}},
+        "exclude": {"span_term": {"text": "join"}},
+        "pre": 0, "post": 1}}, "size": 10000}).hits)))
+    exp = set()
+    for r in planner.docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        for i, t in enumerate(toks):
+            if t == "hash" and not any(
+                    0 <= j < len(toks) and toks[j] == "join"
+                    for j in range(i, i + 2)):
+                exp.add(r["doc_id"])
+                break
+    assert got == exp and got
+
+
+def test_span_errors(planner):
+    with pytest.raises(EsDslError):  # unordered not implemented
+        planner.search({"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "hash"}},
+                        {"span_term": {"text": "join"}}],
+            "slop": 1, "in_order": False}}})
+    with pytest.raises(EsDslError):  # multi-token span_term value
+        planner.search({"query": {"span_term": {"text": "hash join"}}})
+    with pytest.raises(EsDslError):  # non-span clause inside span_near
+        planner.search({"query": {"span_near": {
+            "clauses": [{"match": {"text": "hash"}}],
+            "slop": 0}}})
