@@ -2209,7 +2209,59 @@ def q_span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
 
 
+RF_BODY = {"query": {"rank_feature": {
+    "field": "n_chars", "log": {"scaling_factor": 0.01},
+    "boost": 2.0}}, "size": 20}
+
+
+def q_rank_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` query (log function): score = boost ·
+    ln(1 + 0.01·n_chars) over docs with a positive feature — one
+    Catalyst projection over the docs frame, no shuffle, no join.
+    Saturation (incl. the geometric-mean default pivot) and sigmoid are
+    pytest-covered."""
+    return _dsl_planner(spark, sf_dir).search(RF_BODY).hits \
+        .select("doc_id", "score")
+
+
+DFEAT_BODY = {"query": {"distance_feature": {
+    "field": "n_chars", "origin": 800, "pivot": 200,
+    "boost": 1.5}}, "size": 15}
+
+
+def q_distance_feature_search(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ES ``distance_feature`` (numeric): boost · pivot / (pivot +
+    |n_chars − 800|) — the proximity-boost shape (dates take a duration
+    pivot, pytest-covered). One projection, no shuffle."""
+    return _dsl_planner(spark, sf_dir).search(DFEAT_BODY).hits \
+        .select("doc_id", "score")
+
+
+TSET_BODY = {"query": {"terms_set": {"text": {
+    "terms": ["hash", "join", "merge", "sort"],
+    "minimum_should_match_field": "required_matches"}}}, "size": 25}
+
+
+def q_terms_set_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set``: term-set OR where each doc's required match
+    count lives in a doc FIELD (required_matches, derived
+    deterministically as doc_id % 3 + 1 — the reference's documents
+    carry integer metadata the same way); BM25-sum scoring over matched
+    terms, one tf-pruned agg for both score and distinct-match count.
+    Oracle replays the count filter with HAVING."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "required_matches", (F.col("doc_id") % 3 + 1).cast("long"))
+    return EsSearchPlanner(spark, docs).search(TSET_BODY).hits \
+        .select("doc_id", "score")
+
+
 EXT_QUERIES = {
+    "rank_feature_search": q_rank_feature_search,
+    "distance_feature_search": q_distance_feature_search,
+    "terms_set_search": q_terms_set_search,
     "span_near_search": q_span_near_search,
     "span_not_search": q_span_not_search,
     "es_dsl_pipeline_aggs": q_es_dsl_pipeline_aggs,
@@ -2426,6 +2478,42 @@ _SPAN_SCORE_SQL = """
 """
 
 EXT_ORACLES = {
+    "rank_feature_search": """
+        SELECT doc_id,
+               round(2.0 * ln(1.0 + 0.01 * n_chars), 4) AS score
+        FROM documents WHERE n_chars > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "distance_feature_search": """
+        SELECT doc_id,
+               round(1.5 * 200.0 / (200.0 + abs(n_chars - 800)), 4)
+                 AS score
+        FROM documents WHERE n_chars IS NOT NULL
+        ORDER BY score DESC, doc_id ASC LIMIT 15
+    """,
+    "terms_set_search": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join'), ('merge'),
+                                 ('sort')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score,
+                 count(DISTINCT t.term)::BIGINT AS nm
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        kept AS (
+          SELECT doc_id, round(score, 4) AS score
+          FROM scored WHERE nm >= (doc_id % 3 + 1)
+        )
+        SELECT doc_id, score FROM kept
+        ORDER BY score DESC, doc_id ASC LIMIT 25
+    """,
     "span_near_search": f"""
         WITH {_SPAN_CORPUS_SQL},
         m AS (

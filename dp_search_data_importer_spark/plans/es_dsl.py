@@ -454,6 +454,140 @@ class EsSearchPlanner:
               int(spec.get("post", spec.get("dist", 0))))])
         return self._span_score(m, fi, float(spec.get("boost", 1.0)))
 
+    def _score_rank_feature(self, spec: dict) -> DataFrame:
+        """ES ``rank_feature`` query over a numeric doc field (the
+        rank_feature field type): ``saturation`` S/(S+pivot) (pivot
+        omitted → the ES default, an approximation of the geometric
+        mean, computed here EXACTLY as exp(avg(ln S)) in one single-row
+        agg), ``log`` ln(1 + scaling_factor·S), ``sigmoid``
+        S^e/(S^e + pivot^e). Only docs where the feature is present and
+        positive match (the ES contract). One projection over the docs
+        frame — no shuffle, no join."""
+        field = spec["field"]
+        if field not in self.docs.columns or field in self.text_fields:
+            raise EsDslError(
+                f"rank_feature needs a numeric doc field, got {field!r}")
+        boost = float(spec.get("boost", 1.0))
+        s = F.col(field).cast("double")
+        base = self.docs.select(
+            F.col(self.id_col).alias("doc_id"), s.alias("_s")) \
+            .filter(F.col("_s") > 0)
+        if "log" in spec:
+            sf = float(spec["log"]["scaling_factor"])
+            score = F.log(F.lit(1.0) + F.lit(sf) * F.col("_s"))
+        elif "sigmoid" in spec:
+            pv = float(spec["sigmoid"]["pivot"])
+            ex = float(spec["sigmoid"]["exponent"])
+            num = F.pow(F.col("_s"), F.lit(ex))
+            score = num / (num + F.lit(pv ** ex))
+        else:
+            sat = spec.get("saturation") or {}
+            if "pivot" in sat:
+                pv = F.lit(float(sat["pivot"]))
+            else:
+                row = base.agg(
+                    F.exp(F.avg(F.log("_s"))).alias("p")).collect()[0]
+                pv = F.lit(float(row["p"]))
+            score = F.col("_s") / (F.col("_s") + pv)
+        return base.select(
+            "doc_id", (F.lit(boost) * score).alias("score"))
+
+    def _score_distance_feature(self, spec: dict) -> DataFrame:
+        """ES ``distance_feature``: boost · pivot / (pivot + |value −
+        origin|) — recency/proximity boosting. Numeric fields take
+        numeric origin/pivot; date fields take an ISO date origin and a
+        duration pivot (``7d``/``12h``/``30m``/``45s``), computed in
+        seconds. One projection, no shuffle."""
+        import re as _re
+
+        field = spec["field"]
+        boost = float(spec.get("boost", 1.0))
+        if field not in self.docs.columns or field in self.text_fields:
+            raise EsDslError(
+                f"distance_feature needs a doc field, got {field!r}")
+        origin, pivot = spec["origin"], spec["pivot"]
+        base = self.docs.select(F.col(self.id_col).alias("doc_id"),
+                                F.col(field).alias("_v")) \
+            .filter(F.col("_v").isNotNull())
+        if isinstance(origin, (int, float)):
+            dist = F.abs(F.col("_v").cast("double") - F.lit(float(origin)))
+            pv = float(pivot)
+        else:
+            m = _re.fullmatch(r"(\d+)([dhms])", str(pivot))
+            if not m:
+                raise EsDslError(
+                    f"unsupported duration pivot {pivot!r} (use Nd/Nh/"
+                    f"Nm/Ns)")
+            pv = int(m.group(1)) * {"d": 86400, "h": 3600,
+                                    "m": 60, "s": 1}[m.group(2)]
+            dist = F.abs(
+                F.unix_timestamp(F.col("_v").cast("timestamp"))
+                - F.unix_timestamp(F.to_timestamp(F.lit(str(origin)))))
+        score = F.lit(float(pv)) / (F.lit(float(pv)) + dist.cast("double"))
+        return base.select("doc_id",
+                           (F.lit(boost) * score).alias("score"))
+
+    def _score_terms_set(self, spec: dict) -> DataFrame:
+        """ES ``terms_set``: a term-set OR where the per-doc required
+        match count comes from ``minimum_should_match_field`` (a doc
+        column) or ``minimum_should_match_script`` (Painless subset with
+        ``params.num_terms`` bound — compiles to a literal, the ES
+        script's only input). Scores like bool/should: BM25 sum over
+        the matched terms. One tf-pruned agg produces BOTH the score
+        and the distinct-match count; the msm join carries only the
+        field the spec names."""
+        (field, body), = [(k, v) for k, v in spec.items() if k != "boost"]
+        terms = sorted({str(t).lower() for t in body["terms"]})
+        if not terms:
+            raise EsDslError("terms_set requires terms")
+        from dp_search_data_importer_spark.operators.bm25 import bm25_scores
+        from dp_search_data_importer_spark.session import local_df
+
+        qid = self._next_qid()
+        qt = local_df(self.spark, [(qid, t) for t in terms],
+                      "query_id long, term string")
+        tf = self.tf(field)
+        scores = bm25_scores(tf, qt, self.dfs(field), self.stats(field),
+                             self.cfg).drop("query_id")
+        nm = (tf.filter(F.col("term").isin(terms))
+              .groupBy("doc_id")
+              .agg(F.count_distinct("term").alias("_nm")))
+        j = scores.join(nm, "doc_id")
+        if "minimum_should_match_field" in body:
+            mf = body["minimum_should_match_field"]
+            if mf not in self.docs.columns or mf in self.text_fields:
+                raise EsDslError(
+                    f"minimum_should_match_field {mf!r} is not a doc "
+                    f"field")
+            meta = self.docs.select(F.col(self.id_col).alias("doc_id"),
+                                    F.col(mf).cast("long").alias("_msm"))
+            j = j.join(meta, "doc_id")
+        elif "minimum_should_match_script" in body:
+            from dp_search_data_importer_spark.plans.painless import (
+                compile_script,
+            )
+
+            script = body["minimum_should_match_script"]
+            src = (script["source"] if isinstance(script, dict)
+                   else str(script))
+
+            def _no_doc(fname: str):
+                raise EsDslError(
+                    "minimum_should_match_script sees only "
+                    "params.num_terms")
+
+            col, _ = compile_script(src, {"num_terms": len(terms)},
+                                    F.lit(0.0), _no_doc)
+            j = j.withColumn("_msm", col.cast("long"))
+        else:
+            raise EsDslError(
+                "terms_set requires minimum_should_match_field or "
+                "minimum_should_match_script")
+        boost = float(spec.get("boost", 1.0))
+        return (j.filter(F.col("_nm") >= F.col("_msm"))
+                .select("doc_id",
+                        (F.col("score") * F.lit(boost)).alias("score")))
+
     def _score_prefix(self, spec: dict) -> DataFrame:
         field, pat, params = self._field_spec(spec, "value", "prefix")
         return self._score_terms(

@@ -1277,3 +1277,70 @@ def test_span_errors(planner):
         planner.search({"query": {"span_near": {
             "clauses": [{"match": {"text": "hash"}}],
             "slop": 0}}})
+
+
+# ----------------------------------- rank/distance feature + terms_set
+
+
+def test_rank_feature_functions(planner):
+    import math
+
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in planner.docs.select("doc_id", "n_chars").collect()}
+    # saturation with default pivot = geometric mean of positives
+    got = dict(_ranked(planner.search({"query": {"rank_feature": {
+        "field": "n_chars", "saturation": {}}}, "size": 100000}).hits))
+    pos = [v for v in nchars.values() if v and v > 0]
+    pivot = math.exp(sum(math.log(v) for v in pos) / len(pos))
+    for d, s in list(got.items())[:50]:
+        assert abs(s - nchars[d] / (nchars[d] + pivot)) < 1e-3
+    # sigmoid
+    got = dict(_ranked(planner.search({"query": {"rank_feature": {
+        "field": "n_chars",
+        "sigmoid": {"pivot": 300, "exponent": 2}}},
+        "size": 100000}).hits))
+    for d, s in list(got.items())[:20]:
+        v = float(nchars[d])
+        assert abs(s - v ** 2 / (v ** 2 + 300.0 ** 2)) < 1e-3
+    with pytest.raises(EsDslError):  # text fields are not features
+        planner.search({"query": {"rank_feature": {"field": "text"}}})
+
+
+def test_distance_feature_date(dated_planner):
+    import datetime
+
+    got = dict(_ranked(dated_planner.search(
+        {"query": {"distance_feature": {
+            "field": "release_date", "origin": "2024-06-01",
+            "pivot": "7d"}}, "size": 100000}).hits))
+    dates = {r["doc_id"]: r["release_date"] for r in
+             dated_planner.docs.select("doc_id", "release_date").collect()}
+    origin = datetime.date(2024, 6, 1)
+    pv = 7 * 86400.0
+    for d, s in list(got.items())[:50]:
+        dist = abs((dates[d] - origin).total_seconds())
+        assert abs(s - pv / (pv + dist)) < 1e-3
+    # docs ON the origin date score exactly 1.0 and rank first
+    top = max(got.values())
+    assert any(dates[d] == origin for d in got) == (abs(top - 1.0) < 1e-9)
+
+
+def test_terms_set_msm_semantics(planner):
+    import re
+
+    terms = ["hash", "join", "merge"]
+    by_doc = {}
+    for r in planner.docs.select("doc_id", "text").collect():
+        toks = set(re.split(r"[^a-z0-9]+", r["text"].lower()))
+        by_doc[r["doc_id"]] = sum(t in toks for t in terms)
+    # script: constant 2 — docs matching >= 2 of the terms
+    got = set(dict(_ranked(planner.search({"query": {"terms_set": {
+        "text": {"terms": terms,
+                 "minimum_should_match_script": {
+                     "source": "params.num_terms - 1"}}}},
+        "size": 100000}).hits)))
+    exp = {d for d, n in by_doc.items() if n >= 2}
+    assert got == exp and got
+    with pytest.raises(EsDslError):  # msm spec required
+        planner.search({"query": {"terms_set": {
+            "text": {"terms": terms}}}})
