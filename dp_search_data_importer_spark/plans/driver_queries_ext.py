@@ -2258,7 +2258,18 @@ def q_terms_set_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
 
 
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` endpoint twin: the flattened per-term BM25
+    decomposition (tf, df, idf, tf_norm, contribution) for the docs
+    matching "hash join" — Σ contribution reproduces the search score
+    exactly (same formula, same inputs, pytest-asserted). Oracle
+    replays each component column in SQL."""
+    return _dsl_planner(spark, sf_dir).explain(
+        {"match": {"text": "hash join"}})
+
+
 EXT_QUERIES = {
+    "explain_score": q_explain_score,
     "rank_feature_search": q_rank_feature_search,
     "distance_feature_search": q_distance_feature_search,
     "terms_set_search": q_terms_set_search,
@@ -2478,6 +2489,23 @@ _SPAN_SCORE_SQL = """
 """
 
 EXT_ORACLES = {
+    "explain_score": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join')),
+        {_BM25_CORPUS_SQL}
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)),
+                     4) AS idf,
+               round(t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl)), 4) AS tf_norm,
+               round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl)), 4) AS contribution
+        FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+        JOIN dl_docs dd ON t.doc_id = dd.doc_id
+        CROSS JOIN stats s
+    """,
     "rank_feature_search": """
         SELECT doc_id,
                round(2.0 * ln(1.0 + 0.01 * n_chars), 4) AS score

@@ -1753,6 +1753,47 @@ class EsSearchPlanner:
                             highlights=highlights,
                             suggestions=suggestions)
 
+    def explain(self, query: dict, doc_ids: list[int] | None = None,
+                field: str | None = None) -> DataFrame:
+        """ES ``_explain`` endpoint twin for the match family: the
+        per-term BM25 score decomposition ES renders as its explanation
+        tree, flattened to rows — (doc_id, term, tf, df, idf, tf_norm,
+        contribution) with ``contribution = idf · tf_norm`` and
+        Σ contribution = the query score the search path produces (same
+        formula, same inputs — ``operators/bm25.bm25_term_score``).
+        ``doc_ids`` restricts to specific docs (the endpoint shape, one
+        row group per doc); None explains every matching doc. One
+        tf-pruned join, no Python."""
+        (kind, spec), = query.items()
+        if kind != "match":
+            raise EsDslError("_explain twin covers match queries")
+        fld, text, _ = self._field_spec(spec, "query")
+        field = field or fld
+        terms = sorted(set(self._tokens(str(text))))
+        if not terms:
+            raise EsDslError("empty match query")
+        k1, b = self.cfg.k1, self.cfg.b
+        cand = (self.tf(field).filter(F.col("term").isin(terms))
+                .join(F.broadcast(self.dfs(field)), "term")
+                .join(F.broadcast(self.stats(field))))
+        if doc_ids is not None:
+            cand = cand.filter(F.col("doc_id").isin([int(d)
+                                                     for d in doc_ids]))
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df")
+                                  + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)))
+        tfd = F.col("tf").cast("double")
+        tf_norm = (tfd * F.lit(k1 + 1.0)
+                   / (tfd + F.lit(k1) * (F.lit(1.0 - b)
+                      + F.lit(b) * F.col("dl").cast("double")
+                      / F.col("avgdl"))))
+        return cand.select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(idf, 4).alias("idf"),
+            F.round(tf_norm, 4).alias("tf_norm"),
+            F.round(idf * tf_norm, 4).alias("contribution"))
+
     def analyze(self, text: str, field: str | None = None) -> DataFrame:
         """ES ``_analyze`` endpoint twin: the analyzer's token stream for
         ONE input string as a lazy (token, position) frame — the same

@@ -1344,3 +1344,24 @@ def test_terms_set_msm_semantics(planner):
     with pytest.raises(EsDslError):  # msm spec required
         planner.search({"query": {"terms_set": {
             "text": {"terms": terms}}}})
+
+
+def test_explain_sums_to_search_score(planner):
+    """Σ per-term contribution == the match query's score, doc by doc
+    (same formula, same inputs)."""
+    body = {"query": {"match": {"text": "hash join"}}, "size": 10000}
+    scores = dict(_ranked(planner.search(body).hits))
+    ex = planner.explain({"match": {"text": "hash join"}})
+    agg = {r["doc_id"]: r["s"] for r in
+           ex.groupBy("doc_id").agg(
+               F.sum("contribution").alias("s")).collect()}
+    assert set(agg) == set(scores)
+    for d, s in scores.items():
+        assert abs(agg[d] - s) < 2e-3, d
+    # doc_ids restriction
+    some = sorted(scores)[:3]
+    sub = planner.explain({"match": {"text": "hash join"}},
+                          doc_ids=some)
+    assert {r["doc_id"] for r in sub.collect()} == set(some)
+    with pytest.raises(EsDslError):
+        planner.explain({"match_phrase": {"text": "hash join"}})
