@@ -2268,7 +2268,48 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"match": {"text": "hash join"}})
 
 
+ADJ_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"adj": {"adjacency_matrix": {"filters": {
+                "en": {"term": {"lang": "en"}},
+                "long": {"range": {"n_chars": {"gte": 300}}},
+                "early": {"range": {"release_date":
+                                    {"lt": "2024-04-01"}}},
+            }}}}}
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation over the hit set: singleton
+    and pairwise-intersection buckets for three named filters, ALL as
+    conditional sums in ONE aggregation pass (never n² scans of the hit
+    set); empty buckets omitted, intersections keyed "a&b" in filter
+    order — the ES response shape."""
+    res = _dated_planner(spark, sf_dir).search(ADJ_BODY)
+    return res.aggregations["adj"]
+
+
+DR_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+           "aggs": {"dr": {"date_range": {
+               "field": "release_date",
+               "ranges": [
+                   {"to": "2024-04-01", "key": "q1"},
+                   {"from": "2024-04-01", "to": "2024-07-01",
+                    "key": "q2"},
+                   {"from": "2024-07-01"},
+               ]}}}}
+
+
+def q_date_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation: from-inclusive / to-exclusive
+    timestamp buckets (the ES contract) over the hit set, one
+    conditional-sum pass, default "from-*" key synthesis for unnamed
+    ranges."""
+    res = _dated_planner(spark, sf_dir).search(DR_BODY)
+    return res.aggregations["dr"]
+
+
 EXT_QUERIES = {
+    "adjacency_matrix_facets": q_adjacency_matrix,
+    "date_range_facets": q_date_range_facets,
     "explain_score": q_explain_score,
     "rank_feature_search": q_rank_feature_search,
     "distance_feature_search": q_distance_feature_search,
@@ -2489,6 +2530,64 @@ _SPAN_SCORE_SQL = """
 """
 
 EXT_ORACLES = {
+    "adjacency_matrix_facets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        d AS (
+          SELECT h.doc_id,
+                 (dc.lang = 'en') AS f_en,
+                 (dc.n_chars >= 300) AS f_long,
+                 ((DATE '2024-01-01' + CAST(dc.doc_id % 365 AS INT))
+                  < DATE '2024-04-01') AS f_early
+          FROM hits h JOIN documents dc USING (doc_id)
+        ),
+        counts AS (
+          SELECT 'en' AS key,
+                 sum(CASE WHEN f_en THEN 1 ELSE 0 END)::BIGINT
+                 AS doc_count FROM d
+          UNION ALL SELECT 'long',
+                 sum(CASE WHEN f_long THEN 1 ELSE 0 END)::BIGINT FROM d
+          UNION ALL SELECT 'early',
+                 sum(CASE WHEN f_early THEN 1 ELSE 0 END)::BIGINT FROM d
+          UNION ALL SELECT 'en&long',
+                 sum(CASE WHEN f_en AND f_long THEN 1 ELSE 0
+                     END)::BIGINT FROM d
+          UNION ALL SELECT 'en&early',
+                 sum(CASE WHEN f_en AND f_early THEN 1 ELSE 0
+                     END)::BIGINT FROM d
+          UNION ALL SELECT 'long&early',
+                 sum(CASE WHEN f_long AND f_early THEN 1 ELSE 0
+                     END)::BIGINT FROM d
+        )
+        SELECT key, doc_count FROM counts WHERE doc_count > 0
+    """,
+    "date_range_facets": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+        d AS (
+          SELECT (DATE '2024-01-01'
+                  + CAST(dc.doc_id % 365 AS INT))::TIMESTAMP AS rd
+          FROM hits h JOIN documents dc USING (doc_id)
+        )
+        SELECT 'q1' AS key,
+               sum(CASE WHEN rd < TIMESTAMP '2024-04-01' THEN 1 ELSE 0
+                   END)::BIGINT AS doc_count FROM d
+        UNION ALL SELECT 'q2',
+               sum(CASE WHEN rd >= TIMESTAMP '2024-04-01'
+                   AND rd < TIMESTAMP '2024-07-01' THEN 1 ELSE 0
+                   END)::BIGINT FROM d
+        UNION ALL SELECT '2024-07-01-*',
+               sum(CASE WHEN rd >= TIMESTAMP '2024-07-01' THEN 1 ELSE 0
+                   END)::BIGINT FROM d
+    """,
     "explain_score": f"""
         WITH qt(term) AS (VALUES ('hash'), ('join')),
         {_BM25_CORPUS_SQL}

@@ -1131,6 +1131,90 @@ class EsSearchPlanner:
         if kind == "cardinality":
             return agg_ops.cardinality_agg(
                 qhits, meta, [body["field"]]).drop("query_id")
+        if kind == "adjacency_matrix":
+            named = body["filters"]
+            if not isinstance(named, dict) or not named:
+                raise EsDslError(
+                    "adjacency_matrix requires named filters")
+            # ONE pass over the hit set: every singleton and pairwise
+            # intersection bucket is a conditional sum in the same
+            # aggregation (map-side partials) — never n² scans
+            names = list(named)
+            preds = {n: _meta_predicate(named[n]) for n in names}
+            j = qhits.join(meta, "doc_id")
+            exprs, labels = [], []
+            for i, n in enumerate(names):
+                exprs.append(F.sum(F.when(preds[n], 1).otherwise(0))
+                             .cast("long").alias(f"__c{i}"))
+                labels.append(n)
+            for i in range(len(names)):
+                for k_ in range(i + 1, len(names)):
+                    exprs.append(
+                        F.sum(F.when(preds[names[i]] & preds[names[k_]],
+                                     1).otherwise(0))
+                        .cast("long").alias(f"__c{len(labels)}"))
+                    # ES keys intersections "a&b" in filter order
+                    labels.append(f"{names[i]}&{names[k_]}")
+            row = j.agg(*exprs)
+            stack = ", ".join(
+                "'{}', `__c{}`".format(lab.replace("'", "''"), i)
+                for i, lab in enumerate(labels))
+            return row.selectExpr(
+                f"stack({len(labels)}, {stack}) AS (key, doc_count)"
+            ).filter(F.col("doc_count") > 0)  # ES omits empty buckets
+        if kind == "date_range":
+            fld = body["field"]
+            ts = F.col(fld).cast("timestamp")
+            j = qhits.join(meta, "doc_id")
+            exprs, labels = [], []
+            for i, r in enumerate(body["ranges"]):
+                pred = F.lit(True)
+                if r.get("from") is not None:
+                    pred = pred & (ts >= F.to_timestamp(
+                        F.lit(str(r["from"]))))
+                if r.get("to") is not None:
+                    pred = pred & (ts < F.to_timestamp(
+                        F.lit(str(r["to"]))))
+                exprs.append(F.sum(F.when(pred, 1).otherwise(0))
+                             .cast("long").alias(f"__r{i}"))
+                labels.append(str(r.get("key") or
+                                  f"{r.get('from', '*')}-"
+                                  f"{r.get('to', '*')}"))
+            row = j.agg(*exprs)
+            stack = ", ".join(
+                "'{}', `__r{}`".format(lab.replace("'", "''"), i)
+                for i, lab in enumerate(labels))
+            return row.selectExpr(
+                f"stack({len(labels)}, {stack}) AS (key, doc_count)")
+        if kind == "auto_date_histogram":
+            return self._auto_date_histogram(body, sub, qhits, meta)
+        if kind in ("sampler", "diversified_sampler"):
+            if "score" not in hits.columns:
+                raise EsDslError(
+                    f"{kind} needs scored hits (search-body context)")
+            if len(sub) != 1:
+                raise EsDslError(
+                    f"{kind} requires exactly one sub-aggregation")
+            (sname, sspec), = sub.items()
+            shard_size = int(body.get("shard_size", 100))
+            pool = hits
+            if kind == "diversified_sampler":
+                # de-duplicate by the field BEFORE sampling: at most
+                # max_docs_per_value per key, ranked by score — the
+                # window partitions by the dedup field (distributed),
+                # only the final take is a TakeOrdered
+                fld = body["field"]
+                dmax = int(body.get("max_docs_per_value", 1))
+                pool = (hits.join(meta.select("doc_id", fld), "doc_id")
+                        .withColumn("_rk", F.row_number().over(
+                            Window.partitionBy(fld)
+                            .orderBy(F.col("score").desc(),
+                                     F.col("doc_id").asc())))
+                        .filter(F.col("_rk") <= dmax))
+            top = (pool.orderBy(F.col("score").desc(),
+                                F.col("doc_id").asc())
+                   .limit(shard_size).select("doc_id"))
+            return self._agg(sspec, top)
         if kind == "composite":
             keys, names = [], []
             for src in body["sources"]:
@@ -1423,6 +1507,55 @@ class EsSearchPlanner:
             buckets = buckets.na.fill(fills)
         else:
             buckets = buckets.filter(F.col("doc_count") >= mdc)
+        if pipes:
+            return self._apply_bucket_pipelines(buckets, pipes)
+        return buckets.orderBy("key")
+
+    # (seconds, ES-style label); month+ rungs are fixed-day
+    # approximations (30d/90d/365d) — a documented divergence from the
+    # ES calendar rungs, which need calendar arithmetic per bucket
+    _AUTO_LADDER = [
+        (1, "1s"), (5, "5s"), (10, "10s"), (30, "30s"),
+        (60, "1m"), (300, "5m"), (600, "10m"), (1800, "30m"),
+        (3600, "1h"), (10800, "3h"), (43200, "12h"),
+        (86400, "1d"), (7 * 86400, "7d"), (30 * 86400, "30d"),
+        (90 * 86400, "90d"), (365 * 86400, "365d"),
+        (5 * 365 * 86400, "1825d"),
+    ]
+
+    def _auto_date_histogram(self, body: dict, sub: dict,
+                             qhits: DataFrame,
+                             meta: DataFrame) -> DataFrame:
+        """ES ``auto_date_histogram``: pick the smallest ladder interval
+        producing at most ``buckets`` buckets over the hit set's time
+        span, then bucket exactly like ``fixed_interval``. The span
+        comes from ONE single-row bounds agg (a bounded driver collect —
+        two timestamps, independent of corpus size); the chosen interval
+        surfaces as a literal column (the ES response's ``interval``
+        field). Metric sub-aggs fold into the same groupBy."""
+        fld = body["field"]
+        target = max(1, int(body.get("buckets", 10)))
+        metrics, pipes = self._split_subaggs(sub, "auto_date_histogram")
+        ts = F.col(fld).cast("timestamp")
+        j = qhits.join(meta, "doc_id")
+        row = j.agg(
+            F.min(F.unix_timestamp(ts)).alias("lo"),
+            F.max(F.unix_timestamp(ts)).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            return self.spark.createDataFrame(
+                [], "key timestamp, doc_count long, interval string")
+        span = int(row["hi"]) - int(row["lo"])
+        secs, label = self._AUTO_LADDER[-1]
+        for s_, lab in self._AUTO_LADDER:
+            if span // s_ + 1 <= target:
+                secs, label = s_, lab
+                break
+        key = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(ts) / secs) * secs)
+        buckets = (j.groupBy(key.alias("key"))
+                   .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                        *self._metric_exprs(metrics))
+                   .withColumn("interval", F.lit(label)))
         if pipes:
             return self._apply_bucket_pipelines(buckets, pipes)
         return buckets.orderBy("key")
@@ -1742,7 +1875,7 @@ class EsSearchPlanner:
 
         aggregations = self.assemble_aggs(
             body.get("aggs") or body.get("aggregations") or {},
-            scores.select("doc_id"))
+            scores)
         highlights = None
         if "highlight" in body:
             highlights = self._highlight(

@@ -1365,3 +1365,59 @@ def test_explain_sums_to_search_score(planner):
     assert {r["doc_id"] for r in sub.collect()} == set(some)
     with pytest.raises(EsDslError):
         planner.explain({"match_phrase": {"text": "hash join"}})
+
+
+# ------------------------------ matrix/date_range/auto/sampler aggs
+
+
+def test_auto_date_histogram_ladder(dated_planner):
+    """auto_date_histogram picks the smallest ladder interval with at
+    most `buckets` buckets; the chosen label surfaces as a column."""
+    res = dated_planner.search({"query": {"match_all": {}}, "size": 0,
+        "aggs": {"a": {"auto_date_histogram": {
+            "field": "release_date", "buckets": 12}}}})
+    rows = res.aggregations["a"].orderBy("key").collect()
+    assert 0 < len(rows) <= 12
+    assert {r["interval"] for r in rows} == {"90d"}  # 365d span / 12
+    wide = dated_planner.search({"query": {"match_all": {}}, "size": 0,
+        "aggs": {"a": {"auto_date_histogram": {
+            "field": "release_date", "buckets": 400}}}})
+    rows = wide.aggregations["a"].collect()
+    assert {r["interval"] for r in rows} == {"1d"} and len(rows) <= 400
+
+
+def test_sampler_restricts_subagg(dated_planner):
+    """sampler's sub-agg sees only the top shard_size hits by score;
+    diversified_sampler additionally caps docs per field value."""
+    body = {"query": {"match": {"text": "hash join"}}, "size": 0,
+            "aggs": {"s": {"sampler": {"shard_size": 10},
+                           "aggs": {"l": {"terms": {
+                               "field": "lang", "size": 100}}}}}}
+    res = dated_planner.search(body)
+    total = sum(r["doc_count"] for r in res.aggregations["s"].collect())
+    assert total == 10
+    top10 = dated_planner.search(
+        {"query": {"match": {"text": "hash join"}},
+         "size": 10}).hits.collect()
+    langs = {}
+    meta = {r["doc_id"]: r["lang"] for r in
+            dated_planner.docs.select("doc_id", "lang").collect()}
+    for r in top10:
+        langs[meta[r["doc_id"]]] = langs.get(meta[r["doc_id"]], 0) + 1
+    got = {r["key"]: r["doc_count"]
+           for r in res.aggregations["s"].collect()}
+    assert got == langs
+    div = dated_planner.search(
+        {"query": {"match": {"text": "hash join"}}, "size": 0,
+         "aggs": {"d": {"diversified_sampler": {
+             "shard_size": 10, "field": "lang",
+             "max_docs_per_value": 1},
+             "aggs": {"l": {"terms": {"field": "lang",
+                                      "size": 100}}}}}})
+    counts = [r["doc_count"] for r in div.aggregations["d"].collect()]
+    assert counts and max(counts) == 1  # one doc per language survives
+    with pytest.raises(EsDslError):  # sampler without scores
+        dated_planner._agg({"sampler": {"shard_size": 5},
+                            "aggs": {"l": {"terms": {"field": "lang"}}}},
+                           dated_planner.docs.select(
+                               F.col("doc_id")))
