@@ -2307,7 +2307,28 @@ def q_date_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["dr"]
 
 
+IV_BODY = {"query": {"intervals": {"text": {"all_of": {
+    "ordered": True, "max_gaps": 2,
+    "intervals": [
+        {"match": {"query": "hash"}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "join"}},
+            {"match": {"query": "merge"}}]}},
+    ]}}}}, "size": 10}
+
+
+def q_intervals_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``intervals`` query (all_of ordered + any_of union slot,
+    max_gaps 2) routed onto the batch span machinery — same broadcast
+    slot join + greedy chain fold, tf = minimal-interval starts. Oracle:
+    the chain as a range join with an IN-set second slot (gap budget
+    n−1+max_gaps = 3)."""
+    return _dsl_planner(spark, sf_dir).search(IV_BODY).hits \
+        .select("doc_id", "score")
+
+
 EXT_QUERIES = {
+    "intervals_search": q_intervals_search,
     "adjacency_matrix_facets": q_adjacency_matrix,
     "date_range_facets": q_date_range_facets,
     "explain_score": q_explain_score,
@@ -2530,6 +2551,19 @@ _SPAN_SCORE_SQL = """
 """
 
 EXT_ORACLES = {
+    "intervals_search": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        m AS (
+          SELECT t0.doc_id, count(DISTINCT t0.p)::BIGINT AS tf
+          FROM tok2 t0
+          JOIN tok2 t1 ON t1.doc_id = t0.doc_id
+            AND t1.term IN ('join', 'merge')
+            AND t1.p > t0.p AND t1.p <= t0.p + 3
+          WHERE t0.term = 'hash'
+          GROUP BY t0.doc_id
+        ),
+        {_SPAN_SCORE_SQL}
+    """,
     "adjacency_matrix_facets": """
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),

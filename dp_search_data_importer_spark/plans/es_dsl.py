@@ -438,6 +438,65 @@ class EsSearchPlanner:
     def _score_span_first(self, spec: dict) -> DataFrame:
         return self._score_span("span_first", spec)
 
+    def _intervals_slots(self, node: dict) -> tuple[list, int]:
+        """An intervals RULE → (slots, max_gaps). Supported: ``match``
+        (ordered: true for multi-token queries — unordered interval
+        matching is the same unimplemented minimal-window problem as
+        unordered span_near), ``any_of`` of single-slot rules (the
+        union slot), ``all_of`` (ordered: true) of single-slot rules.
+        ``max_gaps`` −1 (the ES default) = unbounded."""
+        (kind, spec), = node.items()
+        if kind == "match":
+            toks = self._tokens(str(spec["query"]))
+            if not toks:
+                raise EsDslError("empty intervals match")
+            if len(toks) > 1 and not bool(spec.get("ordered", False)):
+                raise EsDslError(
+                    "intervals match with multiple tokens requires "
+                    "ordered: true (unordered is not implemented)")
+            return [[t] for t in toks], int(spec.get("max_gaps", -1))
+        if kind == "any_of":
+            terms = []
+            for child in _as_list(spec["intervals"]):
+                slots, _ = self._intervals_slots(child)
+                if len(slots) != 1:
+                    raise EsDslError(
+                        "any_of children must be single-position rules")
+                terms += slots[0]
+            return [sorted(set(terms))], -1
+        if kind == "all_of":
+            if not bool(spec.get("ordered", False)):
+                raise EsDslError(
+                    "intervals all_of requires ordered: true")
+            slots = []
+            for child in _as_list(spec["intervals"]):
+                cs, cg = self._intervals_slots(child)
+                if cg not in (-1, 0) and len(cs) > 1:
+                    raise EsDslError(
+                        "nested max_gaps inside all_of is not "
+                        "supported — set it on the all_of")
+                slots += cs
+            return slots, int(spec.get("max_gaps", -1))
+        raise EsDslError(f"unsupported intervals rule {kind!r}")
+
+    def _score_intervals(self, spec: dict) -> DataFrame:
+        """ES ``intervals`` query (the modern span surface) routed onto
+        the same batch span machinery: one broadcast slot join + the
+        greedy (start, cur) chain fold; tf = minimal-interval starts,
+        BM25 over interval frequencies."""
+        from dp_search_data_importer_spark.operators.spans import (
+            span_matches_batch,
+        )
+
+        (field, rule), = [(k, v) for k, v in spec.items() if k != "boost"]
+        slots, gaps = self._intervals_slots(rule)
+        slop = (1 << 30) if gaps < 0 else int(gaps)
+        if len(slots) == 1:
+            slop = 0
+        m = span_matches_batch(self.pos(field),
+                               [(self._next_qid(), slots, slop, None)])
+        return self._span_score(m, field, float(spec.get("boost", 1.0)))
+
     def _score_span_not(self, spec: dict) -> DataFrame:
         from dp_search_data_importer_spark.operators.spans import (
             span_not_matches_batch,

@@ -1421,3 +1421,28 @@ def test_sampler_restricts_subagg(dated_planner):
                             "aggs": {"l": {"terms": {"field": "lang"}}}},
                            dated_planner.docs.select(
                                F.col("doc_id")))
+
+
+def test_intervals_equals_span_near(planner):
+    """intervals match(ordered, max_gaps) == span_near of the analyzed
+    tokens at the same slop; single-token rules ignore max_gaps."""
+    iv = planner.search({"query": {"intervals": {"text": {
+        "match": {"query": "hash join", "ordered": True,
+                  "max_gaps": 1}}}}, "size": 10000}).hits
+    sn = planner.search({"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "join"}}],
+        "slop": 1, "in_order": True}}, "size": 10000}).hits
+    assert _ranked(iv) == _ranked(sn) and iv.count() > 0
+    # unbounded max_gaps (the default) matches any ordered co-occurrence
+    loose = planner.search({"query": {"intervals": {"text": {
+        "match": {"query": "hash join", "ordered": True}}}},
+        "size": 10000}).hits
+    assert loose.count() >= iv.count()
+    with pytest.raises(EsDslError):  # unordered multi-token
+        planner.search({"query": {"intervals": {"text": {
+            "match": {"query": "hash join"}}}}})
+    with pytest.raises(EsDslError):  # any_of over multi-position child
+        planner.search({"query": {"intervals": {"text": {
+            "any_of": {"intervals": [{"match": {
+                "query": "hash join", "ordered": True}}]}}}}})
