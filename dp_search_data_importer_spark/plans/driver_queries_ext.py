@@ -2327,7 +2327,52 @@ def q_intervals_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
 
 
+WAVG_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"w": {"weighted_avg": {
+                 "value": {"field": "n_chars"},
+                 "weight": {"field": "doc_id"}}}}}
+
+
+def q_facet_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` metric over the hit set: Σ(v·w)/Σ(w) in one
+    agg (map-side partials)."""
+    return _dsl_planner(spark, sf_dir).search(
+        WAVG_BODY).aggregations["w"]
+
+
+TMET_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"t": {"top_metrics": {
+                 "metrics": [{"field": "n_chars"}],
+                 "sort": {"n_chars": {"order": "desc"}},
+                 "size": 7}}}}
+
+
+def q_facet_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_metrics``: metric values of the top-7 hits by the sort
+    field — a TakeOrdered over the joined hit set, doc_id tie-break,
+    never a window."""
+    return _dsl_planner(spark, sf_dir).search(
+        TMET_BODY).aggregations["t"]
+
+
+MAD_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"m": {"median_absolute_deviation": {
+                "field": "n_chars"}}}}
+
+
+def q_facet_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median_absolute_deviation`` over the hit set: exact
+    median-of-|v − median| via two bounded single-row percentile aggs
+    (ES itself approximates with TDigest; exact matches the oracle's
+    mad())."""
+    return _dsl_planner(spark, sf_dir).search(
+        MAD_BODY).aggregations["m"]
+
+
 EXT_QUERIES = {
+    "facet_weighted_avg": q_facet_weighted_avg,
+    "facet_top_metrics": q_facet_top_metrics,
+    "facet_mad": q_facet_mad,
     "intervals_search": q_intervals_search,
     "adjacency_matrix_facets": q_adjacency_matrix,
     "date_range_facets": q_date_range_facets,
@@ -2550,7 +2595,33 @@ _SPAN_SCORE_SQL = """
     SELECT doc_id, score FROM ranked WHERE rn <= 10
 """
 
+_HITS_HASH_SQL = """
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash')
+"""
+
 EXT_ORACLES = {
+    "facet_weighted_avg": f"""
+        WITH {_HITS_HASH_SQL}
+        SELECT sum(d.n_chars::DOUBLE * d.doc_id::DOUBLE)
+               / sum(d.doc_id::DOUBLE) AS value
+        FROM hits h JOIN documents d USING (doc_id)
+    """,
+    "facet_top_metrics": f"""
+        WITH {_HITS_HASH_SQL}
+        SELECT d.doc_id, d.n_chars
+        FROM hits h JOIN documents d USING (doc_id)
+        ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 7
+    """,
+    "facet_mad": f"""
+        WITH {_HITS_HASH_SQL}
+        SELECT mad(d.n_chars::DOUBLE)::DOUBLE AS value
+        FROM hits h JOIN documents d USING (doc_id)
+    """,
     "intervals_search": f"""
         WITH {_SPAN_CORPUS_SQL},
         m AS (

@@ -1190,6 +1190,47 @@ class EsSearchPlanner:
         if kind == "cardinality":
             return agg_ops.cardinality_agg(
                 qhits, meta, [body["field"]]).drop("query_id")
+        if kind == "weighted_avg":
+            vf = body["value"]["field"]
+            wf = body["weight"]["field"]
+            j = qhits.join(meta, "doc_id")
+            v = F.col(vf).cast("double")
+            w = F.col(wf).cast("double")
+            return j.agg(
+                (F.sum(v * w) / F.sum(w)).alias("value"))
+        if kind == "top_metrics":
+            # the ES top_metrics agg: metric values of the top `size`
+            # docs by a sort field — a TakeOrdered over the joined hit
+            # set, never a window
+            mfields = [m["field"] for m in _as_list(body["metrics"])]
+            (sfld, sdir), = body["sort"].items() \
+                if isinstance(body["sort"], dict) \
+                else next(iter(_as_list(body["sort"]))).items()
+            sord = (sdir.get("order", "asc") if isinstance(sdir, dict)
+                    else str(sdir))
+            j = qhits.join(meta, "doc_id")
+            lead = (F.col(sfld).desc() if sord == "desc"
+                    else F.col(sfld).asc())
+            return (j.select("doc_id", sfld,
+                             *[f for f in mfields if f != sfld])
+                    .orderBy(lead, F.col("doc_id").asc())
+                    .limit(int(body.get("size", 1))))
+        if kind == "median_absolute_deviation":
+            # ES computes this approximately (TDigest); here: exact
+            # median via percentile in TWO bounded single-row aggs
+            # (median first, then median of absolute deviations) — two
+            # tiny jobs; swap percentile → percentile_approx if exact
+            # per-group state ever matters at extreme hit counts
+            fld = body["field"]
+            j = qhits.join(meta, "doc_id")
+            v = F.col(fld).cast("double")
+            med = j.agg(F.expr(
+                f"percentile({fld}, 0.5)").alias("m")).collect()[0]["m"]
+            if med is None:
+                return j.agg(F.lit(None).cast("double").alias("value"))
+            return j.agg(F.expr(
+                f"percentile(abs({fld} - {float(med)}), 0.5)")
+                .cast("double").alias("value"))
         if kind == "adjacency_matrix":
             named = body["filters"]
             if not isinstance(named, dict) or not named:
