@@ -2369,7 +2369,39 @@ def q_facet_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         MAD_BODY).aggregations["m"]
 
 
+PERC_QUERIES = [
+    (1, "match", ["hash", "quicksort"]),
+    (2, "match_all", ["hash", "join"]),
+    (3, "phrase", ["hash", "join"]),
+    (4, "match_all", ["merge", "sort"]),
+    (5, "phrase", ["merge", "sort"]),
+]
+
+
+def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percolate`` twin (reverse search): five stored queries —
+    OR, AND, and phrase kinds — matched against every document in ONE
+    term-keyed join + ONE hash agg (queries inverted by term, the
+    monitoring/alerting shape; phrase verified by the idx-shifted
+    position fold). AND vs phrase on the same term pair (queries 4/5)
+    shows the adjacency check biting. Oracle replays each kind in SQL."""
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_batch,
+    )
+    from dp_search_data_importer_spark.operators.phrase import (
+        doc_positions,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = local_df(spark, PERC_QUERIES,
+                       "query_id long, kind string, terms array<string>")
+    return percolate_batch(queries,
+                           doc_positions(docs, code_aware=False))
+
+
 EXT_QUERIES = {
+    "percolate_matches": q_percolate_matches,
     "facet_weighted_avg": q_facet_weighted_avg,
     "facet_top_metrics": q_facet_top_metrics,
     "facet_mad": q_facet_mad,
@@ -2605,6 +2637,34 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "percolate_matches": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        terms_by_doc AS (
+          SELECT doc_id, term FROM tok2 GROUP BY doc_id, term
+        )
+        SELECT 1::BIGINT AS query_id, doc_id FROM terms_by_doc
+        WHERE term IN ('hash', 'quicksort') GROUP BY doc_id
+        UNION ALL
+        SELECT 2::BIGINT, doc_id FROM terms_by_doc
+        WHERE term IN ('hash', 'join') GROUP BY doc_id
+        HAVING count(DISTINCT term) = 2
+        UNION ALL
+        SELECT 3::BIGINT, t0.doc_id FROM tok2 t0
+        WHERE t0.term = 'hash' AND EXISTS (
+          SELECT 1 FROM tok2 t1 WHERE t1.doc_id = t0.doc_id
+            AND t1.term = 'join' AND t1.p = t0.p + 1)
+        GROUP BY t0.doc_id
+        UNION ALL
+        SELECT 4::BIGINT, doc_id FROM terms_by_doc
+        WHERE term IN ('merge', 'sort') GROUP BY doc_id
+        HAVING count(DISTINCT term) = 2
+        UNION ALL
+        SELECT 5::BIGINT, t0.doc_id FROM tok2 t0
+        WHERE t0.term = 'merge' AND EXISTS (
+          SELECT 1 FROM tok2 t1 WHERE t1.doc_id = t0.doc_id
+            AND t1.term = 'sort' AND t1.p = t0.p + 1)
+        GROUP BY t0.doc_id
+    """,
     "facet_weighted_avg": f"""
         WITH {_HITS_HASH_SQL}
         SELECT sum(d.n_chars::DOUBLE * d.doc_id::DOUBLE)
