@@ -2242,7 +2242,10 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
     Supported subset (each routes to the corresponding ``plans/query``
     entry): ``match`` (OR; optionally WAND when neither pagination nor
     rescoring needs exhaustive scores), top-level ``prefix`` / ``fuzzy``
-    / ``wildcard`` / ``regexp``, ``bool`` — a single must-``match``
+    / ``wildcard`` / ``regexp``, ``match_phrase`` (+slop) and the
+    span/intervals family — both decode positions straight from the
+    COMPRESSED positional postings blocks (``load_positions``: the same
+    term-pruned scan BM25 uses), ``bool`` — a single must-``match``
     clause with filter context routes to ``filtered_topk``; term-level
     clause sets route to ``bool_topk_indexed`` — plus ``sort`` by a
     docs-table metadata field, ``search_after`` under both sort orders,
@@ -2358,6 +2361,65 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
         fn = {"prefix": q.prefix_topk, "wildcard": q.wildcard_topk,
               "regexp": q.regexp_topk, "fuzzy": q.fuzzy_topk}[kind]
         hits = fn(spark, out_dir, [str(v)], cfg, k=size)
+    elif kind == "match_phrase":
+        from dp_search_data_importer_spark.operators.phrase import (
+            phrase_topk,
+        )
+
+        pairs = [(k, v) for k, v in spec.items() if k != "boost"]
+        (field, v), = pairs
+        slop = 0
+        if isinstance(v, dict):
+            slop = int(v.get("slop", 0))
+            v = v["query"]
+        hits = phrase_topk(spark, out_dir, [(0, str(v))], cfg, k=size,
+                           slop=slop)
+    elif kind in ("span_term", "span_or", "span_near", "span_first",
+                  "span_not", "intervals"):
+        # spans over the COMPRESSED positional postings: the same
+        # term-pruned block scan phrase queries use (load_positions),
+        # the same batch fold as the dataflow planner — the span tree
+        # parses through a docs-free planner shim (pure driver-side)
+        from dp_search_data_importer_spark.checkpoint import (
+            read_stats_json,
+        )
+        from dp_search_data_importer_spark.operators.phrase import (
+            load_positions,
+            phrase_score_batch,
+        )
+        from dp_search_data_importer_spark.operators.bm25 import topk
+        from dp_search_data_importer_spark.operators.spans import (
+            span_matches_batch,
+            span_not_matches_batch,
+        )
+
+        shim = EsSearchPlanner.__new__(EsSearchPlanner)
+        if kind == "span_not":
+            _, inc = shim._span_slot(spec["include"])
+            _, exc = shim._span_slot(spec["exclude"])
+            pre = int(spec.get("pre", spec.get("dist", 0)))
+            post = int(spec.get("post", spec.get("dist", 0)))
+            pos = load_positions(spark, out_dir,
+                                 terms=sorted(set(inc) | set(exc)))
+            m = span_not_matches_batch(pos, [(0, inc, exc, pre, post)])
+        else:
+            if kind == "intervals":
+                (f_, rule), = [(k, v) for k, v in spec.items()
+                               if k != "boost"]
+                slots, gaps = shim._intervals_slots(rule)
+                slop = (1 << 30) if gaps < 0 else int(gaps)
+                if len(slots) == 1:
+                    slop = 0
+                end = None
+            else:
+                _, slots, slop, end = shim._span_tree({kind: spec})
+            terms = sorted({t for s_ in slots for t in s_})
+            pos = load_positions(spark, out_dir, terms=terms)
+            m = span_matches_batch(pos, [(0, slots, slop, end)])
+        stats = read_stats_json(out_dir)
+        hits = topk(phrase_score_batch(
+            m.withColumnRenamed("span_tf", "phrase_tf"),
+            stats["n_docs"], stats["avgdl"], cfg), size)
     elif kind == "bool":
         filters = _as_list(spec.get("filter", []))
         pred = None

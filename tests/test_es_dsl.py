@@ -1446,3 +1446,56 @@ def test_intervals_equals_span_near(planner):
         planner.search({"query": {"intervals": {"text": {
             "any_of": {"intervals": [{"match": {
                 "query": "hash join", "ordered": True}}]}}}}})
+
+
+# -------------------------- stored-index phrase/span/intervals routing
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, planner, tmp_path_factory):
+    """POSITIONAL stored index over the same documents table — the
+    substrate for phrase/span cross-planner identity."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.plans.build_index import build_index
+
+    out = str(tmp_path_factory.mktemp("dsl_pos_idx"))
+    build_index(spark, planner.docs, out,
+                EngineConfig(n_shards=4, block_size=64),
+                code_aware=False, text_col="text",
+                already_normalized=True, waves=1, positions=True)
+    return out
+
+
+def test_indexed_phrase_and_spans_equal_dataflow(spark, planner,
+                                                 pos_index):
+    """match_phrase (+slop), span_near/span_first/span_not, and
+    intervals against the stored positional index rank- and
+    score-identical to the dataflow planner on the same corpus."""
+    from dp_search_data_importer_spark.plans.es_dsl import search_indexed
+
+    bodies = [
+        {"query": {"match_phrase": {"text": "hash join"}}, "size": 15},
+        {"query": {"match_phrase": {"text": {
+            "query": "hash join", "slop": 2}}}, "size": 15},
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_or": {"clauses": [{"span_term": {"text": "join"}},
+                                     {"span_term": {"text": "merge"}}]}}],
+            "slop": 3, "in_order": True}}, "size": 15},
+        {"query": {"span_first": {"match": {"span_term":
+                                            {"text": "hash"}},
+                                  "end": 30}}, "size": 15},
+        {"query": {"span_not": {"include": {"span_term":
+                                            {"text": "hash"}},
+                                "exclude": {"span_term":
+                                            {"text": "join"}},
+                                "pre": 1, "post": 1}}, "size": 15},
+        {"query": {"intervals": {"text": {"match": {
+            "query": "hash join", "ordered": True, "max_gaps": 2}}}},
+         "size": 15},
+    ]
+    for body in bodies:
+        got = search_indexed(spark, pos_index, body).hits
+        exp = planner.search(body).hits
+        assert _ranked(got) == _ranked(exp), body
+        assert got.count() > 0, body
