@@ -2335,6 +2335,7 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
                                      "query_id long, query_text string")
 
     hits = None
+    hits_full = None  # full match set where the branch computes one
     if not score_sorted:
         if kind != "match":
             raise EsDslError("stored-index field sort supports match "
@@ -2417,6 +2418,7 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
             pos = load_positions(spark, out_dir, terms=terms)
             m = span_matches_batch(pos, [(0, slots, slop, end)])
         stats = read_stats_json(out_dir)
+        hits_full = m.select("doc_id")  # the FULL match set, for aggs
         hits = topk(phrase_score_batch(
             m.withColumnRenamed("span_tf", "phrase_tf"),
             stats["n_docs"], stats["avgdl"], cfg), size)
@@ -2449,15 +2451,17 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
     aggregations: dict[str, DataFrame] = {}
     aggs = body.get("aggs") or body.get("aggregations") or {}
     if aggs:
-        if kind != "match":
-            raise EsDslError("stored-index aggs support match queries")
+        if kind != "match" and hits_full is None:
+            raise EsDslError(
+                "stored-index aggs support match and span/intervals "
+                "queries")
         import os as _os
 
         # full hit set from term-pruned postings (never a corpus scan),
         # then the ENTIRE dataflow agg family runs over the stored
         # content-free docs/ metadata table via a planner shim — one agg
         # code path for both planners
-        hits_all = q._match_hits(
+        hits_all = hits_full if hits_full is not None else q._match_hits(
             spark, out_dir, match_queries(spec)).select("doc_id")
         docs_meta = spark.read.parquet(_os.path.join(out_dir, "docs"))
         shim = EsSearchPlanner(spark, docs_meta, cfg)

@@ -16,6 +16,11 @@ Query families (mirroring the library's full ES-parity surface):
   for the ``--query`` terms.
 - ``--filter-lang LANG``: filter context (does not affect scores).
 - ``--pages N``: fetch N pages of size k via search_after cursors.
+- ``--body '<json>'`` / ``--body-file f.json``: a FULL ES ``_search``
+  request body executed against the stored index (``search_indexed``:
+  match/bool/expansion/phrase/span/intervals queries, sort,
+  search_after, the aggregation family, suggest) — hits print like the
+  other families, aggregation frames print per name.
 """
 
 from __future__ import annotations
@@ -44,6 +49,9 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=1)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--path", default="wand", choices=["wand", "exact"])
+    ap.add_argument("--body", default=None,
+                    help="ES _search JSON body (stored-index execution)")
+    ap.add_argument("--body-file", dest="body_file", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -60,6 +68,35 @@ def main() -> None:
     cfg = EngineConfig()
     doc_filter = (F.col("lang") == args.filter_lang
                   if args.filter_lang else None)
+
+    if args.body or args.body_file:
+        from dp_search_data_importer_spark.plans.es_dsl import (
+            search_indexed,
+        )
+
+        body = json.loads(args.body if args.body
+                          else open(args.body_file).read())
+        res = search_indexed(spark, args.index, body, cfg,
+                             use_wand=args.path == "wand")
+        hits = res.hits
+        if "score" not in hits.columns:  # field-sorted bodies
+            hits = hits.withColumn("score", F.lit(0.0))
+        out = qp.resolve_docs(
+            spark, args.index,
+            hits.select("doc_id", "score").withColumn(
+                "query_id", F.lit(1)))
+        for r in out.orderBy(out.score.desc()).collect():
+            print(f"hit\t{r.score:10.4f}\t{r.repo}/{r.path}"
+                  f"@{r.commit[:8]}")
+        for name, frame in res.aggregations.items():
+            for r in frame.collect():
+                print(f"agg:{name}\t" + "\t".join(
+                    str(v) for v in r.asDict().values()))
+        for name, frame in (res.suggestions or {}).items():
+            for r in frame.collect():
+                print(f"suggest:{name}\t" + "\t".join(
+                    str(v) for v in r.asDict().values()))
+        return
 
     if args.must or args.should or args.must_not:
         spec = BoolSpec(1, must=(args.must or "").split(),

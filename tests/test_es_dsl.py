@@ -375,7 +375,9 @@ def test_indexed_errors(spark, doc_index):
         search_indexed,
     )
 
-    with pytest.raises(EsDslError):
+    # match_phrase routes to the positional path now; an index built
+    # WITHOUT positions refuses loudly instead of silently degrading
+    with pytest.raises(FileNotFoundError):
         search_indexed(spark, doc_index,
                        {"query": {"match_phrase": {"text": "a b"}}})
     with pytest.raises(EsDslError):
@@ -383,6 +385,8 @@ def test_indexed_errors(spark, doc_index):
                        {"query": {"bool": {"must": [
                            {"match": {"text": "two tokens"}},
                            {"match": {"text": "x"}}]}}})
+    with pytest.raises(EsDslError):
+        search_indexed(spark, doc_index, {"query": {"knn": {}}})
 
 
 def test_errors(planner):
@@ -1499,3 +1503,19 @@ def test_indexed_phrase_and_spans_equal_dataflow(spark, planner,
         exp = planner.search(body).hits
         assert _ranked(got) == _ranked(exp), body
         assert got.count() > 0, body
+
+
+def test_indexed_span_aggs_equal_dataflow(spark, planner, pos_index):
+    """aggs over a span query's hit set on the stored index ≡ the
+    dataflow planner (the span branch's full match set feeds the shim)."""
+    from dp_search_data_importer_spark.plans.es_dsl import search_indexed
+
+    body = {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_term": {"text": "join"}}], "slop": 3,
+        "in_order": True}}, "size": 5,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 50}}}}
+    got = search_indexed(spark, pos_index, body).aggregations["langs"]
+    exp = planner.search(body).aggregations["langs"]
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in exp.collect()] and got.count() > 0
