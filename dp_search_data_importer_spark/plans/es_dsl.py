@@ -1089,6 +1089,18 @@ class EsSearchPlanner:
                 # given literal instead of dropping
                 meta = meta.withColumn(
                     fld, F.coalesce(F.col(fld), F.lit(body["missing"])))
+            # ES include/exclude: value lists or an anchored regex —
+            # pushed BEFORE the bucket agg (prunes the shuffle)
+            inc, exc = body.get("include"), body.get("exclude")
+            key_s = F.col(fld).cast("string")
+            if isinstance(inc, list):
+                meta = meta.filter(key_s.isin([str(v) for v in inc]))
+            elif inc is not None:
+                meta = meta.filter(key_s.rlike(f"^(?:{inc})$"))
+            if isinstance(exc, list):
+                meta = meta.filter(~key_s.isin([str(v) for v in exc]))
+            elif exc is not None:
+                meta = meta.filter(~key_s.rlike(f"^(?:{exc})$"))
             if sub and len(sub) == 1 \
                     and next(iter(next(iter(sub.values())))) == "top_hits":
                 (sname, sspec), = sub.items()
@@ -1591,8 +1603,25 @@ class EsSearchPlanner:
                    .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
                         *self._metric_exprs(metrics)))
         if mdc == 0:
-            bounds = buckets.agg(F.min("key").alias("lo"),
-                                 F.max("key").alias("hi"))
+            lo_c, hi_c = F.min("key"), F.max("key")
+            eb = body.get("extended_bounds")
+            if eb:
+                # ES extended_bounds: widen the fill beyond the data's
+                # own span (dashboards want fixed axes); keys align to
+                # the same truncation as the data buckets
+                if "min" in eb:
+                    lo_c = F.least(lo_c, F.date_trunc(
+                        unit, F.to_timestamp(F.lit(str(eb["min"]))))
+                        if cal is not None else F.timestamp_seconds(
+                            F.floor(F.unix_timestamp(F.to_timestamp(
+                                F.lit(str(eb["min"])))) / secs) * secs))
+                if "max" in eb:
+                    hi_c = F.greatest(hi_c, F.date_trunc(
+                        unit, F.to_timestamp(F.lit(str(eb["max"]))))
+                        if cal is not None else F.timestamp_seconds(
+                            F.floor(F.unix_timestamp(F.to_timestamp(
+                                F.lit(str(eb["max"])))) / secs) * secs))
+            bounds = buckets.agg(lo_c.alias("lo"), hi_c.alias("hi"))
             keys = bounds.select(
                 F.explode(F.sequence("lo", "hi", F.expr(step)))
                 .alias("key"))

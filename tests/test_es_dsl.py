@@ -1519,3 +1519,40 @@ def test_indexed_span_aggs_equal_dataflow(spark, planner, pos_index):
     exp = planner.search(body).aggregations["langs"]
     assert [tuple(r) for r in got.collect()] \
         == [tuple(r) for r in exp.collect()] and got.count() > 0
+
+
+def test_terms_include_exclude(planner):
+    base = {r["key"]: r["doc_count"] for r in planner.search(
+        {"query": {"match": {"text": "hash"}}, "size": 0,
+         "aggs": {"l": {"terms": {"field": "lang", "size": 100}}}}
+    ).aggregations["l"].collect()}
+    inc = {r["key"]: r["doc_count"] for r in planner.search(
+        {"query": {"match": {"text": "hash"}}, "size": 0,
+         "aggs": {"l": {"terms": {"field": "lang", "size": 100,
+                                  "include": ["en", "fr"]}}}}
+    ).aggregations["l"].collect()}
+    assert inc == {k: v for k, v in base.items() if k in ("en", "fr")}
+    rex = {r["key"] for r in planner.search(
+        {"query": {"match": {"text": "hash"}}, "size": 0,
+         "aggs": {"l": {"terms": {"field": "lang", "size": 100,
+                                  "include": "e.*",
+                                  "exclude": "es"}}}}
+    ).aggregations["l"].collect()}
+    assert rex == {k for k in base if k.startswith("e") and k != "es"}
+
+
+def test_date_histogram_extended_bounds(dated_planner):
+    body = {"query": {"match": {"text": "dup"}}, "size": 0,
+            "aggs": {"d": {"date_histogram": {
+                "field": "release_date", "calendar_interval": "day",
+                "extended_bounds": {"min": "2023-12-25",
+                                    "max": "2025-01-05"}}}}}
+    rows = dated_planner.search(body).aggregations["d"] \
+        .orderBy("key").collect()
+    import datetime
+
+    assert rows[0]["key"] == datetime.datetime(2023, 12, 25)
+    assert rows[-1]["key"] == datetime.datetime(2025, 1, 5)
+    assert rows[0]["doc_count"] == 0 and rows[-1]["doc_count"] == 0
+    # contiguous daily keys
+    assert len(rows) == (rows[-1]["key"] - rows[0]["key"]).days + 1
