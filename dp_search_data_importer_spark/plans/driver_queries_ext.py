@@ -2400,7 +2400,36 @@ def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                            doc_positions(docs, code_aware=False))
 
 
+NAGG_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"dims": {"nested": {"path": "dims"},
+                               "aggs": {"names": {"terms": {
+                                   "field": "dims.name",
+                                   "size": 10}}}}}}
+
+
+def q_nested_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` aggregation: terms over the array ELEMENTS of the
+    hit set's dimensions (doc_count = element count — the nested-doc
+    contract), one explode + one bucket agg. Dimensions synthesized
+    deterministically from doc_id exactly like the nested-query twin
+    (the reference's documents carry the array<struct> shape,
+    ``schema/schema.go:41-51``)."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents")
+    mk = lambda noff, loff: F.struct(
+        F.concat(F.lit("dim"), F.pmod(F.col("doc_id") + noff, F.lit(5))
+                 .cast("string")).alias("name"),
+        F.concat(F.lit("l"), F.pmod(F.col("doc_id") + loff, F.lit(7))
+                 .cast("string")).alias("label"),
+    )
+    docs = docs.withColumn("dims", F.array(mk(0, 0), mk(1, 3)))
+    return EsSearchPlanner(spark, docs).search(
+        NAGG_BODY).aggregations["dims"]
+
+
 EXT_QUERIES = {
+    "nested_terms_agg": q_nested_terms_agg,
     "percolate_matches": q_percolate_matches,
     "facet_weighted_avg": q_facet_weighted_avg,
     "facet_top_metrics": q_facet_top_metrics,
@@ -2637,6 +2666,25 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "nested_terms_agg": f"""
+        WITH {_HITS_HASH_SQL},
+        dimmed AS (
+          SELECT h.doc_id,
+                 unnest([
+                   'dim' || ((d.doc_id % 5))::VARCHAR,
+                   'dim' || (((d.doc_id + 1) % 5))::VARCHAR
+                 ]) AS name
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT name AS key, count(*)::BIGINT AS doc_count
+          FROM dimmed GROUP BY name
+        )
+        SELECT key, doc_count FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY doc_count DESC, key ASC) AS rn FROM b
+        ) WHERE rn <= 10
+    """,
     "percolate_matches": f"""
         WITH {_SPAN_CORPUS_SQL},
         terms_by_doc AS (

@@ -1202,6 +1202,33 @@ class EsSearchPlanner:
         if kind == "cardinality":
             return agg_ops.cardinality_agg(
                 qhits, meta, [body["field"]]).drop("query_id")
+        if kind == "nested":
+            # ES nested agg: sub-agg runs over the array ELEMENTS of
+            # the path (doc_count = element count, the nested-doc
+            # contract) — one explode over the hit set's arrays
+            path = body["path"]
+            if path not in self.docs.columns:
+                raise EsDslError(f"nested path {path!r} is not a column")
+            if len(sub) != 1:
+                raise EsDslError(
+                    "nested agg requires exactly one sub-aggregation")
+            (sname, sspec), = sub.items()
+            (skind, sbody), = sspec.items()
+            if skind != "terms":
+                raise EsDslError("nested sub-agg supports terms")
+            fld = str(sbody["field"])
+            leaf = fld[len(path) + 1:] if fld.startswith(path + ".") \
+                else fld
+            j = qhits.join(
+                self.docs.select(F.col(self.id_col).alias("doc_id"),
+                                 path), "doc_id")
+            ex = j.select(F.explode(path).alias("_e"))
+            buckets = (ex.groupBy(F.col(f"_e.{leaf}").cast("string")
+                                  .alias("key"))
+                       .agg(F.count(F.lit(1)).cast("long")
+                            .alias("doc_count")))
+            return self._order_buckets(buckets, sbody,
+                                       int(sbody.get("size", 10)))
         if kind == "weighted_avg":
             vf = body["value"]["field"]
             wf = body["weight"]["field"]
