@@ -420,3 +420,54 @@ def windowed_event_counts(
                 F.col("win.end").alias("win_end"),
                 "event_type", "n_events", "sum_value")
     )
+
+
+def run_percolate_stream(
+    doc_stream: DataFrame,
+    queries: DataFrame,
+    alerts_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    code_aware: bool = False,
+):
+    """Streaming percolation — the alerting loop: each micro-batch of
+    incoming documents is matched against the STATIC stored-query table
+    (``operators/percolate.percolate_batch``: queries inverted by term,
+    one term-keyed join + one agg per batch) and the matching
+    (query_id, doc_id) pairs append to ``alerts_dir`` as parquet.
+    foreachBatch + checkpointLocation give no-commit-on-error
+    redelivery; appends are idempotent per batch only in the
+    at-least-once sense every alerting sink already handles (alerts
+    carry batch_id for downstream dedup). The query table is evaluated
+    per batch — register new queries by replacing the DataFrame source
+    (a parquet dir re-read), no restart required when it is a lazily
+    re-read source."""
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_batch,
+    )
+    from dp_search_data_importer_spark.operators.phrase import (
+        doc_positions,
+    )
+
+    def _handle(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        pos = doc_positions(df, code_aware=code_aware, id_col=id_col,
+                            text_col=text_col)
+        out = percolate_batch(queries, pos).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long"))
+        out.write.mode("append").parquet(alerts_dir)
+
+    writer = (
+        doc_stream.writeStream
+        .foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -396,3 +396,56 @@ def test_run_ann_stream_end_to_end(spark, tmp_path):
     assert metrics[-1]["replaced"] == len(rep)
     assert metrics[-1]["added"] == len(add)
     assert 0 < metrics[-1]["fraction_new"] < 1
+
+
+def test_percolate_stream_matches_batch(spark, tmp_path):
+    """Streaming percolation over a file source reproduces the batch
+    operator's (query_id, doc_id) pairs exactly, across micro-batches."""
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_batch,
+    )
+    from dp_search_data_importer_spark.operators.phrase import (
+        doc_positions,
+    )
+    from dp_search_data_importer_spark.session import local_df
+    from dp_search_data_importer_spark.streaming.ingest_stream import (
+        run_percolate_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        (1, "the hash join operator"),
+        (2, "hash tables everywhere"),
+        (3, "merge sort remains classic"),
+        (4, "sort then merge the runs"),
+        (5, "nothing to see here"),
+    ]
+    docs = local_df(spark, rows, "doc_id long, text string")
+    # two files → at least two potential micro-batches
+    docs.filter("doc_id <= 2").write.mode("overwrite").parquet(
+        str(src / "a.parquet"))
+    docs.filter("doc_id > 2").write.mode("overwrite").parquet(
+        str(src / "b.parquet"))
+
+    queries = local_df(spark, [
+        (10, "match", ["hash", "sort"]),
+        (20, "match_all", ["merge", "sort"]),
+        (30, "phrase", ["hash", "join"]),
+    ], "query_id long, kind string, terms array<string>")
+
+    alerts = str(tmp_path / "alerts")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = run_percolate_stream(stream, queries, alerts,
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r["query_id"], r["doc_id"])
+           for r in spark.read.parquet(alerts).collect()}
+    exp = {(r["query_id"], r["doc_id"]) for r in percolate_batch(
+        queries, doc_positions(docs)).collect()}
+    assert got == exp
+    assert (20, 3) in got and (20, 4) in got and (30, 1) in got
+    assert not any(d == 5 for _, d in got)
