@@ -92,6 +92,10 @@ def main() -> None:
         # round 4: the ES bool compound form — the most-sent real-world ES
         # query shape — joins the headline set
         "bool_search",
+        # round 5 (late): the positional span chain and the reverse-search
+        # percolation join the headline set (new this round; per-query
+        # comparisons across rounds, not the sum)
+        "span_near_search", "percolate_matches",
     ]
     # best-of-2 per query: the host shows hypervisor steal (identical runs
     # vary up to ±40% — BENCH/ANALYSIS.md "Noise"); min is the standard

@@ -73,6 +73,35 @@ def main() -> None:
     print(explain_str(qp.exact_topk(spark, out, queries, cfg, 10,
                                     after={1: (1.5, 42)})))
 
+    # round 5 (late): span chains and percolation
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_batch,
+    )
+    from dp_search_data_importer_spark.operators.phrase import (
+        doc_positions,
+    )
+    from dp_search_data_importer_spark.operators.spans import (
+        span_matches_batch,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = synthetic_repo_files(spark, 500, seed=42).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit"))
+    pos = doc_positions(docs, code_aware=True, text_col="content")
+    print("=" * 70)
+    print("== span_near chain (ONE broadcast slot join + one agg + "
+          "Catalyst fold — no per-clause jobs)")
+    print(explain_str(span_matches_batch(
+        pos, [(1, [["import"], ["def", "class"]], 3, None)])))
+    print("=" * 70)
+    print("== percolate (queries inverted by term: one term-keyed "
+          "join + one agg, no cartesian)")
+    pq = local_df(spark, [(1, "match_all", ["import", "def"]),
+                          (2, "phrase", ["import", "def"])],
+                  "query_id long, kind string, terms array<string>")
+    print(explain_str(percolate_batch(pq, pos)))
+
 
 if __name__ == "__main__":
     main()
