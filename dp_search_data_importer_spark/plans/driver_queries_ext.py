@@ -2428,7 +2428,26 @@ def q_nested_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         NAGG_BODY).aggregations["dims"]
 
 
+def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8-style ``knn`` section through the ``_search`` body: exact
+    cosine top-15 over the embeddings table with a PRE-FILTER on label
+    (semi-join prunes the vector pass — the ES knn filter semantic).
+    The brute-force baseline of the ANN family, unified under the ES
+    request surface."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planner = EsSearchPlanner(spark, emb, text_fields=(),
+                              id_col="vec_id")
+    body = {"knn": {"field": "embedding",
+                    "query_vector": _query_vec(spark, sf_dir),
+                    "k": 15,
+                    "filter": {"term": {"label": 3}}}}
+    return planner.search(body).hits
+
+
 EXT_QUERIES = {
+    "knn_search": q_knn_search,
     "nested_terms_agg": q_nested_terms_agg,
     "percolate_matches": q_percolate_matches,
     "facet_weighted_avg": q_facet_weighted_avg,
@@ -2666,6 +2685,21 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "knn_search": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id AS doc_id,
+                 round(list_dot_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv, qv))), 4) AS score
+          FROM embeddings CROSS JOIN q
+          WHERE label = 3
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 15
+    """,
     "nested_terms_agg": f"""
         WITH {_HITS_HASH_SQL},
         dimmed AS (

@@ -1950,6 +1950,8 @@ class EsSearchPlanner:
         ``hits`` as (doc_id, score) in rank order semantics (apply
         ``.orderBy`` on collect for display), plus one DataFrame per
         named aggregation."""
+        if "knn" in body:
+            return self._knn_search(body)
         unknown = set(body) - {"query", "size", "sort", "search_after",
                                "rescore", "collapse", "aggs",
                                "aggregations", "from", "highlight",
@@ -2041,6 +2043,50 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+    def _knn_search(self, body: dict) -> "SearchResult":
+        """ES 8-style top-level ``knn`` section routed onto the
+        embedding machinery: EXACT cosine top-k over the docs frame's
+        vector column — the brute-force baseline every ANN variant in
+        ``operators/similarity`` is measured against (swap in the
+        stored LSH/IVF/IVF-PQ paths for the partition-pruned scale
+        form). Optional ``filter`` runs in filter context BEFORE the
+        similarity scan (a semi-join prunes the vector pass —
+        pre-filtering, the ES knn filter semantic). Hybrid knn+query
+        score fusion is not implemented (documented): issue both
+        requests and fuse on ranks client-side."""
+        from dp_search_data_importer_spark.operators.similarity import (
+            cosine_expr,
+        )
+
+        spec = body["knn"]
+        if not isinstance(spec, dict) or "field" not in spec \
+                or "query_vector" not in spec:
+            raise EsDslError("knn requires field and query_vector")
+        if "query" in body:
+            raise EsDslError(
+                "hybrid knn+query fusion is not implemented — run two "
+                "requests and fuse client-side")
+        fld = spec["field"]
+        if fld not in self.docs.columns or fld in self.text_fields:
+            raise EsDslError(f"knn field {fld!r} is not a vector column")
+        qv = [float(x) for x in spec["query_vector"]]
+        k = int(spec.get("k", body.get("size", 10)))
+        base = self.docs.select(
+            F.col(self.id_col).alias("doc_id"), F.col(fld).alias("_v")) \
+            .filter(F.col("_v").isNotNull())
+        if "filter" in spec:
+            base = base.join(self.filter(spec["filter"]), "doc_id",
+                             "semi")
+        qcol = F.array(*[F.lit(x).cast("double") for x in qv])
+        scored = base.select(
+            "doc_id",
+            # 4-digit rounding before ranking — the engine-wide
+            # stable-rank discipline (same as cosine_topk)
+            F.round(cosine_expr(F.col("_v"), qcol), 4).alias("score"))
+        hits = scored.orderBy(F.col("score").desc(),
+                              F.col("doc_id").asc()).limit(k)
+        return SearchResult(hits=hits)
 
     def explain(self, query: dict, doc_ids: list[int] | None = None,
                 field: str | None = None) -> DataFrame:

@@ -1556,3 +1556,36 @@ def test_date_histogram_extended_bounds(dated_planner):
     assert rows[0]["doc_count"] == 0 and rows[-1]["doc_count"] == 0
     # contiguous daily keys
     assert len(rows) == (rows[-1]["key"] - rows[0]["key"]).days + 1
+
+
+def test_knn_body(spark, sf_dir):
+    """knn body: exact cosine top-k; filter pre-prunes; errors on
+    malformed specs and hybrid knn+query."""
+    from dp_search_data_importer_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0")
+          .select("embedding").collect()[0][0]]
+    p = EsSearchPlanner(spark, emb, text_fields=(), id_col="vec_id")
+    got = [(r["doc_id"], r["score"]) for r in p.search(
+        {"knn": {"field": "embedding", "query_vector": qv,
+                 "k": 10}}).hits.collect()]
+    exp = [(r["vec_id"], r["cosine"])
+           for r in cosine_topk(emb, qv, k=10).collect()]
+    assert got == exp
+    filtered = p.search({"knn": {"field": "embedding",
+                                 "query_vector": qv, "k": 10,
+                                 "filter": {"term": {"label": 3}}}}).hits
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r["doc_id"]] == 3 for r in filtered.collect())
+    with pytest.raises(EsDslError):
+        p.search({"knn": {"field": "embedding"}})
+    with pytest.raises(EsDslError):  # hybrid fusion not implemented
+        p.search({"knn": {"field": "embedding", "query_vector": qv},
+                  "query": {"match_all": {}}})
