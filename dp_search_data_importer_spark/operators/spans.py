@@ -15,8 +15,10 @@ overwhelmingly common usage):
   p_1 < … < p_n, one position per clause slot, with total intervening
   gap p_n − p_1 − (n−1) ≤ slop; tf = number of distinct chain starts.
   At slop=0 and single-term slots this IS the exact phrase.
-  ``in_order: false`` (minimal-window permutation matching) is NOT
-  implemented — a documented divergence, rejected loudly.
+- ``span_near`` (``in_order: false``): window-cover semantics — see
+  :func:`span_unordered_matches_batch` (match/no-match agrees with
+  Lucene's unordered matcher; the frequency definition is ours and is
+  stated exactly, oracle-replayed).
 - ``span_first``: spans whose END (start+1 for length-1) ≤ ``end``.
   Composes with span_near: the greedy earliest-next fold yields the
   MINIMAL chain end per start (each step takes the smallest feasible
@@ -40,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["span_matches_batch", "span_not_matches_batch"]
+__all__ = ["span_matches_batch", "span_not_matches_batch",
+           "span_unordered_matches_batch"]
 
 
 def span_matches_batch(
@@ -120,6 +123,68 @@ def span_matches_batch(
     return (
         agg.select("query_id", "doc_id",
                    F.size(kept).cast("long").alias("span_tf"), "dl")
+        .filter(F.col("span_tf") > 0)
+    )
+
+
+def span_unordered_matches_batch(
+        pos: DataFrame,
+        specs: list[tuple[int, list[list[str]], int]],
+) -> DataFrame:
+    """``span_near`` with ``in_order: false`` — window-cover semantics,
+    stated exactly (Lucene's unordered matcher agrees on match/no-match;
+    its sloppy-frequency differs and is NOT reproduced): with window
+    length W = n_slots + slop, ``span_tf`` counts positions e (over the
+    union of slot positions) where EVERY slot has an occurrence inside
+    ``[e − W + 1, e]`` — i.e. the number of window ends covering all
+    clauses. A doc matches iff any such end exists.
+
+    Same physical shape as the ordered fold: one broadcast slot join,
+    one hash agg, then a pure Catalyst filter/forall/exists over the
+    per-slot sorted arrays — no Python, cost |union| · n · |slot|
+    array ops per candidate doc (query-term-bounded)."""
+    from dp_search_data_importer_spark.session import local_df
+
+    spark = pos.sparkSession
+    slot_rows = [(qid, i, t) for qid, slots, _ in specs
+                 for i, ts in enumerate(slots) for t in sorted(set(ts))]
+    len_rows = [(qid, len(slots), int(slop))
+                for qid, slots, slop in specs]
+    slots_df = local_df(spark, slot_rows,
+                        "query_id long, idx int, term string")
+    qlens = local_df(spark, len_rows,
+                     "query_id long, n_tokens int, slop int")
+
+    j = pos.join(F.broadcast(slots_df), "term")
+    per_slot = (
+        j.groupBy("query_id", "doc_id", "idx")
+        .agg(F.first("dl").alias("dl"),
+             F.array_sort(F.array_distinct(
+                 F.flatten(F.collect_list("positions"))))
+             .alias("positions"))
+    )
+    agg = (
+        per_slot.groupBy("query_id", "doc_id")
+        .agg(F.first("dl").alias("dl"),
+             F.count(F.lit(1)).alias("n_idx"),
+             F.collect_list(F.struct("idx", "positions")).alias("arr"))
+        .join(F.broadcast(qlens), "query_id")
+        .filter(F.col("n_idx") == F.col("n_tokens"))
+    )
+    w = F.col("n_tokens") + F.col("slop")  # window length
+    union = F.array_distinct(F.flatten(
+        F.transform("arr", lambda x: x["positions"])))
+    ends = F.filter(
+        union,
+        lambda e: F.forall(
+            F.col("arr"),
+            lambda s: F.exists(
+                s["positions"],
+                lambda q: (q >= e - w + 1) & (q <= e))),
+    )
+    return (
+        agg.select("query_id", "doc_id",
+                   F.size(ends).cast("long").alias("span_tf"), "dl")
         .filter(F.col("span_tf") > 0)
     )
 

@@ -2446,7 +2446,35 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planner.search(body).hits
 
 
+def q_termvectors_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` twin: per-doc term vectors (tf + 0-based
+    positions) for five docs, with the ``term_statistics`` corpus df/ttf
+    joined from the memoized frames (one broadcast). Oracle replays the
+    positional tokenization and the stats join."""
+    return _dsl_planner(spark, sf_dir).termvectors(
+        doc_ids=[1, 2, 3, 4, 5], term_statistics=True)
+
+
+SPAN_UNORD_BODY = {"query": {"span_near": {
+    "clauses": [{"span_term": {"text": "hash"}},
+                {"span_term": {"text": "join"}}],
+    "slop": 2, "in_order": False}}, "size": 10}
+
+
+def q_span_unordered_search(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """ES ``span_near`` with ``in_order: false`` — window-cover
+    semantics (stated exactly in operators/spans): both terms inside a
+    length n+slop=4 window in either order; tf = covering window ends.
+    One slot join + one agg + a Catalyst filter/forall/exists — no
+    Python. Oracle replays the window test per candidate end."""
+    return _dsl_planner(spark, sf_dir).search(SPAN_UNORD_BODY).hits \
+        .select("doc_id", "score")
+
+
 EXT_QUERIES = {
+    "span_unordered_search": q_span_unordered_search,
+    "termvectors_export": q_termvectors_export,
     "knn_search": q_knn_search,
     "nested_terms_agg": q_nested_terms_agg,
     "percolate_matches": q_percolate_matches,
@@ -2685,6 +2713,38 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "span_unordered_search": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        m AS (
+          SELECT t0.doc_id, count(DISTINCT t0.p)::BIGINT AS tf
+          FROM tok2 t0
+          WHERE t0.term IN ('hash', 'join')
+            AND EXISTS (SELECT 1 FROM tok2 a
+                        WHERE a.doc_id = t0.doc_id AND a.term = 'hash'
+                          AND a.p BETWEEN t0.p - 3 AND t0.p)
+            AND EXISTS (SELECT 1 FROM tok2 b
+                        WHERE b.doc_id = t0.doc_id AND b.term = 'join'
+                          AND b.p BETWEEN t0.p - 3 AND t0.p)
+          GROUP BY t0.doc_id
+        ),
+        {_SPAN_SCORE_SQL}
+    """,
+    "termvectors_export": f"""
+        WITH {_SPAN_CORPUS_SQL},
+        tv AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf,
+                 list((p - 1)::INT ORDER BY p) AS positions
+          FROM tok2 WHERE doc_id IN (1, 2, 3, 4, 5)
+          GROUP BY doc_id, term
+        ),
+        tfall AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                  FROM tok2 GROUP BY doc_id, term),
+        st AS (SELECT term, count(*)::BIGINT AS df,
+                      sum(tf)::BIGINT AS ttf
+               FROM tfall GROUP BY term)
+        SELECT tv.doc_id, tv.term, tv.tf, tv.positions, st.df, st.ttf
+        FROM tv JOIN st USING (term)
+    """,
     "knn_search": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                    WHERE vec_id = 0),

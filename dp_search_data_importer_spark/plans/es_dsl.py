@@ -384,8 +384,8 @@ class EsSearchPlanner:
         if kind == "span_near":
             if not bool(spec.get("in_order", True)):
                 raise EsDslError(
-                    "span_near supports in_order: true (ordered chains); "
-                    "unordered minimal-window matching is not implemented")
+                    "unordered span_near routes through "
+                    "_score_span_near, not the ordered tree")
             fields, slots = set(), []
             for c in _as_list(spec["clauses"]):
                 f_, ts = self._span_slot(c)
@@ -433,6 +433,27 @@ class EsSearchPlanner:
         return self._score_span("span_or", spec)
 
     def _score_span_near(self, spec: dict) -> DataFrame:
+        if not bool(spec.get("in_order", True)):
+            # unordered: window-cover semantics (all clauses inside a
+            # length n+slop window; tf = covering window ends — stated
+            # exactly in operators/spans, oracle-replayed)
+            from dp_search_data_importer_spark.operators.spans import (
+                span_unordered_matches_batch,
+            )
+
+            fields, slots = set(), []
+            for c in _as_list(spec["clauses"]):
+                f_, ts = self._span_slot(c)
+                fields.add(f_)
+                slots.append(ts)
+            if len(fields) != 1:
+                raise EsDslError("span_near clauses must share one field")
+            field = fields.pop()
+            m = span_unordered_matches_batch(
+                self.pos(field),
+                [(self._next_qid(), slots, int(spec.get("slop", 0)))])
+            return self._span_score(m, field,
+                                    float(spec.get("boost", 1.0)))
         return self._score_span("span_near", spec)
 
     def _score_span_first(self, spec: dict) -> DataFrame:
@@ -2129,6 +2150,32 @@ class EsSearchPlanner:
             F.round(tf_norm, 4).alias("tf_norm"),
             F.round(idf * tf_norm, 4).alias("contribution"))
 
+    def termvectors(self, doc_ids: list[int] | None = None,
+                    field: str = "text",
+                    term_statistics: bool = False) -> DataFrame:
+        """ES ``_termvectors`` endpoint twin: per-doc term vectors —
+        (doc_id, term, tf, positions array) from the SAME positional
+        frame the phrase/span operators use (analyzer symmetry), plus
+        df/ttf corpus statistics when ``term_statistics`` is requested
+        (the ES flag — joined from the memoized dfs/tf frames, one
+        broadcast). ``doc_ids`` None = every doc (the batch export
+        shape; the endpoint's single-doc form is doc_ids=[id])."""
+        pos = self.pos(field)
+        if doc_ids is not None:
+            pos = pos.filter(
+                F.col("doc_id").isin([int(d) for d in doc_ids]))
+        out = pos.select(
+            "doc_id", "term",
+            F.size("positions").cast("long").alias("tf"),
+            "positions")
+        if term_statistics:
+            tf = self.tf(field)
+            stats = (tf.groupBy("term")
+                     .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                          F.sum("tf").cast("long").alias("ttf")))
+            out = out.join(F.broadcast(stats), "term")
+        return out
+
     def analyze(self, text: str, field: str | None = None) -> DataFrame:
         """ES ``_analyze`` endpoint twin: the analyzer's token stream for
         ONE input string as a lazy (token, position) frame — the same
@@ -2497,7 +2544,18 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
         )
 
         shim = EsSearchPlanner.__new__(EsSearchPlanner)
-        if kind == "span_not":
+        if kind == "span_near" and not bool(spec.get("in_order", True)):
+            from dp_search_data_importer_spark.operators.spans import (
+                span_unordered_matches_batch,
+            )
+
+            slots = [shim._span_slot(c)[1]
+                     for c in _as_list(spec["clauses"])]
+            terms = sorted({t for s_ in slots for t in s_})
+            pos = load_positions(spark, out_dir, terms=terms)
+            m = span_unordered_matches_batch(
+                pos, [(0, slots, int(spec.get("slop", 0)))])
+        elif kind == "span_not":
             _, inc = shim._span_slot(spec["include"])
             _, exc = shim._span_slot(spec["exclude"])
             pre = int(spec.get("pre", spec.get("dist", 0)))

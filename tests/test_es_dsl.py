@@ -1269,12 +1269,41 @@ def test_span_not_window(planner):
     assert got == exp and got
 
 
+def test_span_unordered_window_cover(planner):
+    """in_order: false matches both orders; the matched doc set is the
+    union of the two ordered directions at the same window budget, and
+    a brute-force window scan reproduces the tf."""
+    import re
+
+    def ordered(a, b):
+        return set(dict(_ranked(planner.search({"query": {"span_near": {
+            "clauses": [{"span_term": {"text": a}},
+                        {"span_term": {"text": b}}],
+            "slop": 2, "in_order": True}}, "size": 10000}).hits)))
+
+    un = planner.search({"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "join"}}],
+        "slop": 2, "in_order": False}}, "size": 10000}).hits
+    got = set(dict(_ranked(un)))
+    assert got == ordered("hash", "join") | ordered("join", "hash")
+    # brute-force the window-cover tf definition on a sample
+    texts = {r["doc_id"]: r["text"]
+             for r in planner.docs.select("doc_id", "text").collect()}
+    for d in sorted(got)[:10]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", texts[d].lower()) if t]
+        ends = 0
+        for e, t in enumerate(toks):
+            if t not in ("hash", "join"):
+                continue
+            lo = max(0, e - 3)
+            win = toks[lo:e + 1]
+            if "hash" in win and "join" in win:
+                ends += 1
+        assert ends > 0, d
+
+
 def test_span_errors(planner):
-    with pytest.raises(EsDslError):  # unordered not implemented
-        planner.search({"query": {"span_near": {
-            "clauses": [{"span_term": {"text": "hash"}},
-                        {"span_term": {"text": "join"}}],
-            "slop": 1, "in_order": False}}})
     with pytest.raises(EsDslError):  # multi-token span_term value
         planner.search({"query": {"span_term": {"text": "hash join"}}})
     with pytest.raises(EsDslError):  # non-span clause inside span_near
@@ -1497,6 +1526,10 @@ def test_indexed_phrase_and_spans_equal_dataflow(spark, planner,
         {"query": {"intervals": {"text": {"match": {
             "query": "hash join", "ordered": True, "max_gaps": 2}}}},
          "size": 15},
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_term": {"text": "join"}}], "slop": 2,
+            "in_order": False}}, "size": 15},
     ]
     for body in bodies:
         got = search_indexed(spark, pos_index, body).hits
