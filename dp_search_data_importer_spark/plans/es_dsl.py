@@ -471,10 +471,6 @@ class EsSearchPlanner:
             toks = self._tokens(str(spec["query"]))
             if not toks:
                 raise EsDslError("empty intervals match")
-            if len(toks) > 1 and not bool(spec.get("ordered", False)):
-                raise EsDslError(
-                    "intervals match with multiple tokens requires "
-                    "ordered: true (unordered is not implemented)")
             return [[t] for t in toks], int(spec.get("max_gaps", -1))
         if kind == "any_of":
             terms = []
@@ -486,9 +482,6 @@ class EsSearchPlanner:
                 terms += slots[0]
             return [sorted(set(terms))], -1
         if kind == "all_of":
-            if not bool(spec.get("ordered", False)):
-                raise EsDslError(
-                    "intervals all_of requires ordered: true")
             slots = []
             for child in _as_list(spec["intervals"]):
                 cs, cg = self._intervals_slots(child)
@@ -502,20 +495,36 @@ class EsSearchPlanner:
 
     def _score_intervals(self, spec: dict) -> DataFrame:
         """ES ``intervals`` query (the modern span surface) routed onto
-        the same batch span machinery: one broadcast slot join + the
-        greedy (start, cur) chain fold; tf = minimal-interval starts,
-        BM25 over interval frequencies."""
+        the same batch span machinery: ordered rules (``ordered: true``,
+        the ES ``match`` default is UNordered) use the greedy (start,
+        cur) chain fold (tf = minimal-interval starts); unordered
+        multi-token rules use the window-cover matcher
+        (``span_unordered_matches_batch`` — match/no-match agrees with
+        Lucene, frequency definition stated there). One broadcast slot
+        join + one agg either way; BM25 over interval frequencies."""
         from dp_search_data_importer_spark.operators.spans import (
             span_matches_batch,
+            span_unordered_matches_batch,
         )
 
         (field, rule), = [(k, v) for k, v in spec.items() if k != "boost"]
         slots, gaps = self._intervals_slots(rule)
+        (rkind, rspec), = rule.items()
+        ordered = bool(rspec.get("ordered", False)) \
+            if rkind in ("match", "all_of") else True
         slop = (1 << 30) if gaps < 0 else int(gaps)
         if len(slots) == 1:
-            slop = 0
-        m = span_matches_batch(self.pos(field),
-                               [(self._next_qid(), slots, slop, None)])
+            m = span_matches_batch(self.pos(field),
+                                   [(self._next_qid(), slots, 0, None)])
+        elif ordered:
+            m = span_matches_batch(
+                self.pos(field),
+                [(self._next_qid(), slots, slop, None)])
+        else:
+            m = span_unordered_matches_batch(
+                self.pos(field),
+                [(self._next_qid(), slots,
+                  min(slop, (1 << 30) - len(slots)))])
         return self._span_score(m, field, float(spec.get("boost", 1.0)))
 
     def _score_span_not(self, spec: dict) -> DataFrame:

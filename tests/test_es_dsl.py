@@ -1472,9 +1472,16 @@ def test_intervals_equals_span_near(planner):
         "match": {"query": "hash join", "ordered": True}}}},
         "size": 10000}).hits
     assert loose.count() >= iv.count()
-    with pytest.raises(EsDslError):  # unordered multi-token
-        planner.search({"query": {"intervals": {"text": {
-            "match": {"query": "hash join"}}}}})
+    # unordered match (the ES default) == span_near in_order: false at
+    # the same window budget
+    iu = planner.search({"query": {"intervals": {"text": {
+        "match": {"query": "hash join", "max_gaps": 2}}}},
+        "size": 10000}).hits
+    su = planner.search({"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "join"}}],
+        "slop": 2, "in_order": False}}, "size": 10000}).hits
+    assert _ranked(iu) == _ranked(su) and iu.count() > 0
     with pytest.raises(EsDslError):  # any_of over multi-position child
         planner.search({"query": {"intervals": {"text": {
             "any_of": {"intervals": [{"match": {
