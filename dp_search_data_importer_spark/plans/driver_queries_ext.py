@@ -2472,7 +2472,75 @@ def q_span_unordered_search(spark: SparkSession,
         .select("doc_id", "score")
 
 
+BSCRIPT_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+                "aggs": {"per_month": {
+                    "date_histogram": {"field": "release_date",
+                                       "calendar_interval": "month"},
+                    "aggs": {
+                        "total": {"sum": {"field": "n_chars"}},
+                        "per_doc": {"bucket_script": {
+                            "buckets_path": {"t": "total",
+                                             "n": "_count"},
+                            "script": "params.t / params.n"}},
+                        "share": {"normalize": {
+                            "buckets_path": "_count",
+                            "method": "percent_of_sum"}},
+                    }}}}
+
+
+def q_facet_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``normalize`` pipeline aggs: a derived
+    per-bucket ratio (Painless subset over params bound to bucket
+    columns — the dashboard per-doc-average column) and the
+    percent-of-total share of each month's doc count. Both run over the
+    BUCKET frame (bucket-scale windows). Oracle replays the arithmetic
+    and the window share."""
+    res = _dated_planner(spark, sf_dir).search(BSCRIPT_BODY)
+    return res.aggregations["per_month"]
+
+
+RARE_BODY = {"query": {"match": {"text": "dup"}}, "size": 0,
+             "aggs": {"rare": {"rare_terms": {
+                 "field": "source", "max_doc_count": 2}}}}
+
+
+def q_facet_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms``: the long-tail buckets (doc_count ≤ 2) of the
+    hit set's sources, count asc — exact here (ES approximates with a
+    CuckooFilter at scale; same hash-agg shape as terms)."""
+    res = _dated_planner(spark, sf_dir).search(RARE_BODY)
+    return res.aggregations["rare"]
+
+
+BOX_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"box": {"boxplot": {"field": "n_chars"}}}}
+
+
+def q_facet_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` over the hit set: min/q1/q2/q3/max in ONE
+    single-row agg — exact linear-interpolated percentiles (ES uses
+    TDigest; the oracle's quantile_cont interpolates identically)."""
+    res = _dated_planner(spark, sf_dir).search(BOX_BODY)
+    return res.aggregations["box"]
+
+
+SSTATS_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+               "aggs": {"s": {"string_stats": {"field": "text"}}}}
+
+
+def q_facet_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` over the hit set's text: count + min/max/avg
+    character length (show_distribution entropy not reproduced —
+    documented)."""
+    res = _dated_planner(spark, sf_dir).search(SSTATS_BODY)
+    return res.aggregations["s"]
+
+
 EXT_QUERIES = {
+    "facet_bucket_script": q_facet_bucket_script,
+    "facet_rare_terms": q_facet_rare_terms,
+    "facet_boxplot": q_facet_boxplot,
+    "facet_string_stats": q_facet_string_stats,
     "span_unordered_search": q_span_unordered_search,
     "termvectors_export": q_termvectors_export,
     "knn_search": q_knn_search,
@@ -2713,6 +2781,69 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "facet_bucket_script": f"""
+        WITH {_HITS_HASH_SQL},
+        dated AS (
+          SELECT h.doc_id,
+                 (DATE '2024-01-01'
+                  + CAST(d.doc_id % 365 AS INT)) AS release_date,
+                 d.n_chars
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT date_trunc('month', release_date)::TIMESTAMP AS key,
+                 count(*)::BIGINT AS doc_count,
+                 sum(n_chars)::DOUBLE AS total
+          FROM dated GROUP BY 1
+        ),
+        bounds AS (SELECT min(key) AS lo, max(key) AS hi FROM b),
+        keys AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+            AS key FROM bounds
+        ),
+        filled AS (
+          SELECT k.key, coalesce(b.doc_count, 0)::BIGINT AS doc_count,
+                 coalesce(b.total, 0)::DOUBLE AS total
+          FROM keys k LEFT JOIN b USING (key)
+        )
+        SELECT key, doc_count, total,
+               (total / doc_count)::DOUBLE AS per_doc,
+               (doc_count::DOUBLE
+                / sum(doc_count::DOUBLE) OVER ())::DOUBLE AS share
+        FROM filled
+    """,
+    "facet_rare_terms": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+        SELECT d.source AS key, count(*)::BIGINT AS doc_count
+        FROM hits h JOIN documents d USING (doc_id)
+        WHERE d.source IS NOT NULL
+        GROUP BY d.source HAVING count(*) <= 2
+        ORDER BY doc_count ASC, key ASC
+    """,
+    "facet_boxplot": f"""
+        WITH {_HITS_HASH_SQL}
+        SELECT min(d.n_chars)::DOUBLE AS min,
+               quantile_cont(d.n_chars, 0.25)::DOUBLE AS q1,
+               quantile_cont(d.n_chars, 0.5)::DOUBLE AS q2,
+               quantile_cont(d.n_chars, 0.75)::DOUBLE AS q3,
+               max(d.n_chars)::DOUBLE AS max
+        FROM hits h JOIN documents d USING (doc_id)
+    """,
+    "facet_string_stats": f"""
+        WITH {_HITS_HASH_SQL}
+        SELECT count(*)::BIGINT AS count,
+               min(length(d.text))::BIGINT AS min_length,
+               max(length(d.text))::BIGINT AS max_length,
+               (sum(length(d.text))::DOUBLE / count(*)::DOUBLE)
+                 AS avg_length
+        FROM hits h JOIN documents d USING (doc_id)
+        WHERE d.text IS NOT NULL
+    """,
     "span_unordered_search": f"""
         WITH {_SPAN_CORPUS_SQL},
         m AS (

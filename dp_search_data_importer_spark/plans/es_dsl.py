@@ -1259,6 +1259,50 @@ class EsSearchPlanner:
                             .alias("doc_count")))
             return self._order_buckets(buckets, sbody,
                                        int(sbody.get("size", 10)))
+        if kind == "rare_terms":
+            # ES rare_terms: the long tail — buckets with doc_count ≤
+            # max_doc_count, count asc (ES uses a CuckooFilter
+            # approximation at scale; exact here, the oracle-friendly
+            # form — the hash agg is the same shape as terms)
+            fld = body["field"]
+            mdc = int(body.get("max_doc_count", 1))
+            j = qhits.join(meta, "doc_id")
+            return (j.filter(F.col(fld).isNotNull())
+                    .groupBy(F.col(fld).cast("string").alias("key"))
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("doc_count"))
+                    .filter(F.col("doc_count") <= mdc)
+                    .orderBy(F.col("doc_count").asc(),
+                             F.col("key").asc()))
+        if kind == "boxplot":
+            # ES boxplot (TDigest-approximate there; exact linear-
+            # interpolated percentiles here): min/q1/q2/q3/max in ONE
+            # single-row agg
+            v = F.col(body["field"]).cast("double")
+            j = qhits.join(meta, "doc_id")
+            q = F.expr(f"percentile({body['field']}, "
+                       f"array(0.25D, 0.5D, 0.75D))")
+            return j.agg(
+                F.min(v).alias("min"),
+                F.element_at(q, 1).cast("double").alias("q1"),
+                F.element_at(q, 2).cast("double").alias("q2"),
+                F.element_at(q, 3).cast("double").alias("q3"),
+                F.max(v).alias("max"))
+        if kind == "string_stats":
+            # ES string_stats over a string field: count + length
+            # stats (the x-pack agg; show_distribution's character
+            # entropy is not reproduced — documented)
+            fld = body["field"]
+            j = qhits.join(
+                self.docs.select(F.col(self.id_col).alias("doc_id"),
+                                 fld), "doc_id")
+            ln = F.length(F.col(fld))
+            return j.filter(F.col(fld).isNotNull()).agg(
+                F.count(F.lit(1)).cast("long").alias("count"),
+                F.min(ln).cast("long").alias("min_length"),
+                F.max(ln).cast("long").alias("max_length"),
+                (F.sum(ln).cast("double")
+                 / F.count(F.lit(1)).cast("double")).alias("avg_length"))
         if kind == "weighted_avg":
             vf = body["value"]["field"]
             wf = body["weight"]["field"]
@@ -1416,7 +1460,8 @@ class EsSearchPlanner:
                      "cardinality")
     # parent pipeline aggs: run over a multi-bucket agg's OWN buckets
     _PIPELINE_KINDS = ("derivative", "cumulative_sum", "serial_diff",
-                       "moving_fn", "bucket_sort", "bucket_selector")
+                       "moving_fn", "bucket_sort", "bucket_selector",
+                       "bucket_script", "normalize")
     # sibling pipeline aggs: reduce a NAMED sibling agg's bucket frame
     _SIBLING_PIPELINES = ("avg_bucket", "sum_bucket", "min_bucket",
                           "max_bucket", "stats_bucket")
@@ -1489,7 +1534,7 @@ class EsSearchPlanner:
                 if "size" in body:
                     buckets = buckets.limit(int(body["size"]))
                 continue
-            if kind == "bucket_selector":
+            if kind in ("bucket_selector", "bucket_script"):
                 from dp_search_data_importer_spark.plans.painless import (
                     compile_script,
                 )
@@ -1504,11 +1549,42 @@ class EsSearchPlanner:
 
                 def _no_doc(fname: str):
                     raise EsDslError(
-                        "bucket_selector scripts reference params, "
+                        f"{kind} scripts reference params, "
                         f"not doc values (doc[{fname!r}])")
 
-                pred, _ = compile_script(src, params, F.lit(0.0), _no_doc)
-                buckets = buckets.filter(pred)
+                col, _ = compile_script(src, params, F.lit(0.0), _no_doc)
+                if kind == "bucket_selector":
+                    buckets = buckets.filter(col)
+                else:
+                    # bucket_script: a derived per-bucket metric (the
+                    # dashboard ratio column), usable by later pipelines
+                    buckets = buckets.withColumn(name,
+                                                 col.cast("double"))
+                continue
+            if kind == "normalize":
+                # ES normalize pipeline: rescale the metric across the
+                # bucket frame — the stats come from an unpartitioned
+                # window over BUCKETS (bucket-scale by construction)
+                p_ = _bucket_metric_col(str(body["buckets_path"]),
+                                        buckets.columns)
+                v_ = F.col(p_).cast("double")
+                wall = Window.orderBy("key").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)
+                method = str(body.get("method", "rescale_0_1"))
+                if method == "rescale_0_1":
+                    lo, hi = F.min(v_).over(wall), F.max(v_).over(wall)
+                    e2 = F.when(hi == lo, F.lit(0.0)) \
+                        .otherwise((v_ - lo) / (hi - lo))
+                elif method == "percent_of_sum":
+                    e2 = v_ / F.sum(v_).over(wall)
+                elif method == "mean":
+                    lo, hi = F.min(v_).over(wall), F.max(v_).over(wall)
+                    e2 = F.when(hi == lo, F.lit(0.0)).otherwise(
+                        (v_ - F.avg(v_).over(wall)) / (hi - lo))
+                else:
+                    raise EsDslError(
+                        f"unsupported normalize method {method!r}")
+                buckets = buckets.withColumn(name, e2.cast("double"))
                 continue
             p = _bucket_metric_col(str(body["buckets_path"]),
                                    buckets.columns)

@@ -1629,3 +1629,33 @@ def test_knn_body(spark, sf_dir):
     with pytest.raises(EsDslError):  # hybrid fusion not implemented
         p.search({"knn": {"field": "embedding", "query_vector": qv},
                   "query": {"match_all": {}}})
+
+
+def test_bucket_script_and_normalize(dated_planner):
+    rows = _weekly(dated_planner, {
+        "ratio": {"bucket_script": {
+            "buckets_path": {"t": "total", "n": "_count"},
+            "script": "params.t / params.n"}},
+        "r01": {"normalize": {"buckets_path": "total",
+                              "method": "rescale_0_1"}},
+        "share": {"normalize": {"buckets_path": "_count",
+                                "method": "percent_of_sum"}},
+    })
+    tot = [r["total"] for r in rows]
+    cnt = [r["doc_count"] for r in rows]
+    lo, hi, s = min(tot), max(tot), sum(cnt)
+    for i, r in enumerate(rows):
+        assert abs(r["ratio"] - tot[i] / cnt[i]) < 1e-9
+        assert abs(r["r01"] - (tot[i] - lo) / (hi - lo)) < 1e-9
+        assert abs(r["share"] - cnt[i] / s) < 1e-9
+    # bucket_script output feeds later pipelines (a selector over it)
+    sel = _weekly(dated_planner, {
+        "ratio": {"bucket_script": {
+            "buckets_path": {"t": "total", "n": "_count"},
+            "script": "params.t / params.n"}},
+        "keep": {"bucket_selector": {
+            "buckets_path": {"r": "ratio"},
+            "script": "params.r > 300"}},
+    })
+    assert 0 < len(sel) < len(rows)
+    assert all(r["ratio"] > 300 for r in sel)
