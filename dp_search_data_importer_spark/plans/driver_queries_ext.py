@@ -2536,7 +2536,30 @@ def q_facet_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.aggregations["s"]
 
 
+def q_composite_date_sources(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ES ``composite`` with MIXED sources — (monthly date_histogram,
+    terms lang) — page 2 of the export stream: page 1's after_key
+    becomes a pushed strict-greater tuple predicate on the COMPUTED
+    keys (truncated month, lang), so page 2 aggregates only buckets
+    past the cursor. Buckets keyed by source name (the ES contract)."""
+    p = _dated_planner(spark, sf_dir)
+    src = [{"m": {"date_histogram": {"field": "release_date",
+                                     "calendar_interval": "month"}}},
+           {"l": {"terms": {"field": "lang"}}}]
+    body1 = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"p": {"composite": {"size": 8, "sources": src}}}}
+    page1 = p.search(body1).aggregations["p"].collect()
+    last = page1[-1]
+    body2 = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"p": {"composite": {
+                 "size": 8, "sources": src,
+                 "after": {"m": last["m"], "l": last["l"]}}}}}
+    return p.search(body2).aggregations["p"]
+
+
 EXT_QUERIES = {
+    "composite_date_sources": q_composite_date_sources,
     "facet_bucket_script": q_facet_bucket_script,
     "facet_rare_terms": q_facet_rare_terms,
     "facet_boxplot": q_facet_boxplot,
@@ -2781,6 +2804,27 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "composite_date_sources": f"""
+        WITH {_HITS_HASH_SQL},
+        keyed AS (
+          SELECT date_trunc('month',
+                   (DATE '2024-01-01'
+                    + CAST(d.doc_id % 365 AS INT)))::TIMESTAMP AS m,
+                 d.lang AS l
+          FROM hits h JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+        ),
+        b AS (
+          SELECT m, l, count(*)::BIGINT AS doc_count
+          FROM keyed GROUP BY m, l
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY m ASC, l ASC) AS rn
+          FROM b
+        )
+        SELECT m, l, doc_count FROM ranked
+        WHERE rn > 8 AND rn <= 16
+    """,
     "facet_bucket_script": f"""
         WITH {_HITS_HASH_SQL},
         dated AS (

@@ -1429,30 +1429,70 @@ class EsSearchPlanner:
                    .limit(shard_size).select("doc_id"))
             return self._agg(sspec, top)
         if kind == "composite":
-            keys, names = [], []
+            # sources: terms (raw column), histogram (floored numeric),
+            # date_histogram (calendar/fixed truncation) — each source
+            # becomes a computed key expression; the after-cursor tuple
+            # predicate applies to the COMPUTED keys, pushed before the
+            # bucket agg (page n never re-materializes pages 1..n−1)
+            names, exprs = [], []
             for src in body["sources"]:
                 (sname, sdef), = src.items()
+                (skind, scfg), = sdef.items()
+                fld = scfg["field"]
+                if skind == "terms":
+                    e = F.col(fld)
+                elif skind == "histogram":
+                    iv = float(scfg["interval"])
+                    e = (F.floor(F.col(fld) / iv) * iv).cast("double")
+                elif skind == "date_histogram":
+                    ts = F.col(fld).cast("timestamp")
+                    cal = scfg.get("calendar_interval")
+                    if cal is not None:
+                        unit_ = self._CALENDAR_UNITS.get(str(cal))
+                        if unit_ is None:
+                            raise EsDslError(
+                                f"unsupported calendar_interval {cal!r}")
+                        e = F.date_trunc(unit_, ts)
+                    else:
+                        import re as _re2
+
+                        m = _re2.fullmatch(
+                            r"(\d+)(s|m|h|d)",
+                            str(scfg.get("fixed_interval")))
+                        if not m:
+                            raise EsDslError(
+                                "date_histogram source needs "
+                                "calendar_interval or fixed_interval")
+                        secs_ = int(m.group(1)) * {
+                            "s": 1, "m": 60, "h": 3600,
+                            "d": 86400}[m.group(2)]
+                        e = F.timestamp_seconds(
+                            F.floor(F.unix_timestamp(ts) / secs_)
+                            * secs_)
+                else:
+                    raise EsDslError(
+                        f"unsupported composite source {skind!r}")
                 names.append(sname)
-                keys.append(sdef["terms"]["field"])
+                exprs.append(e.alias(sname))
             after = body.get("after")
-            j = qhits.join(meta, "doc_id")
+            j = qhits.join(meta, "doc_id").select("doc_id", *exprs)
             if after:
                 # the ES after_key is keyed by SOURCE name; push the
                 # strict-greater tuple predicate BEFORE the bucket agg
                 vals = [after[n] for n in names]
                 gt = F.lit(False)
-                for i in range(len(keys) - 1, -1, -1):
+                for i in range(len(names) - 1, -1, -1):
                     head = F.lit(True)
-                    for k_, v_ in zip(keys[:i], vals[:i]):
+                    for k_, v_ in zip(names[:i], vals[:i]):
                         head = head & (F.col(k_) == F.lit(v_))
-                    gt = gt | (head & (F.col(keys[i]) > F.lit(vals[i])))
+                    gt = gt | (head & (F.col(names[i]) > F.lit(vals[i])))
                 j = j.filter(gt)
-            buckets = j.groupBy(*keys).agg(
+            buckets = j.groupBy(*names).agg(
                 F.count(F.lit(1)).cast("long").alias("doc_count"))
             # single request: TakeOrdered over buckets (batch callers
             # with real query_id columns use aggs.composite_page)
             return buckets.orderBy(
-                *[F.col(k).asc() for k in keys]).limit(
+                *[F.col(n).asc() for n in names]).limit(
                 int(body.get("size", 10)))
         raise EsDslError(f"unsupported aggregation {kind!r}")
 

@@ -233,14 +233,15 @@ def test_aggs_top_hits_and_composite(planner):
     assert per_bucket and all(v <= 2 for v in per_bucket.values())
     page1 = res.aggregations["page"].collect()
     assert len(page1) <= 3
-    # after-cursor resumes exactly past page 1
-    after = {"l": max(r["lang"] for r in page1)}
+    # after-cursor resumes exactly past page 1; buckets are keyed by
+    # SOURCE name (the ES after_key / response contract)
+    after = {"l": max(r["l"] for r in page1)}
     body2 = {"query": {"match": {"text": "hash join"}}, "size": 0,
              "aggs": {"page": {"composite": {
                  "size": 100, "after": after,
                  "sources": [{"l": {"terms": {"field": "lang"}}}]}}}}
     page2 = planner.search(body2).aggregations["page"].collect()
-    assert all(r["lang"] > after["l"] for r in page2)
+    assert all(r["l"] > after["l"] for r in page2)
 
 
 def test_expansion_families_and_phrase_prefix(planner):
