@@ -13,6 +13,17 @@ array<string>)`` with kinds
 - ``match_all``  — AND semantics: every term present
 - ``phrase``     — the terms appear consecutively, in order
 
+:func:`percolate_bool_batch` additionally evaluates stored BOOL
+queries — ``(query_id, must array, should array, must_not array,
+minimum_should_match)`` — with ES compound semantics: every must term
+present, ≥ msm distinct should terms present, no must_not term
+present. Candidates come from the same term-inverted join (a doc
+surfaces only by matching some must/should/must_not term; docs
+touching ONLY must_not terms are filtered by the must/should gates,
+and docs touching none are correctly absent — they can only fail the
+gates if n_must > 0 or msm > 0, and a bool query with neither is
+match-all, which is rejected as unpercolatable).
+
 Physical shape — the INVERTED design (queries indexed by term), the
 same discipline as the document index: stored queries explode to
 (term, query_id, idx) slot rows once, documents tokenize to (doc_id,
@@ -36,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percolate_batch"]
+__all__ = ["percolate_batch", "percolate_bool_batch"]
 
 _KINDS = ("match", "match_all", "phrase")
 
@@ -79,3 +90,62 @@ def percolate_batch(queries: DataFrame, pos: DataFrame) -> DataFrame:
               & (F.size(folded) > 0))
         .otherwise(F.lit(False)))
     return matched.select("query_id", "doc_id")
+
+
+def percolate_bool_batch(queries: DataFrame, pos: DataFrame) -> DataFrame:
+    """Stored BOOL queries against documents — (query_id, doc_id) where
+    the compound matches (see module docstring for the exact gates).
+
+    ``queries``: (query_id, must array<string>, should array<string>,
+    must_not array<string>, minimum_should_match int). Same inverted
+    physical shape as :func:`percolate_batch`: role-tagged slot rows,
+    one term-keyed join, one hash agg with three conditional
+    distinct-counts."""
+    qcounts = queries.select(
+        "query_id",
+        F.size(F.coalesce("must", F.array())).alias("n_must"),
+        F.coalesce("minimum_should_match", F.lit(0)).alias("msm"))
+    if qcounts.filter(
+            (F.col("n_must") == 0) & (F.col("msm") <= 0)).take(1):
+        raise ValueError(
+            "bool percolation requires every query to have must "
+            "terms or minimum_should_match > 0 (otherwise it is "
+            "match-all, which cannot be term-inverted)")
+    slots = queries.select(
+        "query_id",
+        F.explode(
+            F.concat(
+                F.transform(F.coalesce("must", F.array()),
+                            lambda t: F.struct(
+                                F.lit("must").alias("role"),
+                                t.alias("term"))),
+                F.transform(F.coalesce("should", F.array()),
+                            lambda t: F.struct(
+                                F.lit("should").alias("role"),
+                                t.alias("term"))),
+                F.transform(F.coalesce("must_not", F.array()),
+                            lambda t: F.struct(
+                                F.lit("not").alias("role"),
+                                t.alias("term"))),
+            )).alias("s")
+    ).select("query_id", "s.role", "s.term").distinct()
+
+    j = pos.select("doc_id", "term").join(F.broadcast(slots), "term")
+    agg = (
+        j.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct(
+                 F.when(F.col("role") == "must", F.col("term")))
+             .alias("m_hit"),
+             F.count_distinct(
+                 F.when(F.col("role") == "should", F.col("term")))
+             .alias("s_hit"),
+             F.count_distinct(
+                 F.when(F.col("role") == "not", F.col("term")))
+             .alias("n_hit"))
+        .join(F.broadcast(qcounts), "query_id")
+    )
+    return agg.filter(
+        (F.col("m_hit") == F.col("n_must"))
+        & (F.col("s_hit") >= F.col("msm"))
+        & (F.col("n_hit") == 0)
+    ).select("query_id", "doc_id")

@@ -2558,7 +2558,36 @@ def q_composite_date_sources(spark: SparkSession,
     return p.search(body2).aggregations["p"]
 
 
+PERC_BOOL = [
+    (1, ["hash"], ["join", "merge"], ["table"], 1),
+    (2, [], ["hash", "join", "merge"], [], 2),
+    (3, ["sort"], [], ["merge"], 0),
+]
+
+
+def q_percolate_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored BOOL queries percolated against every document: ES
+    compound gates (all must present, ≥ msm distinct should present, no
+    must_not present) from ONE term-inverted join + one hash agg with
+    three conditional distinct-counts. Oracle replays each gate."""
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_bool_batch,
+    )
+    from dp_search_data_importer_spark.operators.phrase import (
+        doc_positions,
+    )
+    from dp_search_data_importer_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = local_df(spark, PERC_BOOL,
+                 "query_id long, must array<string>, "
+                 "should array<string>, must_not array<string>, "
+                 "minimum_should_match int")
+    return percolate_bool_batch(q, doc_positions(docs, code_aware=False))
+
+
 EXT_QUERIES = {
+    "percolate_bool": q_percolate_bool,
     "composite_date_sources": q_composite_date_sources,
     "facet_bucket_script": q_facet_bucket_script,
     "facet_rare_terms": q_facet_rare_terms,
@@ -2804,6 +2833,31 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "percolate_bool": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        td AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+        d AS (
+          SELECT doc_id,
+                 max(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS hash,
+                 max(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS jn,
+                 max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS mrg,
+                 max(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS tbl,
+                 max(CASE WHEN term = 'sort' THEN 1 ELSE 0 END) AS srt
+          FROM td GROUP BY doc_id
+        )
+        SELECT 1::BIGINT AS query_id, doc_id FROM d
+        WHERE hash = 1 AND (jn + mrg) >= 1 AND tbl = 0
+        UNION ALL
+        SELECT 2::BIGINT, doc_id FROM d
+        WHERE (hash + jn + mrg) >= 2
+        UNION ALL
+        SELECT 3::BIGINT, doc_id FROM d
+        WHERE srt = 1 AND mrg = 0
+    """,
     "composite_date_sources": f"""
         WITH {_HITS_HASH_SQL},
         keyed AS (

@@ -64,3 +64,44 @@ def test_percolate_plan_no_cartesian(spark, sf_dir):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percolate_bool_gates(spark, sf_dir):
+    """Bool percolation: must/should(msm)/must_not gates vs a
+    brute-force token-set scan; match-all bool rejected."""
+    import re
+
+    import pytest
+
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        load_table,
+    )
+    from dp_search_data_importer_spark.operators.percolate import (
+        percolate_bool_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = doc_positions(docs, code_aware=False)
+    q = local_df(spark, [
+        (1, ["hash"], ["join", "merge"], ["table"], 1),
+        (2, [], ["hash", "join"], [], 2),
+    ], "query_id long, must array<string>, should array<string>, "
+       "must_not array<string>, minimum_should_match int")
+    got = {}
+    for qid, d in _pairs(percolate_bool_batch(q, pos)):
+        got.setdefault(qid, set()).add(d)
+    toksets = {r["doc_id"]: set(re.split(r"[^a-z0-9]+",
+                                         r["text"].lower()))
+               for r in docs.select("doc_id", "text").collect()}
+    exp1 = {d for d, t in toksets.items()
+            if "hash" in t and len({"join", "merge"} & t) >= 1
+            and "table" not in t}
+    exp2 = {d for d, t in toksets.items()
+            if len({"hash", "join"} & t) >= 2}
+    assert got.get(1, set()) == exp1 and got.get(2, set()) == exp2
+    bad = local_df(spark, [(9, [], ["x"], [], 0)],
+                   "query_id long, must array<string>, "
+                   "should array<string>, must_not array<string>, "
+                   "minimum_should_match int")
+    with pytest.raises(ValueError):
+        percolate_bool_batch(bad, pos)
