@@ -2586,7 +2586,40 @@ def q_percolate_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate_bool_batch(q, doc_positions(docs, code_aware=False))
 
 
+FAGG_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+             "aggs": {"en_only": {
+                 "filter": {"term": {"lang": "en"}},
+                 "aggs": {"srcs": {"terms": {"field": "source",
+                                             "size": 5}}}}}}
+
+
+def q_filter_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES single ``filter`` agg: the hit set narrowed by a filter-
+    context predicate (lang=en), then a terms sub-agg over the subset —
+    the facet-within-a-facet shape, one extra predicate on the same
+    join."""
+    res = _dated_planner(spark, sf_dir).search(FAGG_BODY)
+    return res.aggregations["en_only"]
+
+
+PRANK_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+              "aggs": {"pr": {"percentile_ranks": {
+                  "field": "n_chars", "values": [200, 500, 900]}}}}
+
+
+def q_facet_percentile_ranks(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` over the hit set: exact CDF (percent of
+    values ≤ v) in one conditional-sum pass (ES approximates with
+    TDigest; exact is the oracle-replayable definition, noted in
+    code)."""
+    res = _dated_planner(spark, sf_dir).search(PRANK_BODY)
+    return res.aggregations["pr"]
+
+
 EXT_QUERIES = {
+    "filter_subagg": q_filter_subagg,
+    "facet_percentile_ranks": q_facet_percentile_ranks,
     "percolate_bool": q_percolate_bool,
     "composite_date_sources": q_composite_date_sources,
     "facet_bucket_script": q_facet_bucket_script,
@@ -2833,6 +2866,33 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "filter_subagg": f"""
+        WITH {_HITS_HASH_SQL},
+        en AS (
+          SELECT h.doc_id, d.source
+          FROM hits h JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en' AND d.source IS NOT NULL
+        ),
+        b AS (SELECT source AS key, count(*)::BIGINT AS doc_count
+              FROM en GROUP BY source)
+        SELECT key, doc_count FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY doc_count DESC, key ASC) AS rn FROM b
+        ) WHERE rn <= 5
+    """,
+    "facet_percentile_ranks": f"""
+        WITH {_HITS_HASH_SQL},
+        v AS (SELECT d.n_chars::DOUBLE AS x
+              FROM hits h JOIN documents d USING (doc_id))
+        SELECT
+          (sum(CASE WHEN x <= 200 THEN 1 ELSE 0 END)::DOUBLE * 100.0
+           / count(x)::DOUBLE) AS p200_0,
+          (sum(CASE WHEN x <= 500 THEN 1 ELSE 0 END)::DOUBLE * 100.0
+           / count(x)::DOUBLE) AS p500_0,
+          (sum(CASE WHEN x <= 900 THEN 1 ELSE 0 END)::DOUBLE * 100.0
+           / count(x)::DOUBLE) AS p900_0
+        FROM v
+    """,
     "percolate_bool": """
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(lower(text),

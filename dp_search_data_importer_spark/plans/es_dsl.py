@@ -1112,6 +1112,34 @@ class EsSearchPlanner:
             return j.agg(
                 F.sum(F.when(F.col(fld).isNull(), 1).otherwise(0))
                 .cast("long").alias("doc_count"))
+        if kind == "filter":
+            # ES single-filter agg: narrow the hit set by a filter-
+            # context predicate, then run ONE sub-agg over the subset
+            # (or just count it) — the "facet within a facet" shape
+            sub_hits = (qhits.join(meta, "doc_id")
+                        .filter(_meta_predicate(body))
+                        .select("doc_id"))
+            if not sub:
+                return sub_hits.agg(
+                    F.count(F.lit(1)).cast("long").alias("doc_count"))
+            if len(sub) != 1:
+                raise EsDslError(
+                    "filter agg supports one sub-aggregation")
+            (sname, sspec), = sub.items()
+            return self._agg(sspec, sub_hits)
+        if kind == "percentile_ranks":
+            # ES percentile_ranks (TDigest there): exact CDF here —
+            # percent of hit values ≤ v, one conditional-sum pass
+            fld = body["field"]
+            vals = [float(v) for v in body["values"]]
+            j = qhits.join(meta, "doc_id")
+            c = F.col(fld).cast("double")
+            n = F.count(c)
+            return j.agg(*[
+                (F.sum(F.when(c <= F.lit(v), 1).otherwise(0))
+                 .cast("double") * 100.0 / n.cast("double"))
+                .alias(f"p{str(v).replace('.', '_')}")
+                for v in vals])
         if kind == "terms":
             fld, size = body["field"], int(body.get("size", 10))
             if "missing" in body:
@@ -1170,11 +1198,14 @@ class EsSearchPlanner:
             return buckets
         if kind == "date_histogram":
             return self._date_histogram(body, sub, qhits, meta)
-        if kind == "significant_terms":
+        if kind in ("significant_terms", "significant_text"):
             # the hit set IS the foreground; the planner's memoized
             # per-field tf/dfs/stats are the background — one fg-sized
             # hash agg + a broadcast join on the surviving term set
-            # (size-gated inside the operator)
+            # (size-gated inside the operator). significant_text is the
+            # same computation here: our tf frames ARE the re-analyzed
+            # source text (filter_duplicate_text not reproduced — the
+            # dedup suite is the engine-level answer)
             from dp_search_data_importer_spark.operators.bm25 import (
                 significant_terms,
             )

@@ -1660,3 +1660,24 @@ def test_bucket_script_and_normalize(dated_planner):
     })
     assert 0 < len(sel) < len(rows)
     assert all(r["ratio"] > 300 for r in sel)
+
+
+def test_significant_text_alias_and_filter_agg(planner):
+    a = planner.search({"query": {"match": {"text": "hash"}}, "size": 0,
+        "aggs": {"s": {"significant_terms": {
+            "field": "text", "size": 10, "min_doc_count": 3}}}}
+    ).aggregations["s"].collect()
+    b = planner.search({"query": {"match": {"text": "hash"}}, "size": 0,
+        "aggs": {"s": {"significant_text": {
+            "field": "text", "size": 10, "min_doc_count": 3}}}}
+    ).aggregations["s"].collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+    # filter agg without sub-agg = plain narrowed count
+    c = planner.search({"query": {"match": {"text": "hash"}}, "size": 0,
+        "aggs": {"en": {"filter": {"term": {"lang": "en"}}}}}
+    ).aggregations["en"].collect()[0]["doc_count"]
+    d = planner.search({"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"term": {"lang": "en"}}]}},
+        "size": 100000}).hits.count()
+    assert c == d > 0
