@@ -2617,7 +2617,31 @@ def q_facet_percentile_ranks(spark: SparkSession,
     return res.aggregations["pr"]
 
 
+RT_BODY = {"runtime_mappings": {"kchars": {
+               "type": "double",
+               "script": {"source": "doc['n_chars'].value / params.k",
+                          "params": {"k": 100}}}},
+           "query": {"bool": {
+               "must": [{"match": {"text": "hash"}}],
+               "filter": [{"range": {"kchars": {"gte": 2.0}}}]}},
+           "size": 0,
+           "aggs": {"h": {"histogram": {"field": "kchars",
+                                        "interval": 1}}}}
+
+
+def q_runtime_field_search(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """ES ``runtime_mappings``: a query-time computed field (Painless
+    subset → one Catalyst expression on the docs frame) used in BOTH a
+    filter-context range AND a histogram agg — the runtime field folds
+    into the same scan, no materialization. Oracle replays the
+    arithmetic inline."""
+    res = _dated_planner(spark, sf_dir).search(RT_BODY)
+    return res.aggregations["h"]
+
+
 EXT_QUERIES = {
+    "runtime_field_search": q_runtime_field_search,
     "filter_subagg": q_filter_subagg,
     "facet_percentile_ranks": q_facet_percentile_ranks,
     "percolate_bool": q_percolate_bool,
@@ -2866,6 +2890,18 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "runtime_field_search": f"""
+        WITH {_HITS_HASH_SQL},
+        rt AS (
+          SELECT h.doc_id,
+                 (d.n_chars::DOUBLE / 100.0) AS kchars
+          FROM hits h JOIN documents d USING (doc_id)
+          WHERE (d.n_chars::DOUBLE / 100.0) >= 2.0
+        )
+        SELECT (floor(kchars / 1.0) * 1.0)::DOUBLE AS key,
+               count(*)::BIGINT AS doc_count
+        FROM rt GROUP BY 1
+    """,
     "filter_subagg": f"""
         WITH {_HITS_HASH_SQL},
         en AS (

@@ -1525,6 +1525,10 @@ class EsSearchPlanner:
             return buckets.orderBy(
                 *[F.col(n).asc() for n in names]).limit(
                 int(body.get("size", 10)))
+        if kind in self._METRIC_KINDS:
+            # bare metric agg at the top level — one-row ES shape
+            j = qhits.join(meta, "doc_id")
+            return j.agg(*self._metric_exprs({"value": {kind: body}}))
         raise EsDslError(f"unsupported aggregation {kind!r}")
 
     _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
@@ -2127,6 +2131,17 @@ class EsSearchPlanner:
         ``hits`` as (doc_id, score) in rank order semantics (apply
         ``.orderBy`` on collect for display), plus one DataFrame per
         named aggregation."""
+        if "runtime_mappings" in body:
+            # ES runtime fields: query-time computed columns from the
+            # Painless subset (doc values + params, no _score) — the
+            # planner reruns with docs.withColumn(...), so the runtime
+            # field works EVERYWHERE a mapped field does (filters,
+            # aggs, sort, distance_feature, …) and Catalyst folds the
+            # expression into the same scan (no materialization)
+            sub = dict(body)
+            rms = sub.pop("runtime_mappings")
+            planner = self.with_runtime_fields(rms)
+            return planner.search(sub)
         if "knn" in body:
             return self._knn_search(body)
         unknown = set(body) - {"query", "size", "sort", "search_after",
@@ -2220,6 +2235,52 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+    def with_runtime_fields(self, mappings: dict) -> "EsSearchPlanner":
+        """A new planner whose docs frame carries the ES
+        ``runtime_mappings`` as computed columns: each mapping's script
+        (Painless subset — doc values, params, arithmetic; ``_score``
+        does not exist at mapping time) compiles to one Catalyst
+        expression, so the runtime field costs nothing until something
+        references it and then folds into the same scan."""
+        from dp_search_data_importer_spark.plans.painless import (
+            compile_script,
+        )
+
+        docs = self.docs
+        for name, spec in mappings.items():
+            if not isinstance(spec, dict) or "script" not in spec:
+                raise EsDslError(
+                    f"runtime mapping {name!r} needs a script")
+            script = spec["script"]
+            src = (script["source"] if isinstance(script, dict)
+                   else str(script))
+            params = (script.get("params") or {}) \
+                if isinstance(script, dict) else {}
+
+            import re as _re
+
+            if _re.search(r"\b_score\b", src):
+                raise EsDslError(
+                    "_score does not exist in runtime mappings")
+            col, used = compile_script(src, params, F.lit(0.0),
+                                       lambda f: F.col(f))
+            bad = [f for f in used
+                   if f not in docs.columns or f in self.text_fields]
+            if bad:
+                raise EsDslError(
+                    f"runtime mapping {name!r} references non-doc-value "
+                    f"fields {sorted(bad)}")
+            typ = str(spec.get("type", "double"))
+            if typ not in ("double", "long"):
+                raise EsDslError(
+                    f"runtime mapping type {typ!r} unsupported "
+                    f"(double/long)")
+            docs = docs.withColumn(name, col.cast(typ))
+        return EsSearchPlanner(self.spark, docs, self.cfg,
+                               text_fields=self.text_fields,
+                               id_col=self.id_col,
+                               max_expansions=self.max_expansions)
 
     def _knn_search(self, body: dict) -> "SearchResult":
         """ES 8-style top-level ``knn`` section routed onto the

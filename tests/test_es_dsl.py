@@ -1681,3 +1681,26 @@ def test_significant_text_alias_and_filter_agg(planner):
         "filter": [{"term": {"lang": "en"}}]}},
         "size": 100000}).hits.count()
     assert c == d > 0
+
+
+def test_runtime_mappings(planner):
+    """Runtime fields compute at query time and behave like mapped
+    fields in filters, sort, and aggs; error paths reject _score and
+    text-field references."""
+    body = {"runtime_mappings": {"neg": {
+                "script": "0 - doc['n_chars'].value"}},
+            "query": {"match": {"text": "hash"}},
+            "sort": [{"neg": {"order": "asc"}}], "size": 5}
+    rows = planner.search(body).hits.collect()
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in planner.docs.select("doc_id", "n_chars").collect()}
+    # asc on the negation == n_chars desc
+    vals = [nchars[r["doc_id"]] for r in rows]
+    assert vals == sorted(vals, reverse=True) and len(rows) == 5
+    with pytest.raises(EsDslError):
+        planner.search({"runtime_mappings": {"x": {
+            "script": "_score * 2"}}, "query": {"match_all": {}}})
+    with pytest.raises(EsDslError):
+        planner.search({"runtime_mappings": {"x": {
+            "script": "doc['text'].value"}},
+            "query": {"match_all": {}}})
