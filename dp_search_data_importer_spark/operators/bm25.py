@@ -66,11 +66,20 @@ def bm25_scores(
     dfs: DataFrame,
     stats: DataFrame,
     cfg: EngineConfig | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every candidate doc.
 
     ``tf``: (doc_id, term, tf, dl); ``qterms``: (query_id, term);
     ``dfs``: (term, df); ``stats``: 1-row (n_docs, avgdl).
+
+    ``min_match`` (ES ``match`` operator=and / minimum_should_match):
+    keep only docs matching ≥ that many DISTINCT query terms — the
+    matched-term count rides the SAME single hash aggregation as the
+    score (one extra count column, no second join/shuffle). Terms absent
+    from the corpus drop at the dfs join, so an unseen term under
+    operator=and (min_match = n_terms) yields no hits, as in ES.
+    ``None``/≤1 keeps the plan byte-identical to the OR form.
     """
     cfg = cfg or EngineConfig()
     qdf = qterms.join(dfs, "term", "inner")  # unseen query terms drop out here
@@ -81,9 +90,14 @@ def bm25_scores(
         bm25_term_score(F.col("tf"), F.col("dl"), F.col("df"),
                         F.col("n_docs"), F.col("avgdl"), cfg),
     )
-    return scored.groupBy("query_id", "doc_id").agg(
-        F.sum("term_score").alias("score")
-    )
+    if min_match is None or min_match <= 1:
+        return scored.groupBy("query_id", "doc_id").agg(
+            F.sum("term_score").alias("score")
+        )
+    return (scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("term_score").alias("score"),
+                 F.count(F.lit(1)).alias("_nm"))
+            .filter(F.col("_nm") >= int(min_match)).drop("_nm"))
 
 
 def topk(scores: DataFrame, k: int, round_digits: int = 4,

@@ -2629,6 +2629,44 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+MATCH_MSM_BODY = {"query": {"match": {"text": {
+    "query": "hash join merge", "minimum_should_match": 2}}},
+    "size": 10}
+
+
+def q_match_msm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match`` with ``minimum_should_match``: docs matching ≥2 of
+    the 3 query terms, OR-sum scored. The distinct-matched-term gate is
+    one count column on the SAME hash aggregation that sums the score —
+    no second join (``bm25_scores(min_match=...)``). Oracle counts
+    matched terms in the same grouped pass."""
+    res = _dsl_planner(spark, sf_dir).search(MATCH_MSM_BODY)
+    return res.hits.select("doc_id", "score")
+
+
+SCRIPT_FILTER_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"script": {"script": {
+            "source": "doc['n_chars'].value % params.m == 0 "
+                      "&& doc['n_chars'].value > params.lo",
+            "params": {"m": 3, "lo": 200}}}}]}},
+    "size": 10,
+}
+
+
+def q_script_filter_search(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """ES ``script`` query in filter context (the Kibana
+    filter-by-script shape): a boolean Painless predicate over doc
+    values gates the scored hit set without touching the score. The
+    predicate compiles to ONE Catalyst expression on the docs scan —
+    no Python, no extra join beyond the filter-context gate the bool
+    query already carries. Oracle replays the arithmetic inline."""
+    res = _dsl_planner(spark, sf_dir).search(SCRIPT_FILTER_BODY)
+    return res.hits.select("doc_id", "score")
+
+
 def q_runtime_field_search(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """ES ``runtime_mappings``: a query-time computed field (Painless
@@ -2641,6 +2679,8 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "match_msm_search": q_match_msm_search,
+    "script_filter_search": q_script_filter_search,
     "runtime_field_search": q_runtime_field_search,
     "filter_subagg": q_filter_subagg,
     "facet_percentile_ranks": q_facet_percentile_ranks,
@@ -2890,6 +2930,47 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "match_msm_search": f"""
+        WITH qt(term) AS (VALUES ('hash'), ('join'), ('merge')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score,
+                 count(*)::BIGINT AS nm
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM scored
+        WHERE nm >= 2
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    "script_filter_search": f"""
+        WITH qt(term) AS (VALUES ('hash')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        filt AS (
+          SELECT sc.doc_id, round(sc.score, 4) AS score
+          FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+          WHERE dc.n_chars % 3 = 0 AND dc.n_chars > 200
+        )
+        SELECT doc_id, score FROM filt
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
     "runtime_field_search": f"""
         WITH {_HITS_HASH_SQL},
         rt AS (

@@ -9,10 +9,14 @@ body and compiles it onto this engine's operators, so the query surface
 is reachable through the interface consumers already speak, not only
 through per-operator Python calls.
 
-Supported body keys: ``query`` (match, match_all, match_phrase [+slop],
-match_phrase_prefix, multi_match [3 modes], term, terms, ids, range,
-exists, prefix, wildcard, regexp, fuzzy, bool [must/should/must_not/
-filter, minimum_should_match, per-clause boost], dis_max, constant_score,
+Supported body keys: ``query`` (match [+operator and/or,
+minimum_should_match int/negative/percent — the distinct-matched-term
+gate rides the score aggregation], match_all, match_phrase [+slop],
+match_phrase_prefix, match_bool_prefix, multi_match [3 modes], term,
+terms, ids, range, exists, script [filter-by-Painless-predicate, the
+Kibana filter shape], prefix, wildcard, regexp, fuzzy, bool [must/should/
+must_not/filter, minimum_should_match, per-clause boost], dis_max,
+constant_score,
 boosting, function_score [field_value_factor; functions array with
 filter/weight/gauss/linear/exp decay, score_mode, boost_mode,
 max_boost], script_score [restricted Painless subset compiled to one
@@ -81,6 +85,27 @@ class SearchResult:
 
 def _as_list(x):
     return x if isinstance(x, list) else [x]
+
+
+def _parse_msm(v, n_terms: int) -> int:
+    """ES single-value ``minimum_should_match`` forms against ``n_terms``
+    optional clauses: positive int (as-is), negative int (n − |v|),
+    percentage (floor of pct·n, negative = n − floor(|pct|·n)). A value
+    above ``n_terms`` is kept as-is — impossible to satisfy, so the query
+    matches nothing, as in ES. Floors/clamps follow the ES docs
+    (query-dsl-minimum-should-match, 7.10)."""
+    s = str(v).strip()
+    try:
+        if s.endswith("%"):
+            pct = float(s[:-1])
+            k = int(n_terms * abs(pct) / 100.0)
+            need = k if pct >= 0 else n_terms - k
+        else:
+            iv = int(s)
+            need = iv if iv >= 0 else n_terms + iv
+    except ValueError as e:
+        raise EsDslError(f"bad minimum_should_match {v!r}") from e
+    return max(need, 1)
 
 
 def _bucket_metric_col(path: str, cols) -> str:
@@ -178,8 +203,11 @@ class EsSearchPlanner:
     # -------------------------------------------------------------- scoring
 
     def _score_terms(self, field: str, terms: list[str],
-                     boost: float = 1.0) -> DataFrame:
-        """BM25 OR-score a literal term set against one field."""
+                     boost: float = 1.0,
+                     min_match: int | None = None) -> DataFrame:
+        """BM25 OR-score a literal term set against one field;
+        ``min_match`` gates on distinct matched terms (same single agg —
+        the ES match operator=and / minimum_should_match path)."""
         from dp_search_data_importer_spark.operators.bm25 import bm25_scores
         from dp_search_data_importer_spark.session import local_df
 
@@ -189,7 +217,8 @@ class EsSearchPlanner:
         qt = local_df(self.spark, [(qid, t) for t in sorted(set(terms))],
                       "query_id long, term string")
         s = bm25_scores(self.tf(field), qt, self.dfs(field),
-                        self.stats(field), self.cfg).drop("query_id")
+                        self.stats(field), self.cfg,
+                        min_match=min_match).drop("query_id")
         if boost != 1.0:
             s = s.withColumn("score", F.col("score") * F.lit(float(boost)))
         return s
@@ -274,10 +303,28 @@ class EsSearchPlanner:
                                 F.lit(boost).alias("score"))
 
     def _score_match(self, spec: dict) -> DataFrame:
+        """ES ``match``: OR-sum BM25 by default; ``operator: "and"``
+        requires every distinct query term present;
+        ``minimum_should_match`` (int / negative int / percentage,
+        the ES single-value forms) requires ≥ that many distinct terms.
+        The gate is one count column on the existing score aggregation —
+        no extra join. ES applies msm only when operator is "or"."""
         field, text, params = self._field_spec(spec, "query")
         boost = float(params.get("boost", spec.get("boost", 1.0))
                       if isinstance(params, dict) else 1.0)
-        return self._score_terms(field, self._tokens(str(text)), boost)
+        toks = self._tokens(str(text))
+        n = len(set(toks))
+        need: int | None = None
+        op = str(params.get("operator", "or")).lower() \
+            if isinstance(params, dict) else "or"
+        if op == "and":
+            need = n
+        elif op != "or":
+            raise EsDslError(f"match operator must be and/or: {op!r}")
+        elif isinstance(params, dict) \
+                and params.get("minimum_should_match") is not None:
+            need = _parse_msm(params["minimum_should_match"], n)
+        return self._score_terms(field, toks, boost, min_match=need)
 
     def _score_multi_match(self, spec: dict) -> DataFrame:
         from dp_search_data_importer_spark.operators.bm25 import (
@@ -349,6 +396,20 @@ class EsSearchPlanner:
 
     def _score_match_phrase_prefix(self, spec: dict) -> DataFrame:
         return self._phrase_frame(spec, prefix=True)
+
+    def _score_match_bool_prefix(self, spec: dict) -> DataFrame:
+        """ES ``match_bool_prefix`` (search-as-you-type): every token but
+        the last as plain OR terms, the last expanded as a prefix —
+        one union term set through the SAME single scoring aggregation
+        (our documented scoring_boolean rewrite for expansions). No
+        position constraint — that is ``match_phrase_prefix``."""
+        field, text, params = self._field_spec(spec, "query")
+        toks = self._tokens(str(text))
+        if not toks:
+            raise EsDslError(f"empty match_bool_prefix: {spec}")
+        terms = toks[:-1] + self._expand(field, toks[-1], "prefix")
+        return self._score_terms(field, terms,
+                                 float(params.get("boost", 1.0)))
 
     # span family -----------------------------------------------------
 
@@ -1079,6 +1140,40 @@ class EsSearchPlanner:
     def _match_exists(self, spec: dict) -> DataFrame:
         field = spec["field"]
         return (self.docs.filter(F.col(field).isNotNull())
+                .select(F.col(self.id_col).alias("doc_id")))
+
+    def _match_script(self, spec: dict) -> DataFrame:
+        """ES ``script`` query (the Kibana filter-by-script shape,
+        query-dsl-script-query): a boolean Painless predicate over doc
+        values decides membership. The script compiles ON THE DRIVER
+        (``plans/painless``) to one Catalyst predicate applied directly
+        to the docs scan — zero Python at execution, only the referenced
+        columns read, and Catalyst pushes any foldable conjuncts into
+        the parquet scan. ``_score`` does not exist in filter context
+        (faithful to ES); text fields have no doc values. In scoring
+        context the generic constant_score fallback applies (ES scores
+        the script query 1.0 · boost)."""
+        from dp_search_data_importer_spark.plans.painless import (
+            compile_script,
+        )
+
+        script = spec["script"]
+        src = script["source"] if isinstance(script, dict) else str(script)
+        params = (script.get("params") or {}) \
+            if isinstance(script, dict) else {}
+
+        import re as _re
+
+        if _re.search(r"\b_score\b", src):
+            raise EsDslError("_score does not exist in filter context")
+        col, fields = compile_script(src, params, F.lit(0.0),
+                                     lambda f: F.col(f))
+        bad = [f for f in fields if f not in self.docs.columns
+               or f in self.text_fields]
+        if bad:
+            raise EsDslError(f"script filter references non-doc-value "
+                             f"fields {sorted(bad)}")
+        return (self.docs.filter(col.cast("boolean"))
                 .select(F.col(self.id_col).alias("doc_id")))
 
     # ----------------------------------------------------------------- aggs

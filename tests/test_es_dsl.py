@@ -1704,3 +1704,96 @@ def test_runtime_mappings(planner):
         planner.search({"runtime_mappings": {"x": {
             "script": "doc['text'].value"}},
             "query": {"match_all": {}}})
+
+
+def test_script_filter_query(planner):
+    """``script`` query in filter context: predicate-gated hit set with
+    UNCHANGED scores (filter context never scores); in scoring context
+    the ES constant-score contract (1.0 · boost) applies; _score and
+    text-field references are rejected."""
+    plain = dict(_ranked(planner.search(
+        {"query": {"match": {"text": "hash"}}, "size": 100000}).hits))
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"script": {"script": {
+            "source": "doc['n_chars'].value % params.m == 0",
+            "params": {"m": 3}}}}]}}, "size": 100000}
+    got = _ranked(planner.search(body).hits)
+    allowed = {r["doc_id"] for r in planner.docs.filter(
+        "n_chars % 3 = 0").select("doc_id").collect()}
+    assert got and all(d in allowed for d, _ in got)
+    assert all(plain[d] == s for d, s in got)
+    assert {d for d, _ in got} == set(plain) & allowed
+
+    # scoring context: constant 1.0 for every doc passing the predicate
+    sc = planner.search({"query": {"script": {"script":
+        "doc['n_chars'].value % 3 == 0"}}, "size": 100000}).hits
+    rows = sc.collect()
+    assert {r["doc_id"] for r in rows} == allowed
+    assert all(r["score"] == 1.0 for r in rows)
+
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"bool": {"filter": [{"script": {
+            "script": "_score > 1"}}]}}, "size": 1})
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"bool": {"filter": [{"script": {
+            "script": "doc['text'].value"}}]}}, "size": 1})
+
+
+def test_match_operator_and_msm(spark, planner):
+    """``match`` operator=and ≡ OR hits ∩ docs containing every term
+    (scores unchanged — same OR-sum); minimum_should_match int /
+    negative / percentage forms gate on distinct matched terms; an
+    unseen term under operator=and matches nothing."""
+    q = "hash join merge"
+    or_hits = dict(_ranked(planner.search(
+        {"query": {"match": {"text": q}}, "size": 100000}).hits))
+
+    # brute-force matched-term counts per doc
+    toks = set(q.split())
+    tf = planner.tf("text")
+    nm = {r["doc_id"]: r["nm"] for r in
+          tf.filter(F.col("term").isin(list(toks)))
+          .groupBy("doc_id").agg(F.countDistinct("term").alias("nm"))
+          .collect()}
+
+    for body_extra, need in [({"operator": "and"}, 3),
+                             ({"minimum_should_match": 2}, 2),
+                             ({"minimum_should_match": -1}, 2),
+                             ({"minimum_should_match": "70%"}, 2),
+                             ({"minimum_should_match": "34%"}, 1)]:
+        got = _ranked(planner.search(
+            {"query": {"match": {"text": {"query": q, **body_extra}}},
+             "size": 100000}).hits)
+        exp = sorted(((d, s) for d, s in or_hits.items()
+                      if nm.get(d, 0) >= need),
+                     key=lambda t: (-t[1], t[0]))
+        assert got == exp, (body_extra, need)
+    assert any(nm.get(d, 0) < 3 for d in or_hits)  # AND actually gates
+
+    # a term absent from the corpus + operator=and → empty
+    empty = planner.search({"query": {"match": {"text": {
+        "query": "hash zzznope", "operator": "and"}}},
+        "size": 10}).hits
+    assert empty.count() == 0
+
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match": {"text": {
+            "query": q, "operator": "xor"}}}, "size": 1})
+
+
+def test_match_bool_prefix(spark, planner):
+    """match_bool_prefix ≡ OR-match over (leading tokens ∪ prefix
+    expansion of the last token) — the search-as-you-type shape."""
+    got = _ranked(planner.search(
+        {"query": {"match_bool_prefix": {"text": "hash jo"}},
+         "size": 100000}).hits)
+    expand = [r["term"] for r in planner.dfs("text")
+              .filter(F.col("term").startswith("jo"))
+              .orderBy(F.col("df").desc(), F.col("term").asc())
+              .limit(planner.max_expansions).collect()]
+    exp = _ranked(planner._score_terms("text", ["hash"] + expand))
+    assert got and got == exp
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match_bool_prefix": {"text": "  "}},
+                        "size": 1})
