@@ -2629,6 +2629,24 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+SOURCE_BODY = {"query": {"match": {"text": "hash"}},
+               "_source": ["lang", "n_chars"],
+               "fields": [{"field": "source"}],
+               "size": 10}
+
+
+def q_source_filtered_search(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ES ``_source`` / ``fields`` response shaping: hits carry the
+    requested document columns (lang, n_chars via _source; source via
+    the fields API) joined in one hits-sized (≤ size rows) broadcast
+    join against an exactly-pruned docs projection. Oracle joins the
+    same columns onto the BM25 top-10."""
+    res = _dsl_planner(spark, sf_dir).search(SOURCE_BODY)
+    return res.hits.select("doc_id", "score", "lang", "n_chars",
+                           "source")
+
+
 MATCH_MSM_BODY = {"query": {"match": {"text": {
     "query": "hash join merge", "minimum_should_match": 2}}},
     "size": 10}
@@ -2679,6 +2697,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "source_filtered_search": q_source_filtered_search,
     "match_msm_search": q_match_msm_search,
     "script_filter_search": q_script_filter_search,
     "runtime_field_search": q_runtime_field_search,
@@ -2930,6 +2949,27 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "source_filtered_search": f"""
+        WITH qt(term) AS (VALUES ('hash')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        top AS (
+          SELECT doc_id, round(score, 4) AS score FROM scored
+          ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+        )
+        SELECT t.doc_id, t.score, d.lang, d.n_chars, d.source
+        FROM top t JOIN documents d USING (doc_id)
+    """,
     "match_msm_search": f"""
         WITH qt(term) AS (VALUES ('hash'), ('join'), ('merge')),
         {_BM25_CORPUS_SQL},

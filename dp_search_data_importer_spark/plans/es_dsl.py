@@ -22,7 +22,10 @@ filter/weight/gauss/linear/exp decay, score_mode, boost_mode,
 max_boost], script_score [restricted Painless subset compiled to one
 Catalyst Column — ``plans/painless``], pinned), ``size``, ``min_score``,
 ``search_after``, ``sort`` (_score or single metadata field + _id
-tie-break), ``rescore``, ``collapse``, ``aggs`` (terms [+top_hits
+tie-break), ``rescore``, ``collapse``, ``_source`` / ``fields`` /
+``docvalue_fields`` (response shaping: requested doc columns join onto
+the hits frame — hits-sized broadcast join; default stays id+score,
+the documented divergence), ``aggs`` (terms [+top_hits
 sub-agg, `missing` param, null keys dropped by default], histogram,
 date_histogram [calendar/fixed interval, empty buckets filled per
 min_doc_count:0, metric sub-aggs], significant_terms [JLH over the hit
@@ -2242,7 +2245,8 @@ class EsSearchPlanner:
         unknown = set(body) - {"query", "size", "sort", "search_after",
                                "rescore", "collapse", "aggs",
                                "aggregations", "from", "highlight",
-                               "suggest", "min_score"}
+                               "suggest", "min_score", "_source",
+                               "fields", "docvalue_fields"}
         if unknown:
             raise EsDslError(f"unsupported body keys {sorted(unknown)}")
         if "from" in body:
@@ -2318,6 +2322,7 @@ class EsSearchPlanner:
                     scores.select("doc_id").join(meta, "doc_id"),
                     fld, size, ascending=asc, after=cur)
 
+        hits = self._project_source(hits, body)
         aggregations = self.assemble_aggs(
             body.get("aggs") or body.get("aggregations") or {},
             scores)
@@ -2330,6 +2335,67 @@ class EsSearchPlanner:
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
                             suggestions=suggestions)
+
+    def _project_source(self, hits: DataFrame, body: dict) -> DataFrame:
+        """ES response shaping: ``_source`` (true / list / {includes,
+        excludes} with trailing-``*`` wildcards) joins the requested
+        original-document columns onto the hits frame; ``fields`` /
+        ``docvalue_fields`` project doc-value (metadata + runtime)
+        columns only, text fields rejected. The join is hits-sized
+        (≤ size rows) against an exactly-pruned docs projection, so AQE
+        broadcasts it and column pruning reaches the parquet scan.
+
+        Divergence (documented): with neither key present, hits stay
+        (doc_id, score[, sort field]) — ES returns the full _source by
+        default, but the id+score contract is this planner's stable
+        response shape; ask for fields explicitly. Exact names missing
+        from the mapping raise (loud beats silent); wildcards expand to
+        whatever exists, as in ES."""
+        src = body.get("_source")
+        fields = body.get("fields")
+        dvf = body.get("docvalue_fields")
+        if src is None and fields is None and dvf is None:
+            return hits
+        universe = [c for c in self.docs.columns if c != self.id_col]
+
+        def expand(pats, uni):
+            out = []
+            for p in pats:
+                name = p["field"] if isinstance(p, dict) else str(p)
+                if name.endswith("*"):
+                    out += [c for c in uni if c.startswith(name[:-1])]
+                elif name not in uni:
+                    raise EsDslError(f"unknown field {name!r}")
+                else:
+                    out.append(name)
+            return out
+
+        want: dict[str, None] = {}
+        if src is not None and src is not False:
+            if src is True:
+                inc = list(universe)
+            elif isinstance(src, dict):
+                inc = expand(_as_list(src.get("includes", ["*"])),
+                             universe)
+                exc = set(expand(_as_list(src.get("excludes", [])),
+                                 universe))
+                inc = [c for c in inc if c not in exc]
+            else:
+                inc = expand(_as_list(src), universe)
+            for c in inc:
+                want.setdefault(c)
+        # ES 7.10 `fields` retrieves any mapped field (text included);
+        # docvalue_fields is doc-values only
+        dv_universe = [c for c in universe if c not in self.text_fields]
+        for spec, uni in ((fields, universe), (dvf, dv_universe)):
+            if spec is not None:
+                for c in expand(_as_list(spec), uni):
+                    want.setdefault(c)
+        add = [c for c in want if c not in hits.columns]
+        if not add:
+            return hits
+        meta = self.docs.select(F.col(self.id_col).alias("doc_id"), *add)
+        return hits.join(meta, "doc_id", "left")
 
     def with_runtime_fields(self, mappings: dict) -> "EsSearchPlanner":
         """A new planner whose docs frame carries the ES

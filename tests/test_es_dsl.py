@@ -1797,3 +1797,34 @@ def test_match_bool_prefix(spark, planner):
     with pytest.raises(EsDslError):
         planner.search({"query": {"match_bool_prefix": {"text": "  "}},
                         "size": 1})
+
+
+def test_source_fields_projection(planner):
+    """``_source``/``fields``/``docvalue_fields`` response shaping:
+    requested doc columns join onto hits; wildcards expand; excludes
+    drop; text fields allowed in _source and fields but rejected in
+    docvalue_fields; unknown exact names raise; default stays
+    (doc_id, score)."""
+    base = {"query": {"match": {"text": "hash"}}, "size": 5}
+    plain = planner.search(base).hits
+    assert set(plain.columns) == {"doc_id", "score"}
+
+    got = planner.search({**base, "_source": ["lang", "n_chars"]}).hits
+    assert set(got.columns) == {"doc_id", "score", "lang", "n_chars"}
+    rows = got.collect()
+    meta = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in
+            planner.docs.select("doc_id", "lang", "n_chars").collect()}
+    assert rows and all(
+        (r["lang"], r["n_chars"]) == meta[r["doc_id"]] for r in rows)
+
+    # wildcard + excludes; fields dict form; text in fields OK
+    got2 = planner.search({**base, "_source": {
+        "includes": ["*"], "excludes": ["n_chars", "text"]},
+        "fields": [{"field": "text"}]}).hits
+    assert "n_chars" not in got2.columns
+    assert {"lang", "source", "text"} <= set(got2.columns)
+
+    with pytest.raises(EsDslError):
+        planner.search({**base, "docvalue_fields": ["text"]})
+    with pytest.raises(EsDslError):
+        planner.search({**base, "_source": ["nope_field"]})
