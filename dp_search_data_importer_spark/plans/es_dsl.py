@@ -11,7 +11,8 @@ through per-operator Python calls.
 
 Supported body keys: ``query`` (match [+operator and/or,
 minimum_should_match int/negative/percent — the distinct-matched-term
-gate rides the score aggregation], match_all, match_phrase [+slop],
+gate rides the score aggregation; fuzziness int/AUTO via per-token
+dictionary expansion], match_all, match_phrase [+slop],
 match_phrase_prefix, match_bool_prefix, multi_match [3 modes], term,
 terms, ids, range, exists, script [filter-by-Painless-predicate, the
 Kibana filter shape], prefix, wildcard, regexp, fuzzy, bool [must/should/
@@ -327,6 +328,31 @@ class EsSearchPlanner:
         elif isinstance(params, dict) \
                 and params.get("minimum_should_match") is not None:
             need = _parse_msm(params["minimum_should_match"], n)
+        fz = params.get("fuzziness") if isinstance(params, dict) else None
+        if fz is not None:
+            # ES match fuzziness: each token rewrites to its fuzzy
+            # dictionary expansion (AUTO: <3 chars exact, 3-5 one edit,
+            # ≥6 two — the documented AUTO:3,6 breakpoints), all
+            # expansions OR-scored as themselves (our scoring_boolean
+            # divergence). The matched-term gate counts expansions, not
+            # source tokens, so operator=and / msm compose ambiguously
+            # with fuzziness — rejected loudly rather than silently
+            # miscounted.
+            if need is not None:
+                raise EsDslError("fuzziness with operator=and / "
+                                 "minimum_should_match is unsupported")
+
+            def edits(t: str) -> int:
+                if str(fz).upper() == "AUTO":
+                    return 0 if len(t) < 3 else (1 if len(t) < 6 else 2)
+                return int(fz)
+
+            terms: list[str] = []
+            for t in toks:
+                e = edits(t)
+                terms += [t] if e == 0 else self._expand(
+                    field, t, "fuzzy", e)
+            return self._score_terms(field, terms, boost)
         return self._score_terms(field, toks, boost, min_match=need)
 
     def _score_multi_match(self, spec: dict) -> DataFrame:

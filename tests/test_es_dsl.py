@@ -1828,3 +1828,32 @@ def test_source_fields_projection(planner):
         planner.search({**base, "docvalue_fields": ["text"]})
     with pytest.raises(EsDslError):
         planner.search({**base, "_source": ["nope_field"]})
+
+
+def test_match_fuzziness(spark, planner):
+    """match fuzziness: each token rewrites to its fuzzy expansion
+    (AUTO breakpoints at 3/6 chars), scored ≡ the equivalent fuzzy-leaf
+    OR union; composing with operator=and / msm raises."""
+    got = _ranked(planner.search(
+        {"query": {"match": {"text": {"query": "hashh",
+                                      "fuzziness": 1}}},
+         "size": 100000}).hits)
+    exp = _ranked(planner.search(
+        {"query": {"fuzzy": {"text": {"value": "hashh",
+                                      "fuzziness": 1}}},
+         "size": 100000}).hits)
+    assert got and got == exp
+
+    # AUTO: 2-char token stays exact (0 edits)
+    short = _ranked(planner.search(
+        {"query": {"match": {"text": {"query": "if",
+                                      "fuzziness": "AUTO"}}},
+         "size": 100000}).hits)
+    exact = _ranked(planner.search(
+        {"query": {"match": {"text": "if"}}, "size": 100000}).hits)
+    assert short == exact
+
+    with pytest.raises(EsDslError):
+        planner.search({"query": {"match": {"text": {
+            "query": "hash join", "operator": "and",
+            "fuzziness": 1}}}, "size": 1})
