@@ -1306,6 +1306,11 @@ class EsSearchPlanner:
             buckets = (j.groupBy(F.col(fld).cast("string").alias("key"))
                        .agg(F.count(F.lit(1)).cast("long")
                             .alias("doc_count")))
+            # ES terms min_doc_count (default 1): prune BEFORE the
+            # ordered size-truncation, at bucket cardinality
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                buckets = buckets.filter(F.col("doc_count") >= mdc)
             return self._order_buckets(buckets, body, size)
         if kind == "histogram":
             fld = body["field"]
@@ -1317,6 +1322,9 @@ class EsSearchPlanner:
                 .cast("double").alias("key"))
                 .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
                      *self._metric_exprs(metrics)))
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                buckets = buckets.filter(F.col("doc_count") >= mdc)
             if pipes:
                 return self._apply_bucket_pipelines(buckets, pipes)
             return buckets
@@ -2063,6 +2071,9 @@ class EsSearchPlanner:
                        .agg(F.count(F.lit(1)).cast("long")
                             .alias("doc_count"),
                             *self._metric_exprs(metrics)))
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                buckets = buckets.filter(F.col("doc_count") >= mdc)
             # pipelines run over the FINAL (ordered, size-truncated)
             # bucket response — the ES reduce-phase contract
             out = self._order_buckets(buckets, body, size)

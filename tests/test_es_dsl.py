@@ -1857,3 +1857,33 @@ def test_match_fuzziness(spark, planner):
         planner.search({"query": {"match": {"text": {
             "query": "hash join", "operator": "and",
             "fuzziness": 1}}}, "size": 1})
+
+
+def test_terms_histogram_min_doc_count(planner):
+    """terms/histogram min_doc_count prunes buckets below the threshold
+    before ordering/size-truncation (ES default 1 = no prune)."""
+    base = {"query": {"match": {"text": "hash"}}, "size": 0}
+    full = {r["key"]: r["doc_count"] for r in planner.search(
+        {**base, "aggs": {"s": {"terms": {"field": "source",
+                                          "size": 10000}}}}
+    ).aggregations["s"].collect()}
+    assert any(c < 3 for c in full.values()) or len(full) > 0
+    thresh = sorted(full.values())[len(full) // 2]  # a real cutoff
+    pruned = {r["key"]: r["doc_count"] for r in planner.search(
+        {**base, "aggs": {"s": {"terms": {"field": "source",
+                                          "size": 10000,
+                                          "min_doc_count": thresh}}}}
+    ).aggregations["s"].collect()}
+    assert pruned == {k: c for k, c in full.items() if c >= thresh}
+
+    hfull = {r["key"]: r["doc_count"] for r in planner.search(
+        {**base, "aggs": {"h": {"histogram": {"field": "n_chars",
+                                              "interval": 100}}}}
+    ).aggregations["h"].collect()}
+    ht = sorted(hfull.values())[len(hfull) // 2]
+    hpruned = {r["key"]: r["doc_count"] for r in planner.search(
+        {**base, "aggs": {"h": {"histogram": {"field": "n_chars",
+                                              "interval": 100,
+                                              "min_doc_count": ht}}}}
+    ).aggregations["h"].collect()}
+    assert hpruned == {k: c for k, c in hfull.items() if c >= ht}
