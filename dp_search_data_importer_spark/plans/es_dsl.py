@@ -2911,13 +2911,44 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
         hits = q.sorted_topk(spark, out_dir, match_queries(spec), fld,
                              ascending=asc, k=size, after=cur)
     elif kind == "match":
-        cur = {0: (float(after[0]), int(after[1]))} if after else None
-        if use_wand and cur is None:
-            hits = q.wand_topk(spark, out_dir, match_queries(spec), cfg,
-                               k=size)
+        mpairs = [(k_, v_) for k_, v_ in spec.items() if k_ != "boost"]
+        (_mf, _mv), = mpairs
+        mp = _mv if isinstance(_mv, dict) else {}
+        mop = str(mp.get("operator", "or")).lower()
+        msm_v = mp.get("minimum_should_match")
+        if mop == "and" or msm_v is not None:
+            # ES operator=and / minimum_should_match on the stored
+            # path: rewrite to the equivalent per-token bool —
+            # BoolSpec counts matched clause ids in the same single
+            # agg over the same term-pruned postings scan. Distinct
+            # tokens (matching the dataflow planner's documented
+            # distinct-term gate).
+            from dp_search_data_importer_spark.operators.bm25 import (
+                BoolSpec,
+            )
+
+            if after is not None:
+                raise EsDslError("search_after with match operator/"
+                                 "minimum_should_match is unsupported "
+                                 "on the stored path")
+            toks = sorted({t for t in str(mp.get("query", _mv))
+                           .lower().split() if t})
+            if mop == "and":
+                bs = BoolSpec(0, must=[(t, 1.0) for t in toks])
+            else:
+                bs = BoolSpec(
+                    0, should=[(t, 1.0) for t in toks],
+                    minimum_should_match=_parse_msm(msm_v, len(toks)))
+            hits = q.bool_topk_indexed(spark, out_dir, [bs], cfg,
+                                       k=size)
         else:
-            hits = q.exact_topk(spark, out_dir, match_queries(spec), cfg,
-                                k=size, after=cur)
+            cur = {0: (float(after[0]), int(after[1]))} if after else None
+            if use_wand and cur is None:
+                hits = q.wand_topk(spark, out_dir, match_queries(spec),
+                                   cfg, k=size)
+            else:
+                hits = q.exact_topk(spark, out_dir, match_queries(spec),
+                                    cfg, k=size, after=cur)
     elif kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         pairs = [(k, v) for k, v in spec.items() if k != "boost"]
         (field, v), = pairs

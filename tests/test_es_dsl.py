@@ -1887,3 +1887,21 @@ def test_terms_histogram_min_doc_count(planner):
                                               "min_doc_count": ht}}}}
     ).aggregations["h"].collect()}
     assert hpruned == {k: c for k, c in hfull.items() if c >= ht}
+
+
+def test_indexed_match_operator_msm_equals_dataflow(spark, planner,
+                                                    doc_index):
+    """Stored-path match operator=and / minimum_should_match (the
+    per-token bool rewrite onto bool_topk_indexed) ranks identically to
+    the dataflow planner's matched-term gate."""
+    for extra in ({"operator": "and"}, {"minimum_should_match": 2}):
+        body = {"query": {"match": {"text": {
+            "query": "hash join merge", **extra}}}, "size": 10}
+        got = _ranked(_indexed(spark, doc_index, body).hits)
+        exp = _ranked(planner.search(body).hits)
+        assert got and got == exp, extra
+    from dp_search_data_importer_spark.plans.es_dsl import EsDslError
+    with pytest.raises(EsDslError):
+        _indexed(spark, doc_index, {"query": {"match": {"text": {
+            "query": "hash join", "operator": "and"}}},
+            "search_after": [1.0, 5], "size": 5})
