@@ -2629,6 +2629,23 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+PHRASE_SUGGEST_BODY = {
+    "suggest": {"fix": {"text": "bi ro",
+                        "phrase": {"field": "text", "size": 5}}},
+    "query": {"match_all": {}}, "size": 0}
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``phrase`` suggester: whole-phrase did-you-mean. Per-token
+    candidates from ONE batch pass over the term dictionary (salted
+    two-phase per-pos top-5), combinations scored on the driver by the
+    documented Σ(log10(df+1) − dist) — request-bounded, never
+    data-bounded. Oracle replays candidates, ranking, and the
+    combination score in SQL."""
+    res = _dsl_planner(spark, sf_dir).search(PHRASE_SUGGEST_BODY)
+    return res.suggestions["fix"]
+
+
 SOURCE_BODY = {"query": {"match": {"text": "hash"}},
                "_source": ["lang", "n_chars"],
                "fields": [{"field": "source"}],
@@ -2697,6 +2714,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "phrase_suggest": q_phrase_suggest,
     "source_filtered_search": q_source_filtered_search,
     "match_msm_search": q_match_msm_search,
     "script_filter_search": q_script_filter_search,
@@ -2949,6 +2967,31 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "phrase_suggest": f"""
+        WITH {_BM25_CORPUS_SQL},
+        q(pos, token) AS (VALUES (0, 'bi'), (1, 'ro')),
+        cand AS (
+          SELECT q.pos, d.term,
+                 levenshtein(d.term, q.token)::BIGINT AS dist, d.df
+          FROM dfs d CROSS JOIN q
+          WHERE levenshtein(d.term, q.token) <= 2
+        ),
+        top AS (
+          SELECT pos, term, dist, df FROM (
+            SELECT *, row_number() OVER (PARTITION BY pos
+              ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand
+          ) WHERE rn <= 5
+        ),
+        combos AS (
+          SELECT a.term || ' ' || b.term AS phrase,
+                 round(log10((a.df + 1)::DOUBLE) - a.dist
+                       + log10((b.df + 1)::DOUBLE) - b.dist,
+                       6)::DOUBLE AS score
+          FROM top a JOIN top b ON a.pos = 0 AND b.pos = 1
+        )
+        SELECT phrase, score FROM combos
+        ORDER BY score DESC, phrase ASC LIMIT 5
+    """,
     "source_filtered_search": f"""
         WITH qt(term) AS (VALUES ('hash')),
         {_BM25_CORPUS_SQL},

@@ -2217,10 +2217,96 @@ class EsSearchPlanner:
                     .limit(int(t.get("size", 5)))
                     .select("term", F.col("dist").cast("long")
                             .alias("dist"), "df"))
+            elif "phrase" in s:
+                out[name] = self._phrase_suggest(s)
             else:
                 raise EsDslError(
-                    f"suggester {name!r}: need 'completion' or 'term'")
+                    f"suggester {name!r}: need 'completion', 'term' or "
+                    f"'phrase'")
         return out
+
+    def _phrase_suggest(self, s: dict) -> DataFrame:
+        """ES ``phrase`` suggester (whole-phrase did-you-mean), the
+        scale-sane twin: per-token candidates come from ONE distributed
+        batch pass over the field's term dictionary (the same
+        length-window + char-set prunes as the term suggester, all
+        tokens in one join), then combinations are enumerated and
+        scored on the driver — bounded by request parameters
+        (≤ num_candidates^n_tokens, capped), never by data size.
+
+        Scoring (documented divergence — ES uses a shard-local
+        stupid-backoff LM with separate error likelihoods): each
+        candidate contributes ``log10(df + 1) − edit_distance``; a
+        token with no in-dictionary candidate survives unchanged at
+        df = 0. Phrases rank by (score desc, phrase asc), rounded to
+        6 dp so an engine/oracle replay agrees exactly."""
+        import itertools
+        import math
+
+        from dp_search_data_importer_spark.session import local_df
+
+        p = s["phrase"]
+        field = p.get("field", self.text_fields[0])
+        size = int(p.get("size", 5))
+        gens = _as_list(p.get("direct_generator", [{}]))
+        max_edits = int((gens[0] or {}).get("max_edits", 2))
+        n_cand = int((gens[0] or {}).get("size", 5))
+        toks = self._tokens(str(s["text"]))
+        if not toks:
+            raise EsDslError("phrase suggester needs a non-empty text")
+        tdf = local_df(self.spark,
+                       [(i, t) for i, t in enumerate(toks)],
+                       "pos int, token string")
+        d = self.dfs(field)
+
+        def chars(c):
+            return F.array_distinct(F.split(c, ""))
+
+        cand = (d.join(F.broadcast(tdf))
+                .filter(
+                    (F.length("term")
+                     >= F.length("token") - F.lit(max_edits))
+                    & (F.length("term")
+                       <= F.length("token") + F.lit(max_edits))
+                    & (F.size(F.array_except(
+                        chars(F.col("term")), chars(F.col("token"))))
+                       <= max_edits)
+                    & (F.size(F.array_except(
+                        chars(F.col("token")), chars(F.col("term"))))
+                       <= max_edits))
+                .withColumn("dist", F.levenshtein("term", "token"))
+                .filter(F.col("dist") <= max_edits))
+        # top-n_cand per pos: salted two-phase so a huge candidate set
+        # never funnels through one task per token (the field_collapse
+        # treatment)
+        wp = Window.partitionBy(
+            "pos", F.pmod(F.xxhash64("term"), F.lit(32))).orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        w = Window.partitionBy("pos").orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        rows = (cand.withColumn("prn", F.row_number().over(wp))
+                .filter(F.col("prn") <= n_cand).drop("prn")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= n_cand)
+                .select("pos", "term", "dist", "df").collect())
+        by_pos: dict[int, list[tuple[str, int, int]]] = {}
+        for r in rows:
+            by_pos.setdefault(r["pos"], []).append(
+                (r["term"], r["dist"], r["df"]))
+        slots = [by_pos.get(i) or [(t, 0, 0)]
+                 for i, t in enumerate(toks)]
+        # cap the product deterministically: trim the widest slots
+        while math.prod(len(sl) for sl in slots) > 10_000:
+            widest = max(range(len(slots)), key=lambda i: len(slots[i]))
+            slots[widest] = slots[widest][:-1]
+        scored = []
+        for combo in itertools.product(*slots):
+            phrase = " ".join(c[0] for c in combo)
+            score = sum(math.log10(c[2] + 1) - c[1] for c in combo)
+            scored.append((phrase, round(score, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return local_df(self.spark, scored[:size],
+                        "phrase string, score double")
 
     # --------------------------------------------------------------- search
 

@@ -1905,3 +1905,33 @@ def test_indexed_match_operator_msm_equals_dataflow(spark, planner,
         _indexed(spark, doc_index, {"query": {"match": {"text": {
             "query": "hash join", "operator": "and"}}},
             "search_after": [1.0, 5], "size": 5})
+
+
+def test_phrase_suggester(spark, planner):
+    """phrase suggester: whole-phrase corrections ranked by the
+    documented Σ(log10(df+1) − dist) score; the true phrase wins for a
+    one-edit-per-token typo; unknown tokens survive unchanged."""
+    import math
+
+    res = planner.search({"suggest": {"fix": {
+        "text": "hashh joinn",
+        "phrase": {"field": "text", "size": 3}}},
+        "query": {"match_all": {}}, "size": 0})
+    rows = res.suggestions["fix"].collect()
+    assert rows and rows[0]["phrase"] == "hash join"
+    # replay the documented score for the winner
+    dfs = {r["term"]: r["df"] for r in planner.dfs("text")
+           .filter(F.col("term").isin(["hash", "join"])).collect()}
+    want = round(math.log10(dfs["hash"] + 1) - 1
+                 + math.log10(dfs["join"] + 1) - 1, 6)
+    assert abs(rows[0]["score"] - want) < 1e-9
+    # scores strictly ordered
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    res2 = planner.search({"suggest": {"fix": {
+        "text": "zzzzzzzzqqq hashh",
+        "phrase": {"field": "text", "size": 2}}},
+        "query": {"match_all": {}}, "size": 0})
+    top = res2.suggestions["fix"].collect()[0]["phrase"]
+    assert top == "zzzzzzzzqqq hash"
