@@ -2629,6 +2629,31 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+TOPICS_FACET_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
+                     "aggs": {"topics": {"terms": {"field": "topics",
+                                                   "size": 10}}}}
+
+
+def q_topics_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg over a KEYWORD-ARRAY field (the reference model's
+    ``topics``, models/elastic.go:17 — the ONS faceting shape): one
+    bucket per distinct element per hit doc (explode(array_distinct) —
+    a duplicate element never double-counts its doc; [] is missing).
+    The synthetic topics column derives deterministically from doc_id;
+    the oracle replays the derivation and the element unnest."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "topics",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.array().cast("array<string>"))
+        .otherwise(F.array_compact(F.array(
+            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even"))))))
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    res = EsSearchPlanner(spark, docs).search(TOPICS_FACET_BODY)
+    return res.aggregations["topics"]
+
+
 PHRASE_SUGGEST_BODY = {
     "suggest": {"fix": {"text": "bi ro",
                         "phrase": {"field": "text", "size": 5}}},
@@ -2714,6 +2739,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "topics_facet": q_topics_facet,
     "phrase_suggest": q_phrase_suggest,
     "source_filtered_search": q_source_filtered_search,
     "match_msm_search": q_match_msm_search,
@@ -2967,6 +2993,29 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "topics_facet": f"""
+        WITH {_HITS_HASH_SQL},
+        topics AS (
+          SELECT h.doc_id,
+                 CASE WHEN d.doc_id % 10 = 0 THEN []
+                      ELSE list_filter(
+                        ['t' || (d.doc_id % 3)::VARCHAR,
+                         CASE WHEN d.doc_id % 2 = 0 THEN 'even' END],
+                        x -> x IS NOT NULL)
+                 END AS topics
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        el AS (
+          SELECT doc_id, unnest(list_distinct(topics)) AS key
+          FROM topics
+        ),
+        b AS (SELECT key, count(*)::BIGINT AS doc_count
+              FROM el GROUP BY key)
+        SELECT key, doc_count FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY doc_count DESC, key ASC) AS rn FROM b
+        ) WHERE rn <= 10
+    """,
     "phrase_suggest": f"""
         WITH {_BM25_CORPUS_SQL},
         q(pos, token) AS (VALUES (0, 'bi'), (1, 'ro')),

@@ -1132,10 +1132,20 @@ class EsSearchPlanner:
     def _meta_col(self, field: str) -> bool:
         return field in self.docs.columns and field not in self.text_fields
 
+    def _is_array(self, field: str) -> bool:
+        """ES keyword-array fields (the reference model's ``keywords``/
+        ``topics``, models/elastic.go:13,17): a term matches if ANY
+        element equals, a terms agg buckets per element."""
+        t = dict(self.docs.dtypes).get(field, "")
+        return t.startswith("array")
+
     def _match_term(self, spec: dict) -> DataFrame:
         field, value, _ = self._field_spec(spec, "value")
         if self._meta_col(field):
-            return (self.docs.filter(F.col(field) == F.lit(value))
+            pred = (F.array_contains(F.col(field), F.lit(value))
+                    if self._is_array(field)
+                    else F.col(field) == F.lit(value))
+            return (self.docs.filter(pred)
                     .select(F.col(self.id_col).alias("doc_id")))
         return (self.tf(field).filter(F.col("term") == F.lit(str(value)))
                 .select("doc_id").distinct())
@@ -1144,7 +1154,12 @@ class EsSearchPlanner:
         field, values, _ = self._field_spec(spec, "value")
         values = _as_list(values)
         if self._meta_col(field):
-            return (self.docs.filter(F.col(field).isin(values))
+            pred = (F.arrays_overlap(
+                        F.col(field),
+                        F.array(*[F.lit(v) for v in values]))
+                    if self._is_array(field)
+                    else F.col(field).isin(values))
+            return (self.docs.filter(pred)
                     .select(F.col(self.id_col).alias("doc_id")))
         return (self.tf(field)
                 .filter(F.col("term").isin([str(v) for v in values]))
@@ -1168,7 +1183,11 @@ class EsSearchPlanner:
 
     def _match_exists(self, spec: dict) -> DataFrame:
         field = spec["field"]
-        return (self.docs.filter(F.col(field).isNotNull())
+        pred = F.col(field).isNotNull()
+        if self._is_array(field):
+            # ES: an empty array is a missing value
+            pred = pred & (F.size(F.col(field)) > 0)
+        return (self.docs.filter(pred)
                 .select(F.col(self.id_col).alias("doc_id")))
 
     def _match_script(self, spec: dict) -> DataFrame:
@@ -1266,6 +1285,12 @@ class EsSearchPlanner:
                 for v in vals])
         if kind == "terms":
             fld, size = body["field"], int(body.get("size", 10))
+            if self._is_array(fld):
+                # keyword-array field: one bucket per DISTINCT element
+                # per doc (ES doc values are a set — a duplicate element
+                # never double-counts its doc)
+                meta = meta.withColumn(
+                    fld, F.explode(F.array_distinct(F.col(fld))))
             if "missing" in body:
                 # ES terms `missing` param: null keys bucket under the
                 # given literal instead of dropping

@@ -1935,3 +1935,57 @@ def test_phrase_suggester(spark, planner):
         "query": {"match_all": {}}, "size": 0})
     top = res2.suggestions["fix"].collect()[0]["phrase"]
     assert top == "zzzzzzzzqqq hash"
+
+
+def test_keyword_array_fields(spark, planner):
+    """ES keyword-array semantics (the reference model's keywords/
+    topics): term matches any element, terms filter = overlap, exists
+    treats [] as missing, terms agg buckets per distinct element
+    without double-counting duplicate elements."""
+    from dp_search_data_importer_spark.plans.es_dsl import (
+        EsSearchPlanner,
+    )
+
+    docs = planner.docs.withColumn(
+        "topics",
+        F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array_compact(F.array(
+            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even"))))))
+    p = EsSearchPlanner(spark, docs)
+
+    hits = p.search({"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"term": {"topics": "even"}}]}},
+        "size": 100000}).hits
+    got = {r["doc_id"] for r in hits.collect()}
+    exp = {r["doc_id"] for r in docs.filter(
+        "doc_id % 2 = 0 and doc_id % 10 != 0").collect()}
+    assert got == exp
+
+    ex = p.search({"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"exists": {"field": "topics"}}]}},
+        "size": 100000}).hits.count()
+    assert ex == docs.filter("doc_id % 10 != 0").count()
+
+    buckets = {r["key"]: r["doc_count"] for r in p.search(
+        {"query": {"match_all": {}}, "size": 0,
+         "aggs": {"t": {"terms": {"field": "topics",
+                                  "size": 100}}}}).aggregations["t"]
+        .collect()}
+    n = docs.count()
+    # 'even' counts each matching doc ONCE despite the duplicate element
+    assert buckets["even"] == docs.filter(
+        "doc_id % 2 = 0 and doc_id % 10 != 0").count()
+    for k in ("t0", "t1", "t2"):
+        assert buckets[k] == docs.filter(
+            f"doc_id % 3 = {k[1]} and doc_id % 10 != 0").count()
+
+    ov = p.search({"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"terms": {"topics": ["t1", "t2"]}}]}},
+        "size": 100000}).hits.count()
+    assert ov == docs.filter(
+        "doc_id % 3 in (1, 2) and doc_id % 10 != 0").count()
