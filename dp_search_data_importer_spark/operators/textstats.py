@@ -569,3 +569,111 @@ def stratified_sample(df, rates: dict[str, float], key_col: str = "source",
     rate_expr = rate_expr.otherwise(F.lit(0))
     return df.withColumn("_bucket", bucket).filter(
         F.col("_bucket") < rate_expr).drop("_bucket")
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    top_bigrams: int | None = None):
+    """Train the corpus LM for :func:`lm_perplexity` — the CCNet-style
+    quality filter (Wenzek et al. 2020 train a KenLM and keep the
+    middle perplexity band; Rae et al. 2021 use the same signal): here a
+    bigram model with unigram backoff, fully distributed.
+
+    Returns ``(unigrams, bigrams)``: (w, count) and (w1, w2, count)
+    frames — each ONE hash aggregation over exploded token frames
+    (map-side partials, uniform term keys; the same shuffle discipline
+    as the postings build). ``top_bigrams`` caps the bigram table by
+    count (ties broken by (w1, w2) for determinism) — the bounded-LM
+    form for corpora whose bigram vocabulary would not fit a broadcast;
+    pruned bigrams fall back to the unigram path at query time.
+    """
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_expr,
+    )
+
+    toks = docs.select(tokenize_expr(F.col(text_col)).alias("t"))
+    unigrams = (toks.select(F.explode("t").alias("w"))
+                .groupBy("w").agg(F.count(F.lit(1)).alias("count")))
+    pairs = toks.select(F.explode(F.arrays_zip(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0)))
+        .alias("w1"),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0)))
+        .alias("w2"))).alias("p"))
+    bigrams = (pairs.select(F.col("p.w1").alias("w1"),
+                            F.col("p.w2").alias("w2"))
+               .groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("count")))
+    if top_bigrams is not None:
+        bigrams = (bigrams.orderBy(F.col("count").desc(),
+                                   F.col("w1").asc(), F.col("w2").asc())
+                   .limit(int(top_bigrams)))
+    return unigrams, bigrams
+
+
+def lm_perplexity(docs: DataFrame, unigrams: DataFrame,
+                  bigrams: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", alpha: float = 0.4,
+                  broadcast_limit: int = 2_000_000) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet/KenLM quality
+    screen re-expressed on Spark: P(w2|w1) = count(w1,w2)/count(w1)
+    when the bigram is in the LM, else stupid-backoff
+    ``alpha · count(w2)/total`` (Brants et al. 2007). Returns
+    (doc_id, n_bigrams, log10_prob, ppl) for docs with ≥1 bigram;
+    ppl = 10^(−log10_prob / n_bigrams), rounded to 4 dp so an
+    engine/oracle replay agrees under float-summation reordering.
+
+    Scale shape: doc bigrams explode once; the LM attaches via two
+    term-keyed joins (bigram then w1/w2 unigram) — broadcast when the
+    LM row counts sit under ``broadcast_limit`` (the cheap count gate,
+    the filtered_topk pattern), hash joins on uniform keys otherwise —
+    then ONE hash agg back to doc grain. No driver-side loops; the LM
+    never needs to fit anywhere but the join."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_expr,
+    )
+
+    total = unigrams.agg(F.sum("count").alias("total"))
+    uni = unigrams
+    bi = bigrams
+    if bi.count() <= broadcast_limit:
+        bi = F.broadcast(bi)
+    if uni.count() <= broadcast_limit:
+        uni = F.broadcast(uni)
+
+    t = tokenize_expr(F.col(text_col))
+    pairs = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+             .filter(F.size("t") >= 2)
+             .select("doc_id", F.explode(F.arrays_zip(
+                 F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                 F.slice("t", 2, F.size("t") - 1).alias("w2")))
+                 .alias("p"))
+             .select("doc_id", F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2")))
+    j = (pairs
+         .join(bi.select("w1", "w2",
+                         F.col("count").alias("c12")),
+               ["w1", "w2"], "left")
+         .join(uni.select(F.col("w").alias("w1"),
+                          F.col("count").alias("c1")), "w1", "left")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("count").alias("c2")), "w2", "left")
+         .join(F.broadcast(total)))
+    logp = F.when(
+        F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+        F.log10(F.col("c12").cast("double") / F.col("c1"))
+    ).otherwise(
+        # stupid backoff to the add-one-smoothed unigram: an unseen w2
+        # (pruned or out-of-LM) still gets a finite penalty instead of
+        # a null that would silently drop the bigram from the sum
+        F.log10(F.lit(float(alpha))
+                * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                .cast("double") / (F.col("total") + F.lit(1))))
+    out = (j.select("doc_id", logp.alias("lp"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("lp").alias("log10_prob")))
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("log10_prob", 4).alias("log10_prob"),
+        F.round(F.pow(F.lit(10.0),
+                      -F.col("log10_prob") / F.col("n_bigrams")),
+                4).alias("ppl"))

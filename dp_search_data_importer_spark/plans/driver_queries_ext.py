@@ -2629,6 +2629,24 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality screen (Wenzek et al. 2020): bigram LM
+    with stupid backoff trained on the even-doc_id half of the corpus,
+    per-doc perplexity over ALL docs (odd docs exercise the unseen-
+    bigram backoff path). Train = two hash aggs over exploded token
+    frames; score = explode + term-keyed LM joins (size-gated
+    broadcast) + one agg back to doc grain. Oracle replays the LM and
+    the score in SQL."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs.filter("doc_id % 2 = 0"))
+    return lm_perplexity(docs, uni, bi)
+
+
 TOPICS_FACET_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
                      "aggs": {"topics": {"terms": {"field": "topics",
                                                    "size": 10}}}}
@@ -2739,6 +2757,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "lm_perplexity": q_lm_perplexity,
     "topics_facet": q_topics_facet,
     "phrase_suggest": q_phrase_suggest,
     "source_filtered_search": q_source_filtered_search,
@@ -2993,6 +3012,50 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "lm_perplexity": """
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents
+        ),
+        train AS (SELECT * FROM tl WHERE doc_id % 2 = 0),
+        uni AS (
+          SELECT w, count(*)::BIGINT AS c
+          FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+        ),
+        tot AS (SELECT sum(c)::BIGINT AS total FROM uni),
+        tp AS (
+          SELECT p[1] AS w1, p[2] AS w2
+          FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                FROM train WHERE len(t) >= 2)
+        ),
+        big AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                FROM tp GROUP BY w1, w2),
+        dp AS (
+          SELECT doc_id, p[1] AS w1, p[2] AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                FROM tl WHERE len(t) >= 2)
+        ),
+        scored AS (
+          SELECT dp.doc_id,
+                 CASE WHEN b.c12 IS NOT NULL AND u1.c IS NOT NULL
+                      THEN log10(b.c12::DOUBLE / u1.c)
+                      ELSE log10(0.4 * (coalesce(u2.c, 0) + 1)::DOUBLE
+                                 / (t.total + 1))
+                 END AS lp
+          FROM dp
+          LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2
+          LEFT JOIN uni u1 ON dp.w1 = u1.w
+          LEFT JOIN uni u2 ON dp.w2 = u2.w
+          CROSS JOIN tot t
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(sum(lp), 4) AS log10_prob,
+               round(pow(10.0, -sum(lp) / count(*)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+    """,
     "topics_facet": f"""
         WITH {_HITS_HASH_SQL},
         topics AS (

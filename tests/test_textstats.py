@@ -361,3 +361,60 @@ def test_curation_verdicts_rules_and_single_pass(spark):
 
     plan = ts.curation_verdicts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_lm_perplexity_matches_python_and_prunes(spark):
+    """Bigram-LM perplexity ≡ a brute-force python LM (bigram + stupid
+    backoff with add-one-smoothed unigrams); top_bigrams pruning is
+    deterministic and pruned pairs fall back to the backoff path;
+    single-token docs drop."""
+    import math
+    from collections import Counter
+
+    from dp_search_data_importer_spark.operators import textstats as ts
+
+    rows = [(1, "a b c a b"), (2, "a a a b"), (3, "z"),
+            (4, "c b a c b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, bi = ts.train_bigram_lm(df)
+    got = {r["doc_id"]: r for r in ts.lm_perplexity(df, uni, bi).collect()}
+    assert 3 not in got
+
+    toks = {d: t.split() for d, t in rows}
+    u, b = Counter(), Counter()
+    for t in toks.values():
+        u.update(t)
+        b.update(zip(t, t[1:]))
+    total = sum(u.values())
+
+    def ref(pairs, blm):
+        lp = sum(
+            math.log10(blm[p] / u[p[0]]) if p in blm
+            else math.log10(0.4 * (u.get(p[1], 0) + 1) / (total + 1))
+            for p in pairs)
+        return round(lp, 4), round(10 ** (-lp / len(pairs)), 4)
+
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        lp, ppl = ref(pairs, b)
+        assert got[d]["n_bigrams"] == len(pairs)
+        assert abs(got[d]["log10_prob"] - lp) < 1e-9
+        assert abs(got[d]["ppl"] - ppl) < 1e-9
+
+    # prune to the top-2 bigrams: count desc, (w1, w2) asc tie-break
+    uni2, bi2 = ts.train_bigram_lm(df, top_bigrams=2)
+    kept = {(r["w1"], r["w2"]): r["count"] for r in bi2.collect()}
+    exp_kept = dict(sorted(b.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[:2])
+    assert kept == exp_kept
+    got2 = {r["doc_id"]: r
+            for r in ts.lm_perplexity(df, uni2, bi2).collect()}
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        lp, ppl = ref(pairs, Counter(exp_kept))
+        assert abs(got2[d]["log10_prob"] - lp) < 1e-9, d
+        assert abs(got2[d]["ppl"] - ppl) < 1e-9, d
