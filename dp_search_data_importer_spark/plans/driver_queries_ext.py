@@ -2629,6 +2629,31 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+def q_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_rank_eval`` twin: NDCG@10 for two match requests, ratings
+    supplied as a DataFrame (the programmatic at-scale form — rating 1
+    iff doc_id % 7 == 0). Each request compiles to the same top-k plan
+    ``search`` uses; ratings attach via one broadcast join; DCG and the
+    ideal-ranking normalizer are each one grouped aggregation. Oracle
+    replays ranks, gains, and the IDCG series in SQL."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = EsSearchPlanner(spark, docs)
+    rel = docs.filter("doc_id % 7 = 0").select("doc_id")
+    ratings = None
+    for qk in ("q1", "q2"):
+        r = rel.select(F.lit(qk).alias("qkey"), "doc_id",
+                       F.lit(1).alias("rating"))
+        ratings = r if ratings is None else ratings.unionByName(r)
+    body = {"requests": [
+        {"id": "q1", "request": {"query": {"match": {"text": "hash"}}}},
+        {"id": "q2",
+         "request": {"query": {"match": {"text": "join merge"}}}}],
+        "metric": {"dcg": {"k": 10, "normalize": True}}}
+    return p.rank_eval(body, ratings_df=ratings)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality screen (Wenzek et al. 2020): bigram LM
     with stupid backoff trained on the even-doc_id half of the corpus,
@@ -2757,6 +2782,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "rank_eval_ndcg": q_rank_eval_ndcg,
     "lm_perplexity": q_lm_perplexity,
     "topics_facet": q_topics_facet,
     "phrase_suggest": q_phrase_suggest,
@@ -3012,6 +3038,51 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "rank_eval_ndcg": f"""
+        WITH qt(qkey, term) AS (
+          VALUES ('q1', 'hash'), ('q2', 'join'), ('q2', 'merge')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT qt.qkey, t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY qt.qkey, t.doc_id
+        ),
+        ranked AS (
+          SELECT qkey, doc_id, rnk FROM (
+            SELECT qkey, doc_id, row_number() OVER (
+              PARTITION BY qkey
+              ORDER BY round(score, 4) DESC, doc_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= 10
+        ),
+        dcg AS (
+          SELECT qkey,
+                 sum(CASE WHEN doc_id % 7 = 0
+                          THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+          FROM ranked GROUP BY qkey
+        ),
+        nrel AS (SELECT count(*)::BIGINT AS n FROM documents
+                 WHERE doc_id % 7 = 0),
+        idcg AS (
+          SELECT sum(1.0 / log2(i + 1)) AS idcg
+          FROM (SELECT unnest(generate_series(
+                  1, least(10, (SELECT n FROM nrel)))) AS i)
+        ),
+        perq AS (
+          SELECT qkey AS id,
+                 round(dcg / (SELECT idcg FROM idcg), 6) AS metric_score
+          FROM dcg
+        )
+        SELECT id, metric_score FROM perq
+        UNION ALL
+        SELECT '_overall', round(avg(metric_score), 6) FROM perq
+    """,
     "lm_perplexity": """
         WITH tl AS (
           SELECT doc_id,

@@ -2484,6 +2484,118 @@ class EsSearchPlanner:
                             highlights=highlights,
                             suggestions=suggestions)
 
+    def rank_eval(self, body: dict,
+                  ratings_df: DataFrame | None = None) -> DataFrame:
+        """ES ``_rank_eval`` endpoint twin: evaluate ranked search
+        quality against rated documents. ``body["requests"]`` is the ES
+        shape — each entry has an ``id``, a ``request`` (any supported
+        ``_search`` query), and ``ratings`` ([{_id, rating}]); one
+        ``metric`` per call (``precision`` / ``recall`` /
+        ``mean_reciprocal_rank`` / ``dcg`` [+``normalize`` → NDCG]).
+
+        Returns (id, metric_score) per request plus an ``_overall`` row
+        (the unweighted mean — the ES response's ``metric_score``).
+
+        Scale shape: each request compiles to the same top-k plan
+        ``search`` uses; the per-request frames (≤ k rows each,
+        request-bounded) union once, ratings attach as one broadcast
+        join, and every metric is ONE grouped aggregation. Ranks are
+        deterministic — (round(score, 4) desc, doc_id asc), the
+        engine-wide tie-break. ``ratings_df`` (query_key, doc_id,
+        rating) replaces the literal rating lists for programmatic
+        evaluation at scale."""
+        from dp_search_data_importer_spark.session import local_df
+
+        requests = _as_list(body["requests"])
+        (mkind, mspec), = body["metric"].items()
+        mspec = mspec or {}
+        k = int(mspec.get("k", 10))
+        thr = int(mspec.get("relevant_rating_threshold", 1))
+
+        per_q = []
+        rating_rows = []
+        for req in requests:
+            qid = str(req["id"])
+            topk = self._single_topk(
+                self.score(req["request"]["query"]), k)
+            w = Window.orderBy(F.col("score").desc(),
+                               F.col("doc_id").asc())
+            per_q.append(topk.select(
+                F.lit(qid).alias("qkey"), "doc_id",
+                F.row_number().over(w).alias("rank")))
+            for r in req.get("ratings", []):
+                rating_rows.append((qid, int(r["_id"]),
+                                    int(r["rating"])))
+        ranked = per_q[0]
+        for f_ in per_q[1:]:
+            ranked = ranked.unionByName(f_)
+        if ratings_df is not None:
+            ratings = ratings_df.select(
+                F.col("qkey").cast("string").alias("qkey"),
+                "doc_id", "rating")
+        else:
+            ratings = local_df(
+                self.spark, rating_rows,
+                "qkey string, doc_id long, rating int")
+        rel = F.coalesce(F.col("rating"), F.lit(0)) >= thr
+        j = ranked.join(F.broadcast(ratings), ["qkey", "doc_id"],
+                        "left")
+        if mkind == "precision":
+            out = j.groupBy("qkey").agg(
+                (F.sum(rel.cast("int")) / F.count(F.lit(1)))
+                .alias("metric_score"))
+        elif mkind == "recall":
+            tot = ratings.filter(F.col("rating") >= thr) \
+                .groupBy("qkey").agg(F.count(F.lit(1)).alias("n_rel"))
+            out = (j.groupBy("qkey")
+                   .agg(F.sum(rel.cast("int")).alias("got"))
+                   .join(F.broadcast(tot), "qkey", "left")
+                   .select("qkey", F.when(
+                       F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                       F.col("got") / F.col("n_rel"))
+                       .otherwise(F.lit(0.0)).alias("metric_score")))
+        elif mkind == "mean_reciprocal_rank":
+            out = j.groupBy("qkey").agg(
+                F.coalesce(
+                    1.0 / F.min(F.when(rel, F.col("rank"))),
+                    F.lit(0.0)).alias("metric_score"))
+        elif mkind == "dcg":
+            gain = (F.pow(F.lit(2.0),
+                          F.coalesce(F.col("rating"), F.lit(0))
+                          .cast("double")) - 1.0) \
+                / F.log2(F.col("rank").cast("double") + 1.0)
+            dcg = j.groupBy("qkey").agg(
+                F.sum(gain).alias("metric_score"))
+            if not bool(mspec.get("normalize", False)):
+                out = dcg
+            else:
+                wi = Window.partitionBy("qkey").orderBy(
+                    F.col("rating").desc(), F.col("doc_id").asc())
+                ideal = (ratings
+                         .withColumn("rank", F.row_number().over(wi))
+                         .filter(F.col("rank") <= k)
+                         .groupBy("qkey").agg(F.sum(
+                             (F.pow(F.lit(2.0),
+                                    F.col("rating").cast("double"))
+                              - 1.0)
+                             / F.log2(F.col("rank").cast("double")
+                                      + 1.0)).alias("idcg")))
+                out = (dcg.join(F.broadcast(ideal), "qkey", "left")
+                       .select("qkey", F.when(
+                           F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                           F.col("metric_score") / F.col("idcg"))
+                           .otherwise(F.lit(0.0))
+                           .alias("metric_score")))
+        else:
+            raise EsDslError(f"unsupported rank_eval metric {mkind!r}")
+        per_request = out.select(
+            F.col("qkey").alias("id"),
+            F.round("metric_score", 6).alias("metric_score"))
+        overall = per_request.agg(
+            F.lit("_overall").alias("id"),
+            F.round(F.avg("metric_score"), 6).alias("metric_score"))
+        return per_request.unionByName(overall)
+
     def _project_source(self, hits: DataFrame, body: dict) -> DataFrame:
         """ES response shaping: ``_source`` (true / list / {includes,
         excludes} with trailing-``*`` wildcards) joins the requested

@@ -1989,3 +1989,52 @@ def test_keyword_array_fields(spark, planner):
         "size": 100000}).hits.count()
     assert ov == docs.filter(
         "doc_id % 3 in (1, 2) and doc_id % 10 != 0").count()
+
+
+def test_rank_eval_metrics(spark, planner):
+    """_rank_eval twin: precision@k / recall / MRR / DCG / NDCG against
+    a brute-force replay of the same ranked lists and ratings."""
+    import math
+
+    hits = planner.search({"query": {"match": {"text": "hash"}},
+                           "size": 10}).hits
+    ranked = [r["doc_id"] for r in hits.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).collect()]
+    rated = {d: (1 if d % 7 == 0 else 0) for d in ranked}
+    extra_rel = [d for d in range(0, 5000, 7)][:40]  # rated, not all hit
+    ratings = [{"_id": d, "rating": 1} for d in set(
+        [d for d in rated if rated[d]] + extra_rel)]
+    reqs = [{"id": "q1", "request": {"query": {"match": {"text":
+            "hash"}}}, "ratings": ratings}]
+
+    def run(metric):
+        rows = planner.rank_eval(
+            {"requests": reqs, "metric": metric}).collect()
+        return {r["id"]: r["metric_score"] for r in rows}
+
+    rel_ids = {r["_id"] for r in ratings}
+    rel_flags = [1 if d in rel_ids else 0 for d in ranked]
+
+    p = run({"precision": {"k": 10}})
+    assert abs(p["q1"] - sum(rel_flags) / len(ranked)) < 1e-9
+    assert p["_overall"] == p["q1"]
+
+    rec = run({"recall": {"k": 10}})
+    assert abs(rec["q1"] - sum(rel_flags) / len(rel_ids)) < 1e-9
+
+    mrr = run({"mean_reciprocal_rank": {}})
+    first = next((i + 1 for i, f in enumerate(rel_flags) if f), None)
+    assert abs(mrr["q1"] - (1.0 / first if first else 0.0)) < 1e-9
+
+    dcg = run({"dcg": {"k": 10}})
+    want = sum((2 ** f - 1) / math.log2(i + 2)
+               for i, f in enumerate(rel_flags))
+    assert abs(dcg["q1"] - round(want, 6)) < 1e-9
+
+    ndcg = run({"dcg": {"k": 10, "normalize": True}})
+    ideal = sum((2 ** 1 - 1) / math.log2(i + 2)
+                for i in range(min(10, len(rel_ids))))
+    assert abs(ndcg["q1"] - round(round(want, 6) / ideal, 6)) < 2e-6
+
+    with pytest.raises(EsDslError):
+        run({"expected_reciprocal_rank": {}})
