@@ -677,3 +677,69 @@ def lm_perplexity(docs: DataFrame, unigrams: DataFrame,
         F.round(F.pow(F.lit(10.0),
                       -F.col("log10_prob") / F.col("n_bigrams")),
                 4).alias("ppl"))
+
+
+def hashed_tfidf_sparse(docs: DataFrame, dim: int = 128,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashed TF-IDF doc vectors, sparse form — the hashing
+    trick (Weinberger et al. 2009; sklearn HashingVectorizer): bucket =
+    md5-derived uniform hash of the term mod ``dim`` (md5 so ANY engine
+    reproduces the same buckets — the stratified_sample trick), value =
+    Σ tf · idf with the smooth idf ln((N+1)/(df+1))+1. Returns
+    (doc_id, bucket, value) — value rounded to 6 dp for cross-engine
+    replay.
+
+    Scale shape: tf explodes once; df is the same two-phase hash agg the
+    postings build uses; the 1-row stats frame broadcasts; bucketing is
+    a projection; ONE (doc_id, bucket) hash agg ends the plan. No
+    vocabulary table, no driver state — the whole point of the hashing
+    trick at corpus scale."""
+    from dp_search_data_importer_spark.operators.postings import (
+        term_freqs_sql,
+    )
+
+    tf = term_freqs_sql(docs, id_col=id_col, text_col=text_col) \
+        .select(F.col(id_col).alias("doc_id"), "term", "tf")
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+              .cast("long") % dim)
+    idf = F.log((F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1))) + F.lit(1.0)
+    j = (tf.join(dfs, "term").join(F.broadcast(stats))
+         .select("doc_id", bucket.alias("bucket"),
+                 (F.col("tf").cast("double") * idf).alias("v")))
+    return (j.groupBy("doc_id", "bucket")
+            .agg(F.round(F.sum("v"), 6).alias("value")))
+
+
+def hashed_tfidf(docs: DataFrame, dim: int = 128, *,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 normalize: bool = True) -> DataFrame:
+    """Dense form of :func:`hashed_tfidf_sparse` — (doc_id, vector
+    array<double> of length ``dim``), L2-normalized by default so the
+    vectors drop straight into the cosine/ANN machinery
+    (``operators/similarity``: cosine_topk, write_ann_index,
+    write_ivf_index, …). Assembly is one collect_list per doc (bounded
+    by ``dim`` entries) + a JVM-side sequence/coalesce transform — no
+    Python, no UDF."""
+    sparse = hashed_tfidf_sparse(docs, dim, text_col=text_col,
+                                 id_col=id_col)
+    m = (sparse.groupBy("doc_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("bucket", "value"))).alias("m")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("long")),
+                             F.lit(0.0)))
+    out = m.select("doc_id", vec.alias("vector"))
+    if not normalize:
+        return out
+    norm = F.sqrt(F.aggregate(
+        "vector", F.lit(0.0), lambda acc, x: acc + x * x))
+    return out.select(
+        "doc_id",
+        F.transform("vector",
+                    lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        .alias("vector"))

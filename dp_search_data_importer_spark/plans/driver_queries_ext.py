@@ -2629,6 +2629,20 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+def q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF doc vectors (sparse form): the hashing
+    trick — md5-derived bucket mod 64, value = Σ tf·(ln((N+1)/(df+1))+1)
+    — no vocabulary table, no driver state; tf/df are the same hash
+    aggs the postings build uses. The dense/L2 form feeds the ANN
+    stores (pytest-covered). Oracle replays buckets and idf in SQL."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        hashed_tfidf_sparse,
+    )
+
+    return hashed_tfidf_sparse(load_table(spark, sf_dir, "documents"),
+                               dim=64)
+
+
 def q_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_rank_eval`` twin: NDCG@10 for two match requests, ratings
     supplied as a DataFrame (the programmatic at-scale form — rating 1
@@ -2782,6 +2796,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "hashed_tfidf": q_hashed_tfidf,
     "rank_eval_ndcg": q_rank_eval_ndcg,
     "lm_perplexity": q_lm_perplexity,
     "topics_facet": q_topics_facet,
@@ -3038,6 +3053,21 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "hashed_tfidf": f"""
+        WITH {_BM25_CORPUS_SQL},
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        b AS (
+          SELECT t.doc_id,
+                 ('0x' || substr(md5(t.term), 1, 8))::UBIGINT % 64
+                   AS bucket,
+                 t.tf * (ln((n.n_docs + 1)::DOUBLE / (d.df + 1))
+                         + 1.0) AS v
+          FROM tf t JOIN dfs d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, bucket::BIGINT AS bucket,
+               round(sum(v), 6) AS value
+        FROM b GROUP BY doc_id, bucket
+    """,
     "rank_eval_ndcg": f"""
         WITH qt(qkey, term) AS (
           VALUES ('q1', 'hash'), ('q2', 'join'), ('q2', 'merge')),

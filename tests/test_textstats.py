@@ -418,3 +418,40 @@ def test_lm_perplexity_matches_python_and_prunes(spark):
         lp, ppl = ref(pairs, Counter(exp_kept))
         assert abs(got2[d]["log10_prob"] - lp) < 1e-9, d
         assert abs(got2[d]["ppl"] - ppl) < 1e-9, d
+
+
+def test_hashed_tfidf_dense_feeds_cosine(spark):
+    """Dense hashed-TF-IDF vectors are L2-normalized, length-dim, match
+    the sparse form, and drop into the cosine machinery (self-NN
+    first — the featurize→ANN loop)."""
+    from dp_search_data_importer_spark.operators import textstats as ts
+    from dp_search_data_importer_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [(i, f"doc {i % 5} common tok{i % 3} filler") for i in
+            range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 16
+    dense = ts.hashed_tfidf(docs, dim=dim)
+    got = {r["doc_id"]: r["vector"] for r in dense.collect()}
+    assert all(len(v) == dim for v in got.values())
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    sparse = {(r["doc_id"], r["bucket"]): r["value"]
+              for r in ts.hashed_tfidf_sparse(docs, dim=dim).collect()}
+    import math
+    for (d, b), val in sparse.items():
+        norm = math.sqrt(sum(
+            v * v for (dd, _), v in sparse.items() if dd == d))
+        assert abs(got[d][b] - val / norm) < 1e-6
+
+    vecs = dense.withColumnRenamed("doc_id", "vec_id") \
+        .withColumnRenamed("vector", "embedding")
+    q = got[7]
+    top = cosine_topk(vecs, q, k=3).collect()
+    assert top[0]["vec_id"] in {d for d in got
+                                if got[d] == q} and 7 in {
+        r["vec_id"] for r in top}
+    assert top[0]["cosine"] == 1.0
