@@ -2629,6 +2629,14 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_mget`` twin: fetch by id with ``_source`` filtering — a
+    literal IN predicate pushed into the parquet scan plus the shared
+    response-shaping join."""
+    return _dsl_planner(spark, sf_dir).mget(
+        [3, 7, 11, 400, 999999], source=["lang", "n_chars"])
+
+
 def q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed TF-IDF doc vectors (sparse form): the hashing
     trick — md5-derived bucket mod 64, value = Σ tf·(ln((N+1)/(df+1))+1)
@@ -2796,6 +2804,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "mget_docs": q_mget_docs,
     "hashed_tfidf": q_hashed_tfidf,
     "rank_eval_ndcg": q_rank_eval_ndcg,
     "lm_perplexity": q_lm_perplexity,
@@ -3053,6 +3062,10 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "mget_docs": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (3, 7, 11, 400, 999999)
+    """,
     "hashed_tfidf": f"""
         WITH {_BM25_CORPUS_SQL},
         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),

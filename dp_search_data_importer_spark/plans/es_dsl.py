@@ -2484,6 +2484,20 @@ class EsSearchPlanner:
                             highlights=highlights,
                             suggestions=suggestions)
 
+    def mget(self, ids: list[int],
+             source=None) -> DataFrame:
+        """ES ``_mget`` twin: fetch documents by id. ``source`` follows
+        the ``_source`` shapes (true / list / {includes, excludes});
+        default returns every doc column (the _mget contract — unlike
+        ``search``, _mget exists to read documents). A literal IN
+        predicate on the id column — pushed into the scan."""
+        out = self.docs.filter(
+            F.col(self.id_col).isin([int(i) for i in ids]))
+        if source is None or source is True:
+            return out
+        hits = out.select(F.col(self.id_col).alias("doc_id"))
+        return self._project_source(hits, {"_source": source})
+
     def rank_eval(self, body: dict,
                   ratings_df: DataFrame | None = None) -> DataFrame:
         """ES ``_rank_eval`` endpoint twin: evaluate ranked search

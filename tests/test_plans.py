@@ -226,3 +226,22 @@ def test_field_collapse_final_rank_is_two_phase(spark):
             expect.add((qid, did, grp, -negs))
     got = {(r["query_id"], r["doc_id"], r["grp"], r["score"]) for r in rows}
     assert got == expect
+
+
+def test_lm_perplexity_broadcasts_small_lm(spark, sf_dir):
+    """Under the size gate the LM attaches via broadcast hash joins —
+    no sort-merge on the scoring path."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs)
+    plan = lm_perplexity(docs, uni, bi) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
