@@ -743,3 +743,52 @@ def hashed_tfidf(docs: DataFrame, dim: int = 128, *,
         F.transform("vector",
                     lambda x: x / F.greatest(norm, F.lit(1e-12)))
         .alias("vector"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tokens: int = 1) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-length chunking pass of a pretraining/RAG data pipeline.
+    Returns (doc_id, chunk_id, start_tok, n_tokens, chunk_text):
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final window is the shorter
+    tail (kept when ≥ ``min_tokens``). Chunk text re-joins the analyzed
+    tokens with single spaces — the downstream ops (dedup, LM,
+    hashing, embedding) all consume the same analyzer output, so
+    chunking composes with every existing screen.
+
+    Pure Catalyst: tokenize → sequence of window starts → ONE explode →
+    slice/concat_ws projections. Zero Python, zero joins, zero
+    shuffles; output size is corpus tokens ÷ stride, linear and
+    partition-local."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        tokenize_expr,
+    )
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize_expr(F.col(text_col)).alias("t"))
+    n = F.size("t")
+    # window starts: 0, stride, 2·stride, …, last start < n (so a doc
+    # shorter than chunk_tokens still yields its single tail chunk)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)).cast("double")
+                   / F.lit(stride)).cast("long") * F.lit(stride),
+            F.lit(0)),
+        F.lit(stride))
+    ch = (t.filter(n >= F.lit(min_tokens))
+          .select("doc_id", "t", F.explode(starts).alias("start")))
+    piece = F.slice(F.col("t"), F.col("start") + 1, F.lit(chunk_tokens))
+    return (ch.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))
+        .filter(F.col("n_tokens") >= min_tokens))

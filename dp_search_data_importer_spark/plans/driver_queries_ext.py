@@ -2629,6 +2629,20 @@ RT_BODY = {"runtime_mappings": {"kchars": {
                                         "interval": 1}}}}
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking (pretraining/RAG prep): 32-token windows
+    with 8-token overlap, tail kept — tokenize → sequence of window
+    starts → ONE explode → slice/concat_ws. Zero joins/shuffles; output
+    linear in corpus tokens ÷ stride. Oracle replays windows and slices
+    with DuckDB list arithmetic."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
 def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_mget`` twin: fetch by id with ``_source`` filtering — a
     literal IN predicate pushed into the parquet scan plus the shared
@@ -2804,6 +2818,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "chunk_documents": q_chunk_documents,
     "mget_docs": q_mget_docs,
     "hashed_tfidf": q_hashed_tfidf,
     "rank_eval_ndcg": q_rank_eval_ndcg,
@@ -3062,6 +3077,30 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "chunk_documents": """
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0,
+                   greatest((ceil((len(t) - 32)::DOUBLE / 24)::BIGINT)
+                            * 24, 0), 24)) AS s
+          FROM tl WHERE len(t) >= 1
+        ),
+        c AS (
+          SELECT doc_id, (s / 24)::BIGINT AS chunk_id,
+                 s::BIGINT AS start_tok, t[s + 1 : s + 32] AS piece
+          FROM st
+        )
+        SELECT doc_id, chunk_id, start_tok,
+               len(piece)::BIGINT AS n_tokens,
+               array_to_string(piece, ' ') AS chunk_text
+        FROM c WHERE len(piece) >= 1
+    """,
     "mget_docs": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id IN (3, 7, 11, 400, 999999)

@@ -455,3 +455,40 @@ def test_hashed_tfidf_dense_feeds_cosine(spark):
                                 if got[d] == q} and 7 in {
         r["vec_id"] for r in top}
     assert top[0]["cosine"] == 1.0
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk windows: full coverage with the configured overlap, tail
+    kept, short docs yield one chunk, empty docs drop, overlap >=
+    chunk rejected."""
+    import pytest as _pytest
+
+    from dp_search_data_importer_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11))),
+         (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    rows = ts.chunk_documents(docs, chunk_tokens=4, overlap=1) \
+        .orderBy("doc_id", "chunk_id").collect()
+    got = [(r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"],
+            r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 3, 4, "w3 w4 w5 w6"),
+        (1, 2, 6, 4, "w6 w7 w8 w9"),
+        (1, 3, 9, 2, "w9 w10"),
+        (2, 0, 0, 2, "a b"),
+    ]
+    # every token appears in some chunk; consecutive chunks overlap
+    toks = [f"w{i}" for i in range(11)]
+    covered = set()
+    for _, _, s, n, _ in got[:4]:
+        covered |= set(toks[s:s + n])
+    assert covered == set(toks)
+    plan = ts.chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    with _pytest.raises(ValueError):
+        ts.chunk_documents(docs, chunk_tokens=4, overlap=4)
