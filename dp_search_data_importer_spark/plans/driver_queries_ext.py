@@ -2643,6 +2643,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_tokens=32, overlap=8)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof: context-length chunks flow through the exact
+    dedup screen unchanged (chunk key = doc_id·2²⁰ + chunk_id — chunk
+    counts are bounded by doc length ÷ stride, far under 2²⁰). The
+    repeated-window groups this finds are the chunk-level analogue of
+    document dedup in a pretraining pipeline."""
+    from dp_search_data_importer_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+    from dp_search_data_importer_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"),
+                             chunk_tokens=32, overlap=8)
+    keyed = chunks.withColumn(
+        "cid", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id"))
+    return exact_duplicate_groups(keyed, text_col="chunk_text",
+                                  id_col="cid")
+
+
 def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_mget`` twin: fetch by id with ``_source`` filtering — a
     literal IN predicate pushed into the parquet scan plus the shared
@@ -2818,6 +2839,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "chunk_dedup": q_chunk_dedup,
     "chunk_documents": q_chunk_documents,
     "mget_docs": q_mget_docs,
     "hashed_tfidf": q_hashed_tfidf,
@@ -3077,6 +3099,30 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "chunk_dedup": """
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0,
+                   greatest((ceil((len(t) - 32)::DOUBLE / 24)::BIGINT)
+                            * 24, 0), 24)) AS s
+          FROM tl WHERE len(t) >= 1
+        ),
+        c AS (
+          SELECT doc_id * 1048576 + (s / 24)::BIGINT AS cid,
+                 array_to_string(t[s + 1 : s + 32], ' ') AS ctext
+          FROM st WHERE len(t[s + 1 : s + 32]) >= 1
+        )
+        SELECT md5(ctext) AS content_hash,
+               count(*)::BIGINT AS n_dups,
+               min(cid)::BIGINT AS keep_doc_id
+        FROM c GROUP BY md5(ctext) HAVING count(*) > 1
+    """,
     "chunk_documents": """
         WITH tl AS (
           SELECT doc_id,
