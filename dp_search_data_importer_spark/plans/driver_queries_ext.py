@@ -2643,6 +2643,32 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_tokens=32, overlap=8)
 
 
+def q_es_dsl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``nested`` query through the ``_search`` planner (round-5
+    close of the last documented query-DSL divergence): same
+    deterministic dimensions synthesis as ``nested_dimension_search``,
+    compiled to an F.exists element lambda inside a bool filter —
+    hits where SOME dimension struct matches (name=dim2 AND label=l4),
+    scored by the must match clause."""
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    docs = load_table(spark, sf_dir, "documents")
+    mk = lambda noff, loff: F.struct(
+        F.concat(F.lit("dim"), F.pmod(F.col("doc_id") + noff, F.lit(5))
+                 .cast("string")).alias("name"),
+        F.concat(F.lit("l"), F.pmod(F.col("doc_id") + loff, F.lit(7))
+                 .cast("string")).alias("label"))
+    docs = docs.withColumn("dimensions", F.array(mk(0, 0), mk(1, 3)))
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"nested": {"path": "dimensions", "query": {"bool": {
+            "must": [{"term": {"dimensions.name": "dim2"}},
+                     {"term": {"dimensions.label": "l4"}}]}}}}]}},
+        "size": 10}
+    return EsSearchPlanner(spark, docs).search(body).hits \
+        .select("doc_id", "score")
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition proof: context-length chunks flow through the exact
     dedup screen unchanged (chunk key = doc_id·2²⁰ + chunk_id — chunk
@@ -2839,6 +2865,7 @@ def q_runtime_field_search(spark: SparkSession,
 
 
 EXT_QUERIES = {
+    "es_dsl_nested": q_es_dsl_nested,
     "chunk_dedup": q_chunk_dedup,
     "chunk_documents": q_chunk_documents,
     "mget_docs": q_mget_docs,
@@ -3099,6 +3126,38 @@ _HITS_HASH_SQL = """
 """
 
 EXT_ORACLES = {
+    "es_dsl_nested": f"""
+        WITH qt(term) AS (VALUES ('hash')),
+        {_BM25_CORPUS_SQL},
+        scored AS (
+          SELECT t.doc_id,
+                 sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * dd.dl / s.avgdl))) AS score
+          FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+          JOIN dl_docs dd ON t.doc_id = dd.doc_id
+          CROSS JOIN stats s
+          GROUP BY t.doc_id
+        ),
+        dims AS (
+          SELECT doc_id,
+                 [{{'name': 'dim' || ((doc_id % 5))::VARCHAR,
+                   'label': 'l' || ((doc_id % 7))::VARCHAR}},
+                  {{'name': 'dim' || (((doc_id + 1) % 5))::VARCHAR,
+                   'label': 'l' || (((doc_id + 3) % 7))::VARCHAR}}]
+                   AS dims
+          FROM documents
+        ),
+        allowed AS (
+          SELECT doc_id FROM dims
+          WHERE len(list_filter(dims,
+                x -> x.name = 'dim2' AND x.label = 'l4')) > 0
+        )
+        SELECT sc.doc_id, round(sc.score, 4) AS score
+        FROM scored sc JOIN allowed a USING (doc_id)
+        ORDER BY round(sc.score, 4) DESC, sc.doc_id ASC LIMIT 10
+    """,
     "chunk_dedup": """
         WITH tl AS (
           SELECT doc_id,

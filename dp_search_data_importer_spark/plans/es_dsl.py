@@ -50,8 +50,11 @@ Documented divergences (each chosen for scale-sane Spark semantics):
 - prefix/wildcard/regexp/fuzzy rewrite to the expanded OR-term set and
   BM25-score it (ES ``rewrite: scoring_boolean``), with the same
   df-desc/term-asc ``max_expansions`` cap as ``plans/query.expand_terms``.
-- ``nested`` is not compiled (the contract query ``nested_dimension_search``
-  covers the operator); requests containing it raise ``EsDslError``.
+- ``nested`` compiles in FILTER context to an ``F.exists`` higher-order
+  element lambda (term/terms/range/exists + bool composition on element
+  fields — no explode, no shuffle); scoring context applies the
+  constant_score fallback (ES score_mode reductions over inner hits are
+  not reproduced).
 
 Scale shape: a request has a BOUNDED clause count, so the plan is a
 bounded composition of scans the planner memoizes per field (one tf/dfs/
@@ -1187,6 +1190,89 @@ class EsSearchPlanner:
         if self._is_array(field):
             # ES: an empty array is a missing value
             pred = pred & (F.size(F.col(field)) > 0)
+        return (self.docs.filter(pred)
+                .select(F.col(self.id_col).alias("doc_id")))
+
+    def _nested_elem_pred(self, path: str, node: dict, x):
+        """Element-level predicate for a ``nested`` query: compile the
+        inner query node against ONE array element ``x`` (term / terms /
+        range / exists on ``path.field`` names, composed with bool
+        must/filter=AND, should=OR [minimum_should_match int],
+        must_not=NOT). Runs as a Catalyst higher-order lambda — no
+        explode, no shuffle."""
+        (kind, spec), = node.items()
+
+        def strip(f: str):
+            return f[len(path) + 1:] if f.startswith(path + ".") else f
+
+        if kind == "bool":
+            clauses = [
+                self._nested_elem_pred(path, n, x)
+                for n in (_as_list(spec.get("must", []))
+                          + _as_list(spec.get("filter", [])))]
+            pred = F.lit(True)
+            for c in clauses:
+                pred = pred & c
+            shoulds = [self._nested_elem_pred(path, n, x)
+                       for n in _as_list(spec.get("should", []))]
+            if shoulds:
+                msm = int(spec.get("minimum_should_match",
+                                   0 if clauses else 1))
+                if msm <= 1:
+                    s_or = F.lit(False)
+                    for c in shoulds:
+                        s_or = s_or | c
+                    pred = pred & s_or if msm == 1 else pred
+                else:
+                    n_match = None
+                    for c in shoulds:
+                        t = c.cast("int")
+                        n_match = t if n_match is None else n_match + t
+                    pred = pred & (n_match >= F.lit(msm))
+            for n in _as_list(spec.get("must_not", [])):
+                pred = pred & ~self._nested_elem_pred(path, n, x)
+            return pred
+        if kind in ("term", "terms"):
+            (field, v), = [(k_, v_) for k_, v_ in spec.items()
+                           if k_ != "boost"]
+            if isinstance(v, dict):
+                v = v.get("value")
+            if kind == "terms":
+                return x[strip(field)].isin(list(_as_list(v)))
+            return x[strip(field)] == F.lit(v)
+        if kind == "range":
+            (field, params), = [(k_, v_) for k_, v_ in spec.items()
+                                if k_ != "boost"]
+            c = x[strip(field)]
+            pred = F.lit(True)
+            for op, fn in (("gte", c.__ge__), ("gt", c.__gt__),
+                           ("lte", c.__le__), ("lt", c.__lt__)):
+                if op in params:
+                    pred = pred & fn(F.lit(params[op]))
+            return pred
+        if kind == "exists":
+            return x[strip(spec["field"])].isNotNull()
+        raise EsDslError(f"unsupported nested inner query {kind!r}")
+
+    def _match_nested(self, spec: dict) -> DataFrame:
+        """ES ``nested`` query over an array-of-struct column (the
+        reference's ``dimensions``, models/elastic.go / schema/
+        schema.go:41-51): a doc matches when SOME element satisfies the
+        inner compound predicate on the ELEMENT's own fields — never a
+        cross-element AND, the defining nested semantics. Compiled to
+        ``F.exists`` with a higher-order element lambda: no explode, no
+        shuffle, one scan. Scoring context takes the constant_score
+        fallback (ES score_mode reductions over inner hits are not
+        reproduced — documented)."""
+        path = spec["path"]
+        t = dict(self.docs.dtypes).get(path, "")
+        if not t.startswith("array<struct"):
+            raise EsDslError(
+                f"nested path {path!r} is not an array-of-struct "
+                f"column (got {t or 'missing'})")
+        pred = F.exists(
+            F.col(path),
+            lambda x: self._nested_elem_pred(path, spec["query"], x))
         return (self.docs.filter(pred)
                 .select(F.col(self.id_col).alias("doc_id")))
 

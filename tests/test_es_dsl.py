@@ -2038,3 +2038,54 @@ def test_rank_eval_metrics(spark, planner):
 
     with pytest.raises(EsDslError):
         run({"expected_reciprocal_rank": {}})
+
+
+def test_nested_query_compiles(spark, planner):
+    """nested query in the planner ≡ the higher-order operator form:
+    SOME element satisfies the compound predicate (never cross-element
+    AND); bool composition and must_not work at element level."""
+    from dp_search_data_importer_spark.plans.es_dsl import (
+        EsSearchPlanner,
+    )
+
+    mk = lambda noff, loff: F.struct(
+        F.concat(F.lit("dim"), F.pmod(F.col("doc_id") + noff, F.lit(5))
+                 .cast("string")).alias("name"),
+        F.concat(F.lit("l"), F.pmod(F.col("doc_id") + loff, F.lit(7))
+                 .cast("string")).alias("label"))
+    docs = planner.docs.withColumn("dimensions",
+                                   F.array(mk(0, 0), mk(1, 3)))
+    p = EsSearchPlanner(spark, docs)
+    body = {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"nested": {"path": "dimensions", "query": {"bool": {
+            "must": [{"term": {"dimensions.name": "dim2"}},
+                     {"term": {"dimensions.label": "l4"}}]}}}}]}},
+        "size": 100000}
+    got = {r["doc_id"] for r in p.search(body).hits.collect()}
+    exp = {r["doc_id"] for r in docs.filter(F.exists(
+        "dimensions", lambda x: (x["name"] == F.lit("dim2"))
+        & (x["label"] == F.lit("l4")))).collect()}
+    assert got == exp and got
+    # cross-element AND must NOT match: no single element has both
+    # name=dim2 and name=dim3
+    none = p.search({"query": {"bool": {"filter": [{"nested": {
+        "path": "dimensions", "query": {"bool": {
+            "must": [{"term": {"dimensions.name": "dim2"}},
+                     {"term": {"dimensions.name": "dim3"}}]}}}}],
+        "must": [{"match_all": {}}]}}, "size": 10}).hits.count()
+    assert none == 0
+    # must_not at element level
+    mn = {r["doc_id"] for r in p.search({"query": {"bool": {"filter": [
+        {"nested": {"path": "dimensions", "query": {"bool": {
+            "must": [{"term": {"dimensions.name": "dim2"}}],
+            "must_not": [{"term": {"dimensions.label": "l4"}}]}}}}],
+        "must": [{"match_all": {}}]}}, "size": 100000}).hits.collect()}
+    exp_mn = {r["doc_id"] for r in docs.filter(F.exists(
+        "dimensions", lambda x: (x["name"] == F.lit("dim2"))
+        & (x["label"] != F.lit("l4")))).collect()}
+    assert mn == exp_mn
+    with pytest.raises(EsDslError):
+        p.search({"query": {"bool": {"filter": [{"nested": {
+            "path": "lang", "query": {"match_all": {}}}}],
+            "must": [{"match_all": {}}]}}, "size": 1})
