@@ -103,11 +103,28 @@ finally:
 """
 
 
+# --shm mode: every byte of I/O (corpus scan, shuffle spill, worker dirs,
+# index output) goes to tmpfs, removing the shared virtio DISK from the
+# measurement entirely. What remains shared across executors is only the
+# memory bus — the one resource this single-host sandbox cannot split. The
+# delta between --shm and disk-backed runs is therefore a direct measurement
+# of the disk's share of the 2→4-executor efficiency decay (BENCH/ANALYSIS
+# round-4 hypothesis).
+SCALE_TMP = os.environ.get("SCALE_TMP", "")
+
+
+def _tmpbase() -> str:
+    if SCALE_TMP:
+        os.makedirs(SCALE_TMP, exist_ok=True)
+        return SCALE_TMP
+    return tempfile.gettempdir()
+
+
 def make_corpus(n_docs: int) -> str:
     """Materialize the shared corpus parquet once (full host, unpinned)."""
     import tempfile
 
-    src = os.path.join(tempfile.gettempdir(), f"scale_corpus_{n_docs}")
+    src = os.path.join(_tmpbase(), f"scale_corpus_{n_docs}")
     if os.path.exists(os.path.join(src, "_SUCCESS")):
         return src
     gen = (
@@ -221,7 +238,13 @@ class Standalone:
             raise RuntimeError("standalone master did not come up")
         for i, cpus in enumerate(self.cpusets):
             wenv = dict(env)
-            wenv["SPARK_WORKER_DIR"] = tempfile.mkdtemp(prefix=f"sw{i}_")
+            wenv["SPARK_WORKER_DIR"] = tempfile.mkdtemp(
+                prefix=f"sw{i}_", dir=SCALE_TMP or None)
+            if SCALE_TMP:
+                # executors inherit SPARK_LOCAL_DIRS from their worker —
+                # this is what moves shuffle/spill I/O onto tmpfs
+                wenv["SPARK_LOCAL_DIRS"] = tempfile.mkdtemp(
+                    prefix=f"sl{i}_", dir=SCALE_TMP)
             self.procs.append(subprocess.Popen(
                 ["taskset", "-c", cpus, sc,
                  "org.apache.spark.deploy.worker.Worker",
@@ -269,9 +292,15 @@ def run_standalone_once(n_workers: int, n_docs: int, src_dir: str,
         "spark.executorEnv.PYSPARK_PYTHON": sys.executable,
     }
     code = WORKER.format(repo=REPO)
+    if SCALE_TMP:
+        conf["spark.local.dir"] = os.path.join(SCALE_TMP, "driver_local")
     with Standalone(cpusets) as master_url:
         env = dict(os.environ)
         env["SCALE_CONF_JSON"] = json.dumps(conf)
+        if SCALE_TMP:
+            # the worker script's tempfile.mkdtemp (index out dir) follows
+            # TMPDIR — index shards get written to tmpfs too
+            env["TMPDIR"] = SCALE_TMP
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "-c", code, master_url, str(total),
@@ -296,16 +325,26 @@ def main_standalone() -> None:
     args = [a for a in sys.argv[2:]]
     n_docs = int(args[0]) if args else 60000
     repeats = int(args[1]) if len(args) > 1 else 2
+    # worker counts: 1,2,4 by default (the 2-worker midpoint localizes the
+    # decay — round 4 showed 1→2 at 0.78-0.82 with all loss in 2→4).
+    workers = ([int(w) for w in args[2].split(",")] if len(args) > 2
+               else [1, 2, 4])
     src_dir = make_corpus(n_docs)
-    out: dict = {"n_docs": n_docs, "mode": "standalone"}
+    out: dict = {"n_docs": n_docs, "mode": "standalone",
+                 "tmpfs": bool(SCALE_TMP), "workers": workers}
     for dataflow in ("spill", "fused"):
-        r1 = run_standalone(1, n_docs, src_dir, dataflow, repeats)
-        r4 = run_standalone(4, n_docs, src_dir, dataflow, repeats)
-        eff = (r4["docs_per_sec"] / r1["docs_per_sec"]) / 4
-        out[dataflow] = {"workers_1x8": r1, "workers_4x8": r4,
-                         "scaling_efficiency": round(eff, 3)}
-        print(json.dumps({dataflow: out[dataflow]}, indent=2))
-    path = os.path.join(REPO, "BENCH", "standalone.json")
+        runs = {w: run_standalone(w, n_docs, src_dir, dataflow, repeats)
+                for w in workers}
+        base = runs[workers[0]]["docs_per_sec"]
+        sect: dict = {}
+        for w in workers:
+            sect[f"workers_{w}x8"] = runs[w]
+            sect[f"eff_1_to_{w}"] = round(
+                (runs[w]["docs_per_sec"] / base) / (w / workers[0]), 3)
+        out[dataflow] = sect
+        print(json.dumps({dataflow: sect}, indent=2))
+    name = "standalone_shm.json" if SCALE_TMP else "standalone.json"
+    path = os.path.join(REPO, "BENCH", name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
