@@ -792,3 +792,104 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"))
         .filter(F.col("n_tokens") >= min_tokens))
+
+
+def global_exclusive_cumsum(df: DataFrame, order_col: str, val_col: str,
+                            out_col: str = "cum",
+                            num_partitions: int | None = None) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
+    order — the two-phase scan (Blelloch 1990): range-repartition on the
+    order column, a partition-LOCAL running sum (window partitioned by
+    ``spark_partition_id`` — never a global single-task window), then one
+    tiny per-partition-totals aggregation whose exclusive cumsum joins
+    back as a broadcast offset table. The driver state is one row per
+    partition (bounded by cluster config, thousands at 100 TB — never by
+    data size); the per-partition totals reuse the repartition shuffle
+    (the second action's scan stage is skipped).
+
+    Requires ``order_col`` values to be unique (ties straddling a range
+    boundary would make "exclusive" ambiguous); ``val_col`` must be
+    non-null. Deterministic for a given input regardless of input
+    partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = (df.repartitionByRange(num_partitions, F.col(order_col))
+         .withColumn("_pid", F.spark_partition_id()))
+    tots = (p.groupBy("_pid")
+            .agg(F.sum(F.col(val_col)).cast("long").alias("_tot"),
+                 F.min(F.col(order_col)).alias("_lo"))
+            .collect())
+    tots.sort(key=lambda r: r["_lo"])
+    offs, acc = [], 0
+    for r in tots:
+        offs.append((r["_pid"], acc))
+        acc += r["_tot"]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (p.withColumn("_incl", F.sum(F.col(val_col)).over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col,
+                        (F.col("_off") + F.col("_incl")
+                         - F.col(val_col)).cast("long"))
+            .drop("_pid", "_incl", "_off"))
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int = 2048, *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   split_docs: bool = True,
+                   min_tokens: int = 1) -> DataFrame:
+    """Sequence packing — the pretraining batch-prep pass that follows
+    chunking/dedup: concatenate the corpus in deterministic ``doc_id``
+    order and cut it into fixed ``seq_tokens`` context windows (the
+    GPT-style concat-and-split packing; every window except the last is
+    exactly full, documents cross window boundaries).
+
+    ``split_docs=True`` (the packing semantics) returns one row per
+    (sequence, document) piece: ``(seq_id, doc_id, start_tok,
+    doc_tok_start, piece_tokens)`` — ``start_tok`` is the document's
+    global concat offset, ``doc_tok_start`` the piece's offset inside
+    the document, and a document straddling k boundaries yields k+1
+    contiguous pieces that partition its tokens. ``split_docs=False``
+    is the whole-document variant (no splitting: each doc lands in the
+    window its first token falls in — windows may overflow by one doc;
+    the best-effort mode for instruction-tuning corpora where documents
+    must stay intact): ``(seq_id, doc_id, start_tok, n_tokens)``.
+
+    Dataflow: token counts are one projection (no text shuffled — only
+    (id, count) rows move); the global offset is
+    :func:`global_exclusive_cumsum` (two-phase scan, no single-task
+    window); window membership is pure arithmetic, with the straddle
+    explode bounded by n_tokens/seq_tokens pieces per doc. Linear,
+    shuffle count = 1 (the range repartition).
+    """
+    if seq_tokens < 1:
+        raise ValueError("seq_tokens must be positive")
+    t = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.size(tokenize_expr(F.col(text_col)))
+                     .cast("long").alias("n_tokens"))
+         .filter(F.col("n_tokens") >= F.lit(min_tokens)))
+    c = global_exclusive_cumsum(t, "doc_id", "n_tokens", "start_tok")
+    cap = F.lit(int(seq_tokens))
+    first = F.floor(F.col("start_tok") / cap).cast("long")
+    if not split_docs:
+        return c.select(first.alias("seq_id"), "doc_id", "start_tok",
+                        "n_tokens")
+    last = F.floor((F.col("start_tok") + F.col("n_tokens") - 1)
+                   / cap).cast("long")
+    ex = c.select(
+        "doc_id", "start_tok", "n_tokens",
+        F.explode(F.sequence(first, last)).alias("seq_id"))
+    p_start = F.greatest(F.col("start_tok"), F.col("seq_id") * cap)
+    p_end = F.least(F.col("start_tok") + F.col("n_tokens"),
+                    (F.col("seq_id") + 1) * cap)
+    return ex.select(
+        "seq_id", "doc_id", "start_tok",
+        (p_start - F.col("start_tok")).cast("long")
+        .alias("doc_tok_start"),
+        (p_end - p_start).cast("long").alias("piece_tokens"))

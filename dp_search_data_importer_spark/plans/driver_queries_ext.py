@@ -5845,3 +5845,50 @@ def _match_phrase_prefix_sql() -> str:
 
 
 EXT_ORACLES["match_phrase_prefix"] = _match_phrase_prefix_sql()
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining batch prep): concatenate the corpus
+    in doc_id order and cut exact 256-token context windows — documents
+    crossing a boundary split into contiguous pieces. The global concat
+    offset comes from a two-phase distributed prefix sum
+    (``textstats.global_exclusive_cumsum``: partition-local running sums
+    + a broadcast per-partition offset table — no single-task window).
+    Oracle replays the offsets with a SQL window cumsum."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          seq_tokens=256)
+
+
+EXT_QUERIES["pack_sequences"] = q_pack_sequences
+EXT_ORACLES["pack_sequences"] = """
+    WITH tl AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_tok
+      FROM tl WHERE n_tokens >= 1
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, start_tok,
+             unnest(generate_series(start_tok // 256,
+                    (start_tok + n_tokens - 1) // 256)) AS seq_id
+      FROM f
+    )
+    SELECT seq_id::BIGINT AS seq_id, doc_id, start_tok,
+           (greatest(start_tok, seq_id * 256) - start_tok)::BIGINT
+             AS doc_tok_start,
+           (least(start_tok + n_tokens, (seq_id + 1) * 256)
+            - greatest(start_tok, seq_id * 256))::BIGINT
+             AS piece_tokens
+    FROM p
+"""

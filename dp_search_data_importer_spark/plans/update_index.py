@@ -180,6 +180,11 @@ def _apply_commit(out_dir: str, meta: dict) -> None:
         _swap_dir(os.path.join(out_dir, "docs", f"shard={s}"),
                   os.path.join(stage, "docs", f"shard={s}"),
                   _backup(out_dir, f"docs_shard_{s}"))
+    for s in meta.get("delete_docs_shards", []):
+        # a delete that empties a shard stages no docs dir for it — the
+        # live dir must go explicitly (same reasoning as delete_postings)
+        _delete_dir(os.path.join(out_dir, "docs", f"shard={s}"),
+                    _backup(out_dir, f"docs_shard_{s}"))
     _swap_dir(os.path.join(out_dir, "term_df"),
               os.path.join(stage, "term_df"), _backup(out_dir, "term_df"))
     _swap_dir(os.path.join(out_dir, "_manifest"),
@@ -469,3 +474,206 @@ def upsert_docs(
         # next upsert's recover_index rolls the half-applied commit forward.
         if not os.path.exists(os.path.join(stage, _COMMIT)):
             shutil.rmtree(stage, ignore_errors=True)
+
+
+def delete_docs(spark: SparkSession, out_dir: str, ids: DataFrame, *,
+                id_col: str = "doc_id") -> dict:
+    """Keyed delete — the removal half of the CRUD surface (ES
+    ``_delete_by_query`` lands here after matching; direct id deletes are
+    the ES ``DELETE /index/_doc/{id}`` twin). Same staged-commit protocol
+    as :func:`upsert_docs`: only the shards holding deleted docs are read
+    back and recompressed; corpus stats update by exact integer deltas;
+    a crash at any point leaves the pre- or post-delete index, never a
+    mix. Unknown ids are ignored (idempotent redelivery). A shard whose
+    LAST doc is deleted loses its postings dir, docs dir, manifest row,
+    and shard_docs entry — artifact-identical to a fresh build of the
+    surviving corpus (property-tested).
+
+    Returns {requested, deleted, not_found, affected_shards}.
+    """
+    recover_index(out_dir)
+    stats = read_stats_json(out_dir)
+    cfg = EngineConfig(n_shards=stats["n_shards"],
+                       block_size=stats["block_size"],
+                       k1=stats["k1"], b=stats["b"])
+    has_pos = bool(stats.get("positions", False))
+
+    ids_df = (ids.select(F.col(id_col).cast("long").alias("doc_id"))
+              .dropDuplicates(["doc_id"]))
+    requested = ids_df.count()
+    docs_store = spark.read.parquet(os.path.join(out_dir, "docs"))
+
+    stage = _stage_dir(out_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    # freeze the delete set's lineage on disk: nothing downstream may
+    # depend on the live docs dir at swap time
+    present_tmp = os.path.join(stage, "delete_ids")
+    (docs_store.join(ids_df, "doc_id", "left_semi")
+     .select("doc_id", "shard")
+     .write.mode("overwrite").parquet(present_tmp))
+    present = spark.read.parquet(present_tmp)
+    try:
+        affected = sorted(
+            r["shard"] for r in present.select("shard").distinct().collect())
+        n_deleted = present.count()
+        if not affected:
+            return {"requested": int(requested), "deleted": 0,
+                    "not_found": int(requested), "affected_shards": []}
+        del_ids = present.select("doc_id")
+
+        old_tf = decompress_blocks(
+            load_blocks(spark, out_dir).filter(F.col("shard").isin(affected)),
+            include_positions=has_pos,
+        ).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+        removed_tf = old_tf.join(del_ids, "doc_id", "left_semi")
+        kept_tf = old_tf.join(del_ids, "doc_id", "left_anti")
+
+        removed_sum_dl = removed_tf.agg(F.sum("tf")).collect()[0][0] or 0
+        removed_tmp = os.path.join(stage, "df_deltas", "removed")
+        (removed_tf.groupBy("term").agg(F.count(F.lit(1)).alias("removed"))
+         .write.mode("overwrite").parquet(removed_tmp))
+        removed_df = spark.read.parquet(removed_tmp)
+
+        # surviving tf of the affected shards recompresses with the SAME
+        # sort + block layout as a fresh build (byte-identical result)
+        merged_tmp = os.path.join(stage, "tf")
+        kept_tf.write.mode("overwrite").parquet(merged_tmp)
+        merged = spark.read.parquet(merged_tmp)
+        sorted_runs = merged.repartition(
+            len(affected), "shard"
+        ).sortWithinPartitions("shard", "term", "doc_id")
+        blocks = sorted_runs.mapInPandas(
+            lambda it: _compress_runs(it, cfg.block_size,
+                                      with_positions=has_pos),
+            schema=BLOCKS_SCHEMA)
+        staged_postings = os.path.join(stage, "postings")
+        (blocks.write.mode("overwrite").partitionBy("shard")
+         .parquet(staged_postings))
+        staged_shards = {
+            int(d.split("=", 1)[1]) for d in os.listdir(staged_postings)
+            if d.startswith("shard=")}
+        replace_postings = sorted(staged_shards)
+        delete_postings = sorted(set(affected) - staged_shards)
+
+        # docs/: survivors only; a shard with no survivors stages no dir
+        kept_docs = (docs_store.filter(F.col("shard").isin(affected))
+                     .join(del_ids, "doc_id", "left_anti"))
+        (kept_docs.repartition(len(affected), "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(stage, "docs")))
+        staged_docs = os.path.join(stage, "docs")
+        # a partitionBy write with zero survivors emits only _SUCCESS —
+        # no partition dirs, no schema to infer — so gate on the dirs
+        has_doc_parts = os.path.exists(staged_docs) and any(
+            x.startswith("shard=") for x in os.listdir(staged_docs))
+        per_shard_new = {
+            int(r["shard"]): int(r["n"]) for r in
+            spark.read.parquet(staged_docs)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        } if has_doc_parts else {}
+        delete_docs_shards = sorted(set(affected) - set(per_shard_new))
+
+        # term_df: exact df deltas (removals only)
+        old_df = spark.read.parquet(os.path.join(out_dir, "term_df"))
+        updated_df = (
+            old_df.join(removed_df, "term", "left")
+            .select("term",
+                    (F.col("df") - F.coalesce(F.col("removed"), F.lit(0)))
+                    .alias("df"))
+            .filter(F.col("df") > 0))
+        updated_df.write.mode("overwrite").parquet(
+            os.path.join(stage, "term_df"))
+
+        # stats.json: integer deltas; emptied shards drop their key,
+        # matching a fresh build (which writes no count for a shard with
+        # no docs)
+        shard_docs = {int(k): int(v)
+                      for k, v in stats.get("shard_docs", {}).items()}
+        shard_docs.update(per_shard_new)
+        for s in delete_docs_shards:
+            shard_docs.pop(s, None)
+        n_docs = stats["n_docs"] - int(n_deleted)
+        sum_dl = int(stats.get("sum_dl",
+                               round(stats["avgdl"] * stats["n_docs"])))
+        sum_dl -= int(removed_sum_dl)
+        stats.update({
+            "n_docs": int(n_docs),
+            "sum_dl": int(sum_dl),
+            "avgdl": float(sum_dl / n_docs) if n_docs else 0.0,
+            "shard_docs": shard_docs,
+        })
+        with open(os.path.join(stage, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
+
+        # manifest: unaffected rows + read-back of the staged shards
+        old_manifest = spark.read.parquet(
+            os.path.join(out_dir, "_manifest")).filter(
+            ~F.col("shard").isin(affected))
+        if replace_postings:
+            written = spark.read.parquet(staged_postings)
+            ndocs_expr = F.coalesce(
+                *[F.when(F.col("shard") == s, F.lit(shard_docs.get(s, 0)))
+                  for s in replace_postings],
+                F.lit(0))
+            new_rows = shard_metrics(written).select(
+                "shard", ndocs_expr.cast("long").alias("n_docs"),
+                "n_postings", "n_blocks", "bytes_compressed",
+                "content_fingerprint", "n_terms")
+            staged_manifest = old_manifest.unionByName(new_rows)
+        else:
+            staged_manifest = old_manifest
+        staged_manifest.write.mode("overwrite").parquet(
+            os.path.join(stage, "manifest"))
+
+        meta = {
+            "affected": affected,
+            "replace_postings": replace_postings,
+            "delete_postings": delete_postings,
+            "delete_docs_shards": delete_docs_shards,
+            "drop_positions": os.path.exists(
+                os.path.join(out_dir, "positions")),
+        }
+        with open(os.path.join(stage, _COMMIT), "w") as f:
+            json.dump(meta, f)
+        apply_commit_locked(out_dir, os.path.join(stage, _COMMIT),
+                            lambda m: _apply_commit(out_dir, m))
+
+        return {"requested": int(requested), "deleted": int(n_deleted),
+                "not_found": int(requested - n_deleted),
+                "affected_shards": affected}
+    finally:
+        if not os.path.exists(os.path.join(stage, _COMMIT)):
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def delete_by_query(spark: SparkSession, out_dir: str, text: str, *,
+                    operator: str = "or") -> dict:
+    """ES ``_delete_by_query`` twin for a ``match`` query against the
+    stored index: the full hit set (not top-k) feeds :func:`delete_docs`.
+    ``operator="or"`` deletes docs containing ANY query term (the ES
+    match default); ``"and"`` requires every distinct term. Candidates
+    come from the term-pruned postings scan — never a corpus scan — and
+    membership is one grouped aggregation, so the matching side scales
+    exactly like the query path."""
+    from dp_search_data_importer_spark.operators.bm25 import query_terms
+
+    if operator not in ("or", "and"):
+        raise ValueError("operator must be 'or' or 'and'")
+    stats = read_stats_json(out_dir)
+    queries = spark.createDataFrame([(0, text)],
+                                    "query_id long, query_text string")
+    qt = query_terms(queries, code_aware=bool(stats.get("code_aware",
+                                                        False)))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        return {"requested": 0, "deleted": 0, "not_found": 0,
+                "affected_shards": []}
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms))
+    matched = (tf.join(F.broadcast(qt.select("term").distinct()), "term")
+               .groupBy("doc_id")
+               .agg(F.countDistinct("term").alias("m")))
+    need = len(terms) if operator == "and" else 1
+    ids = matched.filter(F.col("m") >= F.lit(need)).select("doc_id")
+    return delete_docs(spark, out_dir, ids)

@@ -492,3 +492,71 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         ts.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_global_exclusive_cumsum_partition_invariant(spark):
+    """Two-phase prefix sum: matches the driver-side cumsum exactly and
+    is invariant to the input's partitioning and to the repartition
+    width (1 partition == N partitions == the sequential answer)."""
+    rows = [(i * 3 + 1, (i * 7) % 5 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want, acc = {}, 0
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    for nparts, inparts in ((1, 2), (8, 1), (8, 5)):
+        got = {r["k"]: r["cum"] for r in ts.global_exclusive_cumsum(
+            df.repartition(inparts), "k", "v",
+            num_partitions=nparts).collect()}
+        assert got == want
+
+
+def test_pack_sequences_split_invariants(spark):
+    """Concat-and-split packing: every sequence except the last is
+    exactly full, each doc's pieces are contiguous and partition its
+    tokens, and the output is invariant to input partitioning."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + (i * 11) % 9)))
+         for i in range(1, 31)],
+        "doc_id long, text string")
+    cap = 16
+    out = ts.pack_sequences(docs, seq_tokens=cap).collect()
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["piece_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))  # no empty window
+    for s, tot in by_seq.items():
+        assert tot == cap or (s == last and 0 < tot <= cap)
+    for d, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["doc_tok_start"])
+        n = 3 + (d * 11) % 9
+        assert pieces[0]["doc_tok_start"] == 0
+        assert sum(p["piece_tokens"] for p in pieces) == n
+        pos = 0
+        for p in pieces:
+            assert p["doc_tok_start"] == pos
+            pos += p["piece_tokens"]
+        # consecutive pieces sit in consecutive sequences
+        seqs = [p["seq_id"] for p in pieces]
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
+    again = ts.pack_sequences(docs.repartition(7), seq_tokens=cap) \
+        .collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_whole_doc_mode(spark):
+    """split_docs=False keeps documents intact: one row per doc, seq_id
+    = the window of its first token, tokens conserved."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5))) for i in range(1, 11)],
+        "doc_id long, text string")
+    out = ts.pack_sequences(docs, seq_tokens=8, split_docs=False) \
+        .orderBy("doc_id").collect()
+    assert len(out) == 10  # one row per doc
+    assert [r["start_tok"] for r in out] == [5 * i for i in range(10)]
+    assert [r["seq_id"] for r in out] == [5 * i // 8 for i in range(10)]
+    assert all(r["n_tokens"] == 5 for r in out)

@@ -756,3 +756,113 @@ def test_recover_ann_backup_without_live_partition(tmp_path):
     assert recover_ann(store) == "back"
     assert os.path.exists(os.path.join(store, "bucket=3", "part-0.parquet"))
     assert not os.path.exists(os.path.join(store, "_old_part_3"))
+
+
+# ---------------------------------------------------------------- deletes
+from dp_search_data_importer_spark.plans.update_index import (  # noqa: E402
+    delete_by_query,
+    delete_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def deleted_vs_fresh(spark, tmp_path_factory):
+    """Delete 7 docs from a 60-doc index; fresh-build the 53 survivors."""
+    base = _rows(60)
+    gone_paths = {f"src/f{i}.py" for i in range(10, 17)}
+    survivors = [r for r in base if r[1] not in gone_paths]
+
+    d_inc = str(tmp_path_factory.mktemp("del_inc"))
+    d_fresh = str(tmp_path_factory.mktemp("del_fresh"))
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d_inc, CFG,
+                code_aware=True, waves=1)
+    docs = spark.read.parquet(os.path.join(d_inc, "docs"))
+    ids = docs.filter(F.col("path").isin(*gone_paths)).select("doc_id")
+    accounting = delete_docs(spark, d_inc, ids)
+    build_index(spark, spark.createDataFrame(survivors, SCHEMA), d_fresh,
+                CFG, code_aware=True, waves=1)
+    return d_inc, d_fresh, accounting
+
+
+def test_delete_accounting(deleted_vs_fresh):
+    _, _, acc = deleted_vs_fresh
+    assert acc["requested"] == 7 and acc["deleted"] == 7
+    assert acc["not_found"] == 0 and acc["affected_shards"]
+
+
+def test_delete_matches_fresh_build(spark, deleted_vs_fresh):
+    d_inc, d_fresh, _ = deleted_vs_fresh
+    s_inc, s_fresh = read_stats_json(d_inc), read_stats_json(d_fresh)
+    for k in ("n_docs", "sum_dl", "avgdl", "shard_docs"):
+        assert s_inc[k] == s_fresh[k], k
+    m_inc = {r["shard"]: r["content_fingerprint"]
+             for r in read_manifest(spark, d_inc).collect()}
+    m_fresh = {r["shard"]: r["content_fingerprint"]
+               for r in read_manifest(spark, d_fresh).collect()}
+    assert m_inc == m_fresh
+    td_inc = {(r["term"], r["df"]) for r in
+              spark.read.parquet(os.path.join(d_inc, "term_df")).collect()}
+    td_fresh = {(r["term"], r["df"]) for r in
+                spark.read.parquet(os.path.join(d_fresh,
+                                                "term_df")).collect()}
+    assert td_inc == td_fresh
+
+
+def test_delete_is_idempotent(spark, deleted_vs_fresh):
+    d_inc, _, _ = deleted_vs_fresh
+    docs = spark.read.parquet(os.path.join(d_inc, "docs"))
+    before = read_stats_json(d_inc)
+    # re-deliver ids that no longer exist (plus one genuinely absent id)
+    ghost = spark.createDataFrame([(10 ** 12,)], "doc_id long")
+    acc = delete_docs(spark, d_inc, ghost)
+    assert acc == {"requested": 1, "deleted": 0, "not_found": 1,
+                   "affected_shards": []}
+    assert read_stats_json(d_inc) == before
+    assert docs.count() == before["n_docs"]
+
+
+def test_delete_empties_shard_completely(spark, tmp_path):
+    """Deleting a shard's last doc removes its postings dir, docs dir,
+    manifest row, and shard_docs key — exactly like a fresh build of the
+    survivors."""
+    base = _rows(8)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d, CFG,
+                code_aware=True, waves=1)
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    sh = int(docs.groupBy("shard").count().orderBy("shard")
+             .first()["shard"])
+    victims = docs.filter(F.col("shard") == sh).select("doc_id")
+    n_victims = victims.count()
+    assert n_victims > 0
+    acc = delete_docs(spark, d, victims)
+    assert acc["deleted"] == n_victims and acc["affected_shards"] == [sh]
+    assert not os.path.exists(os.path.join(d, "postings", f"shard={sh}"))
+    assert not os.path.exists(os.path.join(d, "docs", f"shard={sh}"))
+    stats = read_stats_json(d)
+    assert sh not in {int(k) for k in stats["shard_docs"]}
+    assert read_manifest(spark, d).filter(F.col("shard") == sh).count() == 0
+    from dp_search_data_importer_spark.health import index_health
+    assert index_health(spark, d)["status"] == "OK"
+
+
+def test_delete_by_query_or_and(spark, tmp_path):
+    """_delete_by_query twin: OR deletes any-term matches, AND only
+    all-term matches; queries afterwards can't see deleted docs."""
+    rows = [
+        ("r1", "a.py", "c1", "py", "zebra quokka shared"),
+        ("r1", "b.py", "c1", "py", "zebra only here"),
+        ("r1", "c.py", "c1", "py", "quokka only there"),
+        ("r1", "d.py", "c1", "py", "neither word present"),
+    ]
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows, SCHEMA), d, CFG,
+                code_aware=True, waves=1)
+    acc = delete_by_query(spark, d, "zebra quokka", operator="and")
+    assert acc["deleted"] == 1  # only a.py has both
+    acc = delete_by_query(spark, d, "zebra quokka", operator="or")
+    assert acc["deleted"] == 2  # b.py and c.py
+    assert read_stats_json(d)["n_docs"] == 1
+    q_df = spark.createDataFrame([(0, "zebra")],
+                                 "query_id long, query_text string")
+    assert q.exact_topk(spark, d, q_df, k=10).count() == 0
