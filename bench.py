@@ -148,6 +148,28 @@ def main() -> None:
     probe_after = _calibration_probe()
     ratio = round(min(probe_before, probe_after) / _PROBE_NOMINAL_SEC, 2)
     total = round(sum(timings.values()), 3)
+
+    # second line of contended-window defense: the sha256 probe is
+    # single-threaded CPU work and misses memory-bus/disk contention from
+    # neighbors (observed: a 66 s run with probe ratio 1.03 next to a 40 s
+    # run at 1.18 — same code). Compare each query against the fastest
+    # CLEAN time ever recorded for it on this host (BENCH/best_known.json);
+    # the MEDIAN per-query inflation is robust to a single genuinely-slow
+    # new query and flags uniform contention precisely.
+    inflation = None
+    bk_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "best_known.json")
+    if os.path.exists(bk_path):
+        with open(bk_path) as f:
+            best_known = {k: v for k, v in json.load(f).items()
+                          if not k.startswith("_")}
+        ratios = sorted(timings[k] / best_known[k]
+                        for k in timings if best_known.get(k))
+        if ratios:
+            mid = len(ratios) // 2
+            med = (ratios[mid] if len(ratios) % 2
+                   else (ratios[mid - 1] + ratios[mid]) / 2)
+            inflation = round(med, 2)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -164,8 +186,10 @@ def main() -> None:
             "probe_after_sec": round(probe_after, 3),
             "nominal_sec": _PROBE_NOMINAL_SEC,
             "ratio": ratio,
+            "median_inflation_vs_best_known": inflation,
         },
-        "noisy_window": ratio > 1.4,
+        "noisy_window": ratio > 1.4
+        or (inflation is not None and inflation > 1.6),
     }))
 
 

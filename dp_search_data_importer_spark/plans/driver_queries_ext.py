@@ -5892,3 +5892,168 @@ EXT_ORACLES["pack_sequences"] = """
              AS piece_tokens
     FROM p
 """
+
+
+# ---------------------------------------------------------------- federated
+# multi-index (alias) search — the index-per-partition pattern the reference
+# deployment would adopt at 10^12 files (one ES index cannot hold it; an
+# alias over member indexes does). Twin of ES search_type semantics.
+
+_MI_QUERY_VALUES = "(1, 'hash join merge'), (2, 'window agg sort'), (3, 'the')"
+
+
+def _mi_frames(spark: SparkSession, sf_dir: str):
+    from dp_search_data_importer_spark.operators import postings as P
+    from dp_search_data_importer_spark.operators.bm25 import query_terms
+    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "text",
+        F.concat(F.lit("idx"), (F.col("doc_id") % 3).cast("string"))
+        .alias("index_name"))
+    tf = P.term_freqs_sql(tagged).join(
+        tagged.select("doc_id", "index_name"), "doc_id")
+    dfs = tf.groupBy("index_name", "term").agg(
+        F.count(F.lit(1)).alias("df"))
+    # stats include zero-token docs (Lucene docCount semantics)
+    stats = (tagged.select(
+        "index_name",
+        F.size(tokenize_expr(F.col("text"))).cast("long").alias("dl"))
+        .groupBy("index_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")))
+    queries = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "window agg sort"), (3, "the")],
+        "query_id long, query_text string")
+    return tf, query_terms(queries), dfs, stats
+
+
+def q_multi_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``query_then_fetch`` across 3 alias-member indexes (documents
+    split by doc_id mod 3): every posting scores with its HOME index's
+    statistics (df, N, avgdl), then one coordinating top-10 merge per
+    query — per-index stats joins are broadcast, scoring is one hash agg
+    over the union (`operators/federate.py`). Stored-index form:
+    `plans/multi_index.search_indices` (property-tested)."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.operators.federate import (
+        federated_scores,
+        federated_topk,
+    )
+
+    tf, qt, dfs, stats = _mi_frames(spark, sf_dir)
+    return federated_topk(
+        federated_scores(tf, qt, dfs, stats, EngineConfig(),
+                         mode="query_then_fetch"), 10)
+
+
+def q_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dfs_query_then_fetch`` across the same 3 alias members: a
+    statistics phase merges df/N/avgdl globally (broadcast-sized frames),
+    so scores are exactly the single-merged-index scores — the property
+    `tests/test_multi_index.py` pins against a real merged index."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.operators.federate import (
+        federated_scores,
+        federated_topk,
+    )
+
+    tf, qt, dfs, stats = _mi_frames(spark, sf_dir)
+    return federated_topk(
+        federated_scores(tf, qt, dfs, stats, EngineConfig(),
+                         mode="dfs_query_then_fetch"), 10)
+
+
+EXT_QUERIES["multi_index_search"] = q_multi_index_search
+EXT_QUERIES["multi_index_dfs"] = q_multi_index_dfs
+
+_MI_COMMON_SQL = f"""
+    q(query_id, query_text) AS (VALUES {_MI_QUERY_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(lower(query_text), '[^a-z0-9]+'))
+               AS term
+      FROM q
+    ),
+    qt2 AS (SELECT query_id, term FROM qt WHERE term <> ''),
+    tok AS (
+      SELECT doc_id, 'idx' || (doc_id % 3)::VARCHAR AS index_name,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, index_name, term, count(*)::BIGINT AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2, 3
+    ),
+    dl_docs AS (
+      SELECT doc_id, 'idx' || (doc_id % 3)::VARCHAR AS index_name,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl
+      FROM documents
+    )
+"""
+
+EXT_ORACLES["multi_index_search"] = f"""
+    WITH {_MI_COMMON_SQL.strip()},
+    stats AS (
+      SELECT index_name, count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+      FROM dl_docs GROUP BY 1
+    ),
+    dfs AS (
+      SELECT index_name, term, count(*)::BIGINT AS df
+      FROM tf GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qt2.query_id, tf.index_name, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN tf USING (term)
+      JOIN dfs ON dfs.index_name = tf.index_name AND dfs.term = tf.term
+      JOIN dl_docs dl ON tf.doc_id = dl.doc_id
+      JOIN stats s ON s.index_name = tf.index_name
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_id, index_name, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, index_name ASC, doc_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, index_name, doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+EXT_ORACLES["multi_index_dfs"] = f"""
+    WITH {_MI_COMMON_SQL.strip()},
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+              FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT qt2.query_id, tf.index_name, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM qt2
+      JOIN dfs USING (term)
+      JOIN tf USING (term)
+      JOIN dl_docs dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_id, index_name, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, index_name ASC, doc_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, index_name, doc_id, score FROM ranked WHERE rn <= 10
+"""
