@@ -586,14 +586,14 @@ def delete_docs(spark: SparkSession, out_dir: str, ids: DataFrame, *,
         updated_df.write.mode("overwrite").parquet(
             os.path.join(stage, "term_df"))
 
-        # stats.json: integer deltas; emptied shards drop their key,
-        # matching a fresh build (which writes no count for a shard with
-        # no docs)
+        # stats.json: integer deltas; an emptied shard keeps an explicit
+        # 0 entry — a fresh build's docs-write observation records every
+        # shard 0..n_shards-1 including zero-doc ones (build_index.py:379)
         shard_docs = {int(k): int(v)
                       for k, v in stats.get("shard_docs", {}).items()}
         shard_docs.update(per_shard_new)
         for s in delete_docs_shards:
-            shard_docs.pop(s, None)
+            shard_docs[s] = 0
         n_docs = stats["n_docs"] - int(n_deleted)
         sum_dl = int(stats.get("sum_dl",
                                round(stats["avgdl"] * stats["n_docs"])))
@@ -648,15 +648,14 @@ def delete_docs(spark: SparkSession, out_dir: str, ids: DataFrame, *,
             shutil.rmtree(stage, ignore_errors=True)
 
 
-def delete_by_query(spark: SparkSession, out_dir: str, text: str, *,
-                    operator: str = "or") -> dict:
-    """ES ``_delete_by_query`` twin for a ``match`` query against the
-    stored index: the full hit set (not top-k) feeds :func:`delete_docs`.
-    ``operator="or"`` deletes docs containing ANY query term (the ES
-    match default); ``"and"`` requires every distinct term. Candidates
-    come from the term-pruned postings scan — never a corpus scan — and
-    membership is one grouped aggregation, so the matching side scales
-    exactly like the query path."""
+def match_ids(spark: SparkSession, out_dir: str, text: str, *,
+              operator: str = "or") -> DataFrame | None:
+    """Full ``match``-query hit set (doc_id frame, not top-k) against the
+    stored index — the shared matching phase of ``_delete_by_query`` and
+    query-filtered ``_reindex``. Candidates come from the term-pruned
+    postings scan — never a corpus scan — and membership is one grouped
+    aggregation, so matching scales exactly like the query path. Returns
+    ``None`` when the query tokenizes to nothing."""
     from dp_search_data_importer_spark.operators.bm25 import query_terms
 
     if operator not in ("or", "and"):
@@ -668,12 +667,23 @@ def delete_by_query(spark: SparkSession, out_dir: str, text: str, *,
                                                         False)))
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     if not terms:
-        return {"requested": 0, "deleted": 0, "not_found": 0,
-                "affected_shards": []}
+        return None
     tf = decompress_blocks(load_blocks(spark, out_dir, terms))
     matched = (tf.join(F.broadcast(qt.select("term").distinct()), "term")
                .groupBy("doc_id")
                .agg(F.countDistinct("term").alias("m")))
     need = len(terms) if operator == "and" else 1
-    ids = matched.filter(F.col("m") >= F.lit(need)).select("doc_id")
+    return matched.filter(F.col("m") >= F.lit(need)).select("doc_id")
+
+
+def delete_by_query(spark: SparkSession, out_dir: str, text: str, *,
+                    operator: str = "or") -> dict:
+    """ES ``_delete_by_query`` twin for a ``match`` query against the
+    stored index: the full hit set (not top-k) feeds :func:`delete_docs`.
+    ``operator="or"`` deletes docs containing ANY query term (the ES
+    match default); ``"and"`` requires every distinct term."""
+    ids = match_ids(spark, out_dir, text, operator=operator)
+    if ids is None:
+        return {"requested": 0, "deleted": 0, "not_found": 0,
+                "affected_shards": []}
     return delete_docs(spark, out_dir, ids)

@@ -840,7 +840,9 @@ def test_delete_empties_shard_completely(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, "postings", f"shard={sh}"))
     assert not os.path.exists(os.path.join(d, "docs", f"shard={sh}"))
     stats = read_stats_json(d)
-    assert sh not in {int(k) for k in stats["shard_docs"]}
+    # an explicit 0 entry, exactly as a fresh build's docs-write
+    # observation records zero-doc shards
+    assert stats["shard_docs"][str(sh)] == 0
     assert read_manifest(spark, d).filter(F.col("shard") == sh).count() == 0
     from dp_search_data_importer_spark.health import index_health
     assert index_health(spark, d)["status"] == "OK"
