@@ -687,3 +687,90 @@ def delete_by_query(spark: SparkSession, out_dir: str, text: str, *,
         return {"requested": 0, "deleted": 0, "not_found": 0,
                 "affected_shards": []}
     return delete_docs(spark, out_dir, ids)
+
+
+def update_by_query(spark: SparkSession, out_dir: str, text: str,
+                    assignments: dict, *, operator: str = "or") -> dict:
+    """ES ``_update_by_query`` twin for METADATA fields: every doc in the
+    full ``match`` hit set gets ``assignments`` applied — each value is a
+    plain literal or ``{"script": source, "params": {...}}`` in the
+    restricted Painless subset (``plans/painless``; ``doc['f'].value``
+    reads the doc's CURRENT fields, as ``ctx._source.f`` does in ES).
+
+    Only non-identity metadata columns are updatable: ``doc_id``/``shard``
+    key the index, ``repo``/``path``/``commit`` derive the doc_id, and
+    ``content_sha256`` attests the source bytes — assigning any of them is
+    refused (in ES too, reindexing is how identity changes; that twin is
+    :func:`plans.reindex.reindex`). Content changes go through
+    :func:`upsert_docs`, the reference's ``doc_as_upsert``.
+
+    Same staged-commit protocol as upsert/delete, restricted to the docs
+    dirs of affected shards: postings, term_df, manifest, and stats are
+    untouched (metadata never feeds the postings), so the commit is
+    docs-shard swaps only — batch-proportional, crash-atomic, idempotent
+    under redelivery (assignments are absolute, not increments).
+
+    Returns {matched, updated, affected_shards}.
+    """
+    recover_index(out_dir)
+    ids = match_ids(spark, out_dir, text, operator=operator)
+    if ids is None:
+        return {"matched": 0, "updated": 0, "affected_shards": []}
+    docs_store = spark.read.parquet(os.path.join(out_dir, "docs"))
+    immutable = {"doc_id", "shard", "repo", "path", "commit",
+                 "content_sha256"}
+    for col in assignments:
+        if col in immutable:
+            raise ValueError(f"column {col!r} is part of the document "
+                             "identity/integrity contract; use reindex "
+                             "or upsert_docs instead")
+        if col not in docs_store.columns:
+            raise ValueError(f"unknown docs column: {col!r}")
+
+    stage = _stage_dir(out_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    present_tmp = os.path.join(stage, "update_ids")
+    (docs_store.join(ids, "doc_id", "left_semi")
+     .select("doc_id", "shard")
+     .write.mode("overwrite").parquet(present_tmp))
+    present = spark.read.parquet(present_tmp)
+    try:
+        affected = sorted(
+            r["shard"] for r in present.select("shard").distinct().collect())
+        n_matched = present.count()
+        if not affected:
+            return {"matched": 0, "updated": 0, "affected_shards": []}
+
+        upd = (docs_store.filter(F.col("shard").isin(affected))
+               .join(present.select("doc_id", F.lit(1).alias("_hit")),
+                     "doc_id", "left"))
+        for col, val in assignments.items():
+            if isinstance(val, dict) and "script" in val:
+                from dp_search_data_importer_spark.plans.painless import (
+                    compile_script,
+                )
+
+                new_col, _ = compile_script(
+                    val["script"], val.get("params"), F.lit(0.0), F.col)
+            else:
+                new_col = F.lit(val)
+            upd = upd.withColumn(
+                col, F.when(F.col("_hit") == 1,
+                            new_col.cast(dict(upd.dtypes)[col]))
+                .otherwise(F.col(col)))
+        (upd.drop("_hit").repartition(len(affected), "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(stage, "docs")))
+
+        meta = {"replace_postings": [], "delete_postings": [],
+                "affected": affected, "drop_positions": False}
+        with open(os.path.join(stage, _COMMIT), "w") as f:
+            json.dump(meta, f)
+        apply_commit_locked(out_dir, os.path.join(stage, _COMMIT),
+                            lambda m: _apply_commit(out_dir, m))
+        return {"matched": int(n_matched), "updated": int(n_matched),
+                "affected_shards": affected}
+    finally:
+        if not os.path.exists(os.path.join(stage, _COMMIT)):
+            shutil.rmtree(stage, ignore_errors=True)

@@ -868,3 +868,61 @@ def test_delete_by_query_or_and(spark, tmp_path):
     q_df = spark.createDataFrame([(0, "zebra")],
                                  "query_id long, query_text string")
     assert q.exact_topk(spark, d, q_df, k=10).count() == 0
+
+
+# ---------------------------------------------------------- update_by_query
+from dp_search_data_importer_spark.plans.update_index import (  # noqa: E402
+    update_by_query,
+)
+
+
+@pytest.fixture(scope="module")
+def updatable_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ubq_idx"))
+    rows = [
+        ("r1", "a.py", "c1", "py", "zebra quokka shared words"),
+        ("r1", "b.py", "c1", "py", "zebra appears here too"),
+        ("r1", "c.py", "c1", "py", "plain text no animals"),
+    ]
+    build_index(spark, spark.createDataFrame(rows, SCHEMA), d, CFG,
+                code_aware=True, waves=1)
+    return d
+
+
+def test_update_by_query_sets_metadata(spark, updatable_index):
+    d = updatable_index
+    fp_before = {r["shard"]: r["content_fingerprint"]
+                 for r in read_manifest(spark, d).collect()}
+    stats_before = read_stats_json(d)
+    acc = update_by_query(spark, d, "zebra", {"lang": "python"})
+    assert acc["matched"] == 2 == acc["updated"]
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    langs = {r["path"]: r["lang"] for r in docs.collect()}
+    assert langs == {"a.py": "python", "b.py": "python", "c.py": "py"}
+    # postings, manifest, stats untouched (metadata never feeds postings)
+    fp_after = {r["shard"]: r["content_fingerprint"]
+                for r in read_manifest(spark, d).collect()}
+    assert fp_after == fp_before
+    assert read_stats_json(d) == stats_before
+    # idempotent redelivery: absolute assignments, same end state
+    acc2 = update_by_query(spark, d, "zebra", {"lang": "python"})
+    assert acc2["matched"] == 2
+    assert {r["path"]: r["lang"]
+            for r in spark.read.parquet(os.path.join(d, "docs"))
+            .collect()} == langs
+
+
+def test_update_by_query_script_and_guards(spark, updatable_index):
+    d = updatable_index
+    # Painless-subset script reads current doc fields; result casts to the
+    # column's type
+    update_by_query(spark, d, "quokka", {"lang": {"script": "1 + 1"}})
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.filter(F.col("path") == "a.py").first()["lang"] == "2.0"
+    with pytest.raises(ValueError, match="identity/integrity"):
+        update_by_query(spark, d, "zebra", {"path": "x"})
+    with pytest.raises(ValueError, match="unknown docs column"):
+        update_by_query(spark, d, "zebra", {"nope": 1})
+    # no matches: clean no-op accounting
+    acc = update_by_query(spark, d, "wombat", {"lang": "x"})
+    assert acc == {"matched": 0, "updated": 0, "affected_shards": []}
