@@ -6057,3 +6057,35 @@ EXT_ORACLES["multi_index_dfs"] = f"""
     )
     SELECT query_id, index_name, doc_id, score FROM ranked WHERE rn <= 10
 """
+
+
+def q_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced-scroll twin (dataflow form): the FULL hit set of a match
+    query over documents, split into 4 independent export slices by
+    ``pmod(doc_id, 4)`` — disjoint, exhaustive, no global sort/window;
+    each slice resumes independently with a doc_id cursor. Stored-index
+    form: `plans/query.sliced_scroll` (property-tested)."""
+    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (docs.select(
+        "doc_id", "lang",
+        F.array_intersect(
+            tokenize_expr(F.col("text")),
+            F.array(F.lit("hash"), F.lit("join"))).alias("_m"))
+        .filter(F.size("_m") > 0))
+    return hits.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("slice_id"),
+        "lang")
+
+
+EXT_QUERIES["sliced_scroll"] = q_sliced_scroll
+EXT_ORACLES["sliced_scroll"] = """
+    SELECT doc_id, (((doc_id % 4) + 4) % 4)::INTEGER AS slice_id, lang
+    FROM documents
+    WHERE len(list_intersect(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> ''),
+            ['hash', 'join'])) > 0
+"""

@@ -532,3 +532,41 @@ def facet_counts(spark: SparkSession, out_dir: str, queries: DataFrame,
     meta = spark.read.parquet(os.path.join(out_dir, "docs")).select(
         "doc_id", *facet_fields)
     return facet_terms(hits, meta, facet_fields, top_n=top_n)
+
+
+def sliced_scroll(spark: SparkSession, out_dir: str, text: str,
+                  n_slices: int, *, operator: str = "or",
+                  resolve: bool = True) -> DataFrame:
+    """ES sliced scroll twin — the parallel-export path: the FULL match
+    hit set (not top-k) split into ``n_slices`` independent slices by
+    ``slice_id = pmod(doc_id, max)`` (ES slices a scroll by a hash of
+    ``_id`` mod ``max``; pmod on the already-hashed doc_id is the same
+    contract: disjoint, exhaustive, uniform). Each slice is internally
+    ordered by doc_id, so a consumer can checkpoint/resume a slice with a
+    strict-after cursor exactly like ``search_after``.
+
+    This is the operator a 10^12-file export runs instead of deep
+    pagination: slices are embarrassingly parallel (no coordination, no
+    global sort, no window), the matching side is the same term-pruned
+    postings scan every query uses, and ``resolve=True`` joins the winners
+    to the content-free docs table for (repo, path, commit) — column
+    pruned, AQE-planned. Contrast: ``search_after`` serializes the scan
+    through one cursor chain; N slices divide the wall-clock by N."""
+    from dp_search_data_importer_spark.plans.update_index import match_ids
+
+    if n_slices < 1:
+        raise ValueError("n_slices must be >= 1")
+    ids = match_ids(spark, out_dir, text, operator=operator)
+    if ids is None:
+        raise ValueError(f"query tokenizes to nothing: {text!r}")
+    out = ids.withColumn(
+        "slice_id", F.pmod(F.col("doc_id"), F.lit(int(n_slices))).cast("int"))
+    if resolve:
+        # NOT resolve_docs: that broadcasts its input (right for a top-k
+        # winner set, wrong for a full export hit set — a broad query's
+        # hits are corpus-sized). Plain doc_id equi-join; AQE plans it.
+        docs = spark.read.parquet(os.path.join(out_dir, "docs")).select(
+            "doc_id", "repo", "path", "commit", "lang")
+        out = out.join(docs, "doc_id")
+    return out.repartition(n_slices, "slice_id") \
+        .sortWithinPartitions("slice_id", "doc_id")

@@ -119,3 +119,31 @@ def test_reindex_refuses_existing_destination(spark, tmp_path):
         reindex(spark, src, src, n_shards=8)
     with pytest.raises(ValueError, match="tokenizes to nothing"):
         reindex(spark, src, str(tmp_path / "edst"), query="!!! ...")
+
+
+# ------------------------------------------------------------ sliced scroll
+def test_sliced_scroll_partitions_hit_set(spark, tmp_path):
+    from dp_search_data_importer_spark.plans.query import sliced_scroll
+    from dp_search_data_importer_spark.plans.update_index import match_ids
+
+    base = _rows(40)
+    d = str(tmp_path / "scroll_idx")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d, CFG4,
+                code_aware=True, waves=1)
+    out = sliced_scroll(spark, d, "hash join", 3).collect()
+    want_ids = {r["doc_id"] for r in
+                match_ids(spark, d, "hash join").collect()}
+    assert want_ids  # non-trivial hit set
+    # disjoint + exhaustive: every hit in exactly one slice, correct slice
+    got = {(r["doc_id"], r["slice_id"]) for r in out}
+    assert {d_ for d_, _ in got} == want_ids and len(got) == len(want_ids)
+    assert all(s == d_ % 3 for d_, s in got)
+    # resolved metadata present
+    assert {"repo", "path", "commit", "lang"} <= set(out[0].asDict())
+    # unresolved form skips the docs join
+    bare = sliced_scroll(spark, d, "hash join", 3, resolve=False)
+    assert set(bare.columns) == {"doc_id", "slice_id"}
+    with pytest.raises(ValueError, match="n_slices"):
+        sliced_scroll(spark, d, "hash", 0)
+    with pytest.raises(ValueError, match="tokenizes to nothing"):
+        sliced_scroll(spark, d, "...", 3)
