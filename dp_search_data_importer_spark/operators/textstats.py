@@ -893,3 +893,64 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 2048, *,
         (p_start - F.col("start_tok")).cast("long")
         .alias("doc_tok_start"),
         (p_end - p_start).cast("long").alias("piece_tokens"))
+
+
+def boilerplate_lines(docs: DataFrame, min_docs: int = 3, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_chars: int = 10) -> DataFrame:
+    """Corpus-frequent lines — the C4/RefinedWeb boilerplate screen
+    (Raffel et al. 2020 deduplicate repeated three-sentence spans;
+    Penedo et al. 2023 strip lines repeated across pages: cookie
+    notices, nav bars, footers). A line (``\\n``-split, normalized by
+    lower+trim) occurring in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate; lines shorter than ``min_chars`` after trimming are
+    ignored (one-word lines collide by chance, not by provenance).
+
+    Returns (line_norm, n_docs, n_occurrences). One explode projection +
+    ONE hash aggregation keyed by the line text (map-side partials);
+    normal-prose lines are near-unique so the key distribution carries no
+    planned skew — a pathological mega-line (the empty-ish line class) is
+    excluded by ``min_chars`` before the shuffle."""
+    line = F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ex = docs.select(F.col(id_col).alias("doc_id"), line)
+    norm = F.lower(F.trim(F.col("line")))
+    return (ex.select("doc_id", norm.alias("line_norm"))
+            .filter(F.length("line_norm") >= int(min_chars))
+            .groupBy("line_norm")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= int(min_docs)))
+
+
+def strip_boilerplate_lines(docs: DataFrame, boilerplate: DataFrame, *,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The keep-pass: rebuild each document without its boilerplate
+    lines (matched on the same lower+trim normalization), preserving
+    original line order and the original text of surviving lines.
+    Documents whose every line is boilerplate survive with empty text —
+    row counts are stable through the pass.
+
+    Dataflow: posexplode → anti-join on the line key (AQE picks the
+    strategy; the boilerplate table is usually small enough to
+    broadcast but is NOT force-broadcast — at web scale the frequent-
+    line set can reach millions of rows) → one per-doc aggregation that
+    re-assembles lines in position order (per-task state is one
+    document's lines, never a global window)."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    keyed = ex.withColumn("line_norm", F.lower(F.trim(F.col("line"))))
+    kept = keyed.join(boilerplate.select("line_norm"), "line_norm",
+                      "left_anti")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                   "\n", F.transform(arr, lambda x: x["line"]))
+                   .alias("clean_text")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))

@@ -6089,3 +6089,153 @@ EXT_ORACLES["sliced_scroll"] = """
                         x -> x <> ''),
             ['hash', 'join'])) > 0
 """
+
+
+def q_explain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` endpoint twin (dataflow form): the per-term BM25
+    breakdown — (term, tf, dl, df, idf, tf_norm, contribution) — of one
+    document's score for one query; contributions sum to the doc's
+    ``bm25_topk`` score. Absent query terms drop at the df join exactly
+    as in scoring. Stored form: `plans/query.explain_score` (doc_id
+    pushdown into the term-pruned postings scan)."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.operators import postings as P
+    from dp_search_data_importer_spark.operators.bm25 import (
+        bm25_term_score,
+        query_terms,
+    )
+
+    cfg = EngineConfig()
+    docs = load_table(spark, sf_dir, "documents")
+    tf = P.term_freqs_sql(docs)
+    stats = P.corpus_stats_from_docs(docs).collect()[0]
+    queries = spark.createDataFrame([(0, "window merge join zzznope")],
+                                    "query_id long, query_text string")
+    qt = query_terms(queries).select("term").distinct()
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs, avgdl = F.lit(stats["n_docs"]), F.lit(stats["avgdl"])
+    idf = F.log(F.lit(1.0) + (n_docs - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_norm = (F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
+               / (F.col("tf").cast("double") + F.lit(cfg.k1)
+                  * (F.lit(1.0 - cfg.b)
+                     + F.lit(cfg.b) * F.col("dl").cast("double") / avgdl)))
+    return (tf.filter(F.col("doc_id") == 3)
+            .join(F.broadcast(qt), "term")
+            .join(F.broadcast(dfs), "term")
+            .select("term", "tf", "dl", "df",
+                    F.round(idf, 6).alias("idf"),
+                    F.round(tf_norm, 6).alias("tf_norm"),
+                    F.round(bm25_term_score(
+                        F.col("tf"), F.col("dl"), F.col("df"),
+                        n_docs, avgdl, cfg), 6).alias("contribution")))
+
+
+EXT_QUERIES["explain_search"] = q_explain_search
+EXT_ORACLES["explain_search"] = """
+    WITH qt(term) AS (VALUES ('window'), ('merge'), ('join'), ('zzznope')),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl_docs AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+              FROM dl_docs),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+    SELECT tf.term, tf.tf, dl.dl, dfs.df,
+           round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 6)
+             AS idf,
+           round(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                 / s.avgdl)), 6) AS tf_norm,
+           round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                 * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                 / s.avgdl)), 6) AS contribution
+    FROM tf
+    JOIN qt USING (term)
+    JOIN dfs USING (term)
+    JOIN dl_docs dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    WHERE tf.doc_id = 3
+"""
+
+
+# ------------------------------------------------------------- boilerplate
+# line-level boilerplate removal (C4/RefinedWeb): the synthetic documents
+# carry no newlines, so BOTH engines append the same deterministic footer
+# lines — every doc gets a newsletter footer, every 4th doc a cookie
+# notice — and the screen must strip exactly those (each original text is
+# its own unique line and survives).
+
+_FOOTER = "subscribe to our newsletter for updates"
+_COOKIE = "this site uses cookies to improve your experience"
+
+
+def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n" + _FOOTER),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n" + _COOKIE)).otherwise(F.lit("")))
+        .alias("text"))
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb boilerplate screen: lines repeated across ≥ 5
+    distinct docs (lower+trim normalized, ≥ 10 chars) are detected with
+    one explode + one hash agg and stripped by an AQE-planned anti-join;
+    per-doc reassembly preserves line order. Surviving text returned per
+    doc (docs stripped to nothing keep an empty row)."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    docs = _boilerplate_docs(spark, sf_dir)
+    bl = boilerplate_lines(docs, min_docs=5)
+    return strip_boilerplate_lines(docs, bl)
+
+
+EXT_QUERIES["boilerplate_strip"] = q_boilerplate_strip
+EXT_ORACLES["boilerplate_strip"] = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || '{_FOOTER}'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN chr(10) || '{_COOKIE}' ELSE '' END AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1)
+               AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM aug
+    ),
+    keyed AS (SELECT doc_id, pos, line, lower(trim(line)) AS line_norm
+              FROM ex),
+    bl AS (
+      SELECT line_norm FROM keyed
+      WHERE len(line_norm) >= 10
+      GROUP BY line_norm HAVING count(DISTINCT doc_id) >= 5
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.line FROM keyed k
+      WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.line_norm = k.line_norm)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, coalesce(r.clean_text, '') AS clean_text
+    FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+"""

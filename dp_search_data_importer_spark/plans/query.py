@@ -570,3 +570,44 @@ def sliced_scroll(spark: SparkSession, out_dir: str, text: str,
         out = out.join(docs, "doc_id")
     return out.repartition(n_slices, "slice_id") \
         .sortWithinPartitions("slice_id", "doc_id")
+
+
+def explain_score(spark: SparkSession, out_dir: str, text: str,
+                  doc_id: int, cfg: EngineConfig | None = None) -> DataFrame:
+    """ES ``GET /index/_explain/{id}`` twin: the per-term BM25 breakdown
+    of one document's score for one query — (term, tf, dl, df, idf,
+    tf_norm, contribution), contributions summing to the document's
+    ``exact_topk`` score (same formula, same statistics). The plan is the
+    standard term-pruned postings scan PLUS a doc_id pushdown, so the
+    explain of one doc reads only the blocks holding (query term, that
+    doc) — never the hit set."""
+    cfg = cfg or EngineConfig()
+    from dp_search_data_importer_spark.operators.bm25 import (
+        bm25_term_score,
+        query_terms,
+    )
+
+    stats_sdf, stats = _stats_df(spark, out_dir)
+    queries = spark.createDataFrame([(0, text)],
+                                    "query_id long, query_text string")
+    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    tf = decompress_blocks(load_blocks(spark, out_dir, terms)).filter(
+        F.col("doc_id") == int(doc_id))
+    dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
+        F.col("term").isin(terms))
+    n_docs, avgdl = F.lit(stats["n_docs"]), F.lit(stats["avgdl"])
+    idf = F.log(F.lit(1.0) + (n_docs - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_norm = (F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
+               / (F.col("tf").cast("double") + F.lit(cfg.k1)
+                  * (F.lit(1.0 - cfg.b)
+                     + F.lit(cfg.b) * F.col("dl").cast("double") / avgdl)))
+    return (tf.join(F.broadcast(dfs), "term")
+            .select("term", "tf", "dl", "df",
+                    F.round(idf, 6).alias("idf"),
+                    F.round(tf_norm, 6).alias("tf_norm"),
+                    F.round(bm25_term_score(
+                        F.col("tf"), F.col("dl"), F.col("df"),
+                        n_docs, avgdl, cfg), 6).alias("contribution"))
+            .orderBy("term"))

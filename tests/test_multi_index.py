@@ -190,3 +190,31 @@ def test_federated_dataflow_qtf_bruteforce(spark):
             want[(ix, d)] = round(s, 4)
     got = {(r["index_name"], r["doc_id"]): r["score"] for r in out}
     assert got == pytest.approx(want)
+
+
+def test_federated_plan_broadcasts_stats(spark):
+    """Plan regression: in BOTH modes the stats/df joins are broadcast
+    (frames are #indexes- or #indexes×|terms|-sized) and the candidate
+    union never sort-merges — the index axis must not add a shuffle."""
+    from dp_search_data_importer_spark.operators.bm25 import query_terms
+    from dp_search_data_importer_spark.session import local_df
+
+    def _explain(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    tf = local_df(
+        spark, [("a", 1, "hash", 2, 5), ("b", 2, "hash", 1, 4)],
+        "index_name string, doc_id long, term string, tf long, dl long")
+    dfs = local_df(spark, [("a", "hash", 1), ("b", "hash", 1)],
+                   "index_name string, term string, df long")
+    stats = local_df(spark, [("a", 1, 5.0), ("b", 1, 4.0)],
+                     "index_name string, n_docs long, avgdl double")
+    qt = query_terms(local_df(spark, [(1, "hash")],
+                              "query_id long, query_text string"))
+    for mode in ("query_then_fetch", "dfs_query_then_fetch"):
+        plan = _explain(federated_scores(tf, qt, dfs, stats,
+                                         EngineConfig(), mode=mode))
+        assert "BroadcastHashJoin" in plan, mode
+        assert "SortMergeJoin" not in plan, mode

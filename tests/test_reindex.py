@@ -147,3 +147,26 @@ def test_sliced_scroll_partitions_hit_set(spark, tmp_path):
         sliced_scroll(spark, d, "hash", 0)
     with pytest.raises(ValueError, match="tokenizes to nothing"):
         sliced_scroll(spark, d, "...", 3)
+
+
+# ---------------------------------------------------------------- _explain
+def test_explain_score_sums_to_topk_score(spark, tmp_path):
+    from dp_search_data_importer_spark.plans.query import explain_score
+
+    base = _rows(20)
+    d = str(tmp_path / "explain_idx")
+    build_index(spark, spark.createDataFrame(base, SCHEMA), d, CFG4,
+                code_aware=True, waves=1)
+    queries = spark.createDataFrame([(1, "hash join merge zzznope")],
+                                    "query_id long, query_text string")
+    top = q.exact_topk(spark, d, queries, CFG4, k=1).collect()[0]
+    rows = explain_score(spark, d, "hash join merge zzznope",
+                         top["doc_id"], CFG4).collect()
+    assert rows and all(r["contribution"] > 0 for r in rows)
+    assert {r["term"] for r in rows} <= {"hash", "join", "merge"}  # absent drops
+    assert sum(r["contribution"] for r in rows) == pytest.approx(
+        top["score"], abs=1e-3)
+    # idf * tf_norm == contribution, per row
+    for r in rows:
+        assert r["idf"] * r["tf_norm"] == pytest.approx(
+            r["contribution"], abs=1e-4)

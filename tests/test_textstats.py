@@ -560,3 +560,38 @@ def test_pack_sequences_whole_doc_mode(spark):
     assert [r["start_tok"] for r in out] == [5 * i for i in range(10)]
     assert [r["seq_id"] for r in out] == [5 * i // 8 for i in range(10)]
     assert all(r["n_tokens"] == 5 for r in out)
+
+
+def test_boilerplate_lines_and_strip(spark):
+    """C4/RefinedWeb screen: lines in >= min_docs DISTINCT docs are
+    detected (occurrences within one doc don't count twice), short lines
+    are exempt, and the keep-pass preserves order and row counts."""
+    footer = "subscribe to the newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"alpha unique first line\n{footer}\nmore alpha text"),
+         (2, f"{footer}\nbeta content line"),
+         (3, f"gamma text here\n{footer}\n{footer}"),
+         (4, "delta only original content"),
+         (5, footer)],  # doc that is ALL boilerplate
+        "doc_id long, text string")
+    bl = ts.boilerplate_lines(docs, min_docs=3)
+    rows = {r["line_norm"]: (r["n_docs"], r["n_occurrences"])
+            for r in bl.collect()}
+    assert rows == {footer: (4, 5)}
+    # a line in 2 docs stays below min_docs=3
+    assert ts.boilerplate_lines(docs, min_docs=5).count() == 0
+    # short repeated lines are exempt
+    short = spark.createDataFrame(
+        [(i, "ok\nlong enough unique line %d" % i) for i in range(6)],
+        "doc_id long, text string")
+    assert ts.boilerplate_lines(short, min_docs=3).count() == 0
+
+    out = {r["doc_id"]: r["clean_text"]
+           for r in ts.strip_boilerplate_lines(docs, bl).collect()}
+    assert out == {
+        1: "alpha unique first line\nmore alpha text",
+        2: "beta content line",
+        3: "gamma text here",
+        4: "delta only original content",
+        5: "",  # fully-boilerplate doc survives as an empty row
+    }
