@@ -6239,3 +6239,26 @@ EXT_ORACLES["boilerplate_strip"] = f"""
     SELECT a.doc_id, coalesce(r.clean_text, '') AS clean_text
     FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
 """
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction + application (Sennrich 2016): train 40
+    merges from the corpus word-frequency table (one explode + one hash
+    agg; deterministic (freq desc, word asc) cap; driver-side merge loop
+    bounded by the cap) and tokenize every document with the learned
+    vocabulary (Arrow-batched, per-batch word memo). Iterative training
+    is not SQL-expressible — registered WITHOUT an oracle (rows-only
+    driver check); determinism is pinned by pytest instead
+    (`test_bpe.py`: textbook merge order, pure-python trainer
+    equivalence, character conservation)."""
+    from dp_search_data_importer_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        bpe.word_frequencies(docs, max_words=50_000), 40)
+    return (bpe.apply_bpe(docs, merges)
+            .select("doc_id", "n_tokens")
+            .orderBy("doc_id"))
+
+
+EXT_QUERIES["bpe_tokenize"] = q_bpe_tokenize
