@@ -71,15 +71,37 @@ def _write_state(alias_root: str, state: dict) -> None:
     os.replace(tmp, path)  # atomic: readers see old or new, never partial
 
 
+def decide_write_member(alias_root: str) -> tuple[str, bool, bool]:
+    """The rollover decision, separated from the write so a streaming
+    caller can JOURNAL it before applying (see :func:`apply_stream_batch`
+    — redelivery must reuse the original decision, or a batch that
+    crossed a rollover boundary would duplicate into a fresh member on
+    redelivery). Returns (member, rolled_over, is_new_member)."""
+    state = read_alias(alias_root)
+    write = state["write_index"]
+    rolled = False
+    if write is not None:
+        n = read_stats_json(os.path.join(alias_root, write))["n_docs"]
+        if n >= state["max_docs"]:
+            write = None
+            rolled = True
+    if write is None:
+        return f"{len(state['members']) + 1:06d}", rolled, True
+    return write, False, False
+
+
 def write_batch(spark: SparkSession, alias_root: str, docs: DataFrame,
-                cfg: EngineConfig | None = None) -> dict:
+                cfg: EngineConfig | None = None, *,
+                member: str | None = None) -> dict:
     """Ingest a batch through the alias: upsert into the write member,
     rolling over to a fresh member first when the write member is at/over
     ``max_docs`` (the ES rollover-on-write contract: the condition is
     evaluated BEFORE the write, so a member can exceed the limit by at
     most one batch — exactly ES's behavior with bulk requests).
 
-    Returns {member, rolled_over, accounting}. Note: a doc_id already
+    Returns {member, rolled_over, accounting}. ``member`` forces the
+    target (a streaming redelivery replaying its journaled decision);
+    default is :func:`decide_write_member`. Note: a doc_id already
     ingested into an OLDER member is NOT deduplicated here — as in ES,
     rollover-based ingest assumes append-style corpora (each doc arrives
     once) or id-partitioned routing; cross-member upserts would need a
@@ -89,26 +111,109 @@ def write_batch(spark: SparkSession, alias_root: str, docs: DataFrame,
 
     cfg = cfg or EngineConfig()
     state = read_alias(alias_root)
-    rolled = False
-    write = state["write_index"]
-    if write is not None:
-        n = read_stats_json(os.path.join(alias_root, write))["n_docs"]
-        if n >= state["max_docs"]:
-            write = None
-            rolled = True
-    if write is None:
-        write = f"{len(state['members']) + 1:06d}"
+    if member is None:
+        write, rolled, is_new = decide_write_member(alias_root)
+    else:
+        write, rolled = member, False
+        # a forced member is "new" unless it already completed a build —
+        # a crash after build_index but before the state append re-runs
+        # the fresh build idempotently (resume=False overwrites)
+        is_new = write not in state["members"]
+    if is_new:
         d = os.path.join(alias_root, write)
         build_index(spark, docs, d, cfg, code_aware=state["code_aware"],
                     waves=1, resume=False)
         # append only after the member is fully built (stats.json exists)
-        state["members"] = state["members"] + [write]
+        if write not in state["members"]:
+            state["members"] = state["members"] + [write]
         state["write_index"] = write
         _write_state(alias_root, state)
         acc = {"received": read_stats_json(d)["n_docs"]}
     else:
         acc = upsert_docs(spark, os.path.join(alias_root, write), docs)
     return {"member": write, "rolled_over": rolled, "accounting": acc}
+
+
+def _journal(alias_root: str, name: str) -> str:
+    return os.path.join(alias_root, name)
+
+
+def _read_jsonl(path: str) -> list[dict]:
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def apply_stream_batch(spark: SparkSession, alias_root: str,
+                       docs: DataFrame, batch_id: int,
+                       cfg: EngineConfig | None = None) -> dict | None:
+    """Exactly-once micro-batch application for :func:`run_alias_stream`.
+
+    Redelivery protocol (the rollover decision is NOT idempotent by
+    itself: a redelivered batch that originally crossed the rollover
+    boundary would open ANOTHER fresh member and duplicate its docs):
+
+    1. an already-APPLIED batch_id is a no-op;
+    2. the (batch_id → member) decision is journaled to
+       ``_batch_intents.jsonl`` BEFORE any write — redelivery replays the
+       journaled member, where application is idempotent (keyed upsert,
+       or a fresh overwrite build for a member's bootstrap batch);
+    3. ``_applied_batches.jsonl`` records completion LAST.
+
+    A crash between any two steps re-runs from the journaled decision and
+    converges to the same alias state (property-tested)."""
+    if docs.isEmpty():
+        return None
+    applied = {int(r["batch_id"])
+               for r in _read_jsonl(_journal(alias_root,
+                                             "_applied_batches.jsonl"))}
+    if int(batch_id) in applied:
+        return None
+    intents = {int(r["batch_id"]): r["member"]
+               for r in _read_jsonl(_journal(alias_root,
+                                             "_batch_intents.jsonl"))}
+    member = intents.get(int(batch_id))
+    if member is None:
+        member, _, _ = decide_write_member(alias_root)
+        with open(_journal(alias_root, "_batch_intents.jsonl"), "a") as f:
+            f.write(json.dumps({"batch_id": int(batch_id),
+                                "member": member}) + "\n")
+    res = write_batch(spark, alias_root, docs, cfg, member=member)
+    with open(_journal(alias_root, "_applied_batches.jsonl"), "a") as f:
+        f.write(json.dumps({"batch_id": int(batch_id),
+                            "member": member}) + "\n")
+    return res
+
+
+def run_alias_stream(docs_stream: DataFrame, alias_root: str,
+                     checkpoint_dir: str, *,
+                     cfg: EngineConfig | None = None,
+                     available_now: bool = True,
+                     processing_time: str = "5 seconds"):
+    """Continuous ingest THROUGH the alias — the production shape of the
+    reference's forever-stream at 10^12 files: micro-batches land in the
+    rollover write member, size conditions cut new members, searches fan
+    out over the whole alias, and historical members stay immutable.
+    foreachBatch + checkpointLocation give at-least-once delivery;
+    :func:`apply_stream_batch`'s intent journal upgrades it to
+    effectively-once across rollover boundaries."""
+    def _handle(df: DataFrame, batch_id: int) -> None:
+        apply_stream_batch(df.sparkSession, alias_root, df, batch_id, cfg)
+
+    writer = (docs_stream.writeStream
+              .foreachBatch(_handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def search_alias(spark: SparkSession, alias_root: str, queries: DataFrame,

@@ -76,3 +76,70 @@ def test_rollover_lifecycle(spark, tmp_path):
               for r in q.exact_topk(spark, merged, queries, CFG,
                                     k=200).collect()}
     assert fed == single and fed
+
+
+def test_alias_stream_end_to_end(spark, tmp_path):
+    """Streaming ingest through the alias: drains cut members at the
+    rollover condition; the final alias dfs-search equals one merged
+    index; redelivered batch ids are no-ops."""
+    import json as _json
+
+    from dp_search_data_importer_spark.plans.rollover import (
+        apply_stream_batch,
+        run_alias_stream,
+    )
+
+    root = str(tmp_path / "alias")
+    create_alias(root, max_docs=25, code_aware=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ("repo", "path", "commit", "lang", "content")
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(dict(zip(cols, r))) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        qy = run_alias_stream(stream, root, str(tmp_path / "ck"), cfg=CFG)
+        qy.awaitTermination(240)
+
+    put("b1.json", _rows(0, 30))
+    drain()
+    assert read_alias(root)["members"] == ["000001"]
+    put("b2.json", _rows(30, 40))  # member 1 at 30 >= 25 → rollover
+    drain()
+    st = read_alias(root)
+    assert st["members"] == ["000001", "000002"]
+    assert read_stats_json(os.path.join(root, "000002"))["n_docs"] == 10
+
+    merged = str(tmp_path / "merged")
+    build_index(spark, spark.createDataFrame(_rows(0, 40), SCHEMA), merged,
+                CFG, code_aware=True, waves=1)
+    queries = spark.createDataFrame([(1, "hash join merge")],
+                                    "query_id long, query_text string")
+    fed = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in search_alias(spark, root, queries, CFG, k=200).collect()}
+    single = {(r["query_id"], r["doc_id"]): r["score"]
+              for r in q.exact_topk(spark, merged, queries, CFG,
+                                    k=200).collect()}
+    assert fed == single and fed
+
+    # redelivery: an applied batch_id is a no-op even at a rollover
+    # boundary (member 2 now holds 10 < 25, but the journal wins)
+    before = read_alias(root)
+    assert apply_stream_batch(
+        spark, root, spark.createDataFrame(_rows(30, 40), SCHEMA),
+        batch_id=0, cfg=CFG) is None
+    assert read_alias(root) == before
+
+    # crash-after-intent: a journaled but unapplied decision is replayed
+    # into ITS member, not re-decided
+    with open(os.path.join(root, "_batch_intents.jsonl"), "a") as f:
+        f.write('{"batch_id": 99, "member": "000002"}\n')
+    res = apply_stream_batch(
+        spark, root, spark.createDataFrame(_rows(40, 44), SCHEMA),
+        batch_id=99, cfg=CFG)
+    assert res["member"] == "000002"
+    assert read_stats_json(os.path.join(root, "000002"))["n_docs"] == 14
