@@ -96,6 +96,10 @@ def main() -> None:
         # percolation join the headline set (new this round; per-query
         # comparisons across rounds, not the sum)
         "span_near_search", "percolate_matches",
+        # round 5 (this session): one representative per new family — the
+        # distributed-prefix-sum packing op, the federated (alias) search,
+        # and the BPE train+apply pipeline (Python-kernel path)
+        "pack_sequences", "multi_index_dfs", "bpe_tokenize",
     ]
     # best-of-2 per query: the host shows hypervisor steal (identical runs
     # vary up to ±40% — BENCH/ANALYSIS.md "Noise"); min is the standard
