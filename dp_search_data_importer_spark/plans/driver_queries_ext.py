@@ -6262,3 +6262,81 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["bpe_tokenize"] = q_bpe_tokenize
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (CCNet / GPT-3-style learned screen):
+    full-batch logistic-regression GD over feature-hashed TF-IDF rows,
+    trained ENTIRELY in DataFrame ops — the weight vector is a
+    ``(bucket, w)`` frame, never a driver array. Seed labels are
+    deterministic (docs with ``doc_id % 5 = 0``, label 1 iff
+    ``lang = 'en'``), so the fixed 3-iteration descent is exactly
+    replayable; the oracle unrolls the same three updates as a SQL CTE
+    chain. Returns the fitted weights (the trainer's artifact; scoring
+    is pytest-covered in test_classifier.py)."""
+    from dp_search_data_importer_spark.operators.classifier import (
+        fit_logreg,
+    )
+    from dp_search_data_importer_spark.operators.textstats import (
+        hashed_tfidf_sparse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_tfidf_sparse(docs, dim=64)
+    seed = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    w = fit_logreg(feats, seed, iters=3, lr=0.5, l2=0.01, dim=64)
+    return w.select("bucket", F.round("w", 4).alias("w"))
+
+
+def _logreg_gd_sql(iters: int, lr: float, l2: float) -> str:
+    """Unroll fit_logreg's fixed-iteration update into a DuckDB CTE
+    chain: w{i} -> margins -> residuals -> gradient -> w{i+1}, the same
+    textbook estimator the Spark trainer implements."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+    z{i} AS (SELECT x.doc_id, sum(x.value * w.w) AS z
+             FROM x JOIN w{i} w USING (bucket) GROUP BY x.doc_id),
+    g{i} AS (SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - lab.label AS g
+             FROM z{i} z JOIN lab USING (doc_id)),
+    gr{i} AS (SELECT x.bucket, sum(x.value * g.g) / (SELECT n FROM nn)
+                AS grad
+              FROM x JOIN g{i} g USING (doc_id) GROUP BY x.bucket),
+    w{i + 1} AS (SELECT w.bucket,
+                        w.w - {lr!r} * (coalesce(gr.grad, 0.0)
+                          + CASE WHEN w.bucket = -1 THEN 0.0
+                                 ELSE {l2!r} * w.w END) AS w
+                 FROM w{i} w LEFT JOIN gr{i} gr USING (bucket))""")
+    return ",".join(steps)
+
+
+EXT_QUERIES["quality_classifier"] = q_quality_classifier
+EXT_ORACLES["quality_classifier"] = f"""
+    WITH {_BM25_CORPUS_SQL},
+    n_t AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    feats AS (
+      SELECT doc_id, bucket::BIGINT AS bucket, round(sum(v), 6) AS value
+      FROM (
+        SELECT t.doc_id,
+               ('0x' || substr(md5(t.term), 1, 8))::UBIGINT % 64 AS bucket,
+               t.tf * (ln((n.n_docs + 1)::DOUBLE / (d.df + 1)) + 1.0) AS v
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN n_t n)
+      GROUP BY doc_id, bucket
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    x AS (
+      SELECT f.doc_id, f.bucket, f.value FROM feats f JOIN lab USING (doc_id)
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS value FROM lab
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n
+           FROM (SELECT DISTINCT doc_id FROM x)),
+    w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM x),
+    {_logreg_gd_sql(3, 0.5, 0.01)}
+    SELECT bucket, round(w, 4) AS w FROM w3
+"""

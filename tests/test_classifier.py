@@ -1,0 +1,142 @@
+"""Distributed logistic-regression quality classifier.
+
+The load-bearing check is exact-equivalence to a pure-numpy full-batch GD
+reference running the SAME update on the SAME design matrix — the Spark
+trainer is correct iff every iterate matches to float tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dp_search_data_importer_spark.operators import classifier as clf
+
+
+def _features(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, bucket long, value double")
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, label int")
+
+
+def _numpy_reference(feat_rows, label_rows, dim, iters, lr, l2):
+    """Textbook full-batch GD with intercept, L2 excluded on intercept —
+    mirrors fit_logreg's documented update exactly."""
+    docs = sorted({d for d, _, _ in feat_rows})
+    didx = {d: i for i, d in enumerate(docs)}
+    X = np.zeros((len(docs), dim + 1))
+    X[:, 0] = 1.0  # intercept column
+    for d, b, v in feat_rows:
+        X[didx[d], b + 1] += v
+    y = np.zeros(len(docs))
+    for d, lab in label_rows:
+        y[didx[d]] = lab
+    w = np.zeros(dim + 1)
+    n = len(docs)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        grad = X.T @ (p - y) / n
+        reg = l2 * w
+        reg[0] = 0.0
+        w = w - lr * (grad + reg)
+    return w
+
+
+def test_matches_numpy_reference_exactly(spark):
+    rng = np.random.RandomState(7)
+    dim = 16
+    feat_rows, label_rows = [], []
+    for d in range(40):
+        lab = d % 2
+        label_rows.append((d, lab))
+        # class-dependent feature distribution, overlapping support
+        for b in rng.choice(dim, size=5, replace=False):
+            bias = 0.8 if (b < dim // 2) == (lab == 1) else 0.2
+            feat_rows.append((d, int(b), float(round(bias + rng.rand(), 3))))
+    feats = _features(spark, feat_rows)
+    labels = _labels(spark, label_rows)
+
+    w_ref = _numpy_reference(feat_rows, label_rows, dim,
+                             iters=8, lr=0.4, l2=0.01)
+    w_df = clf.fit_logreg(feats, labels, iters=8, lr=0.4, l2=0.01, dim=dim)
+    got = {r["bucket"]: r["w"] for r in w_df.collect()}
+
+    assert abs(got[clf.INTERCEPT_BUCKET] - w_ref[0]) < 1e-9
+    for b in range(dim):
+        if b + 1 < len(w_ref) and (b in got or w_ref[b + 1] != 0.0):
+            # buckets never observed in features carry no weight row
+            if b in got:
+                assert abs(got[b] - w_ref[b + 1]) < 1e-9, b
+
+
+def test_separable_corpus_converges_and_scores(spark):
+    """Two disjoint vocabularies → near-perfect training accuracy, and
+    the corpus-wide keep-pass scores unlabelled docs the right way."""
+    good = "the quick brown fox jumps over the lazy dog in autumn light"
+    bad = "click here buy now free offer winner prize claim urgent cash"
+    rows = []
+    for i in range(30):
+        rows.append((i, good + f" extra{i % 3}", 1))
+        rows.append((100 + i, bad + f" spam{i % 3}", 0))
+    # unlabelled docs (scored but not trained on)
+    rows.append((500, good, None))
+    rows.append((501, bad, None))
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string")
+    seed = spark.createDataFrame(
+        [(d, lab) for d, _, lab in rows if lab is not None],
+        "doc_id long, label int")
+
+    scored = clf.train_quality_classifier(
+        docs, seed, dim=512, iters=25, lr=1.0, l2=0.0)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert len(got) == len(rows)  # every doc scored, labelled or not
+    train_acc = np.mean([
+        got[d]["pred"] == lab for d, _, lab in rows if lab is not None])
+    assert train_acc >= 0.95
+    assert got[500]["prob"] > 0.9
+    assert got[501]["prob"] < 0.1
+
+
+def test_prediction_handles_unseen_buckets_and_threshold(spark):
+    feats = _features(spark, [(1, 0, 1.0), (2, 99, 1.0)])
+    # weights only know bucket 0 and the intercept
+    w = spark.createDataFrame(
+        [(clf.INTERCEPT_BUCKET, 0.0), (0, 2.0)], "bucket long, w double")
+    out = {r["doc_id"]: r for r in
+           clf.predict_logreg(feats, w, threshold=0.6).collect()}
+    assert out[1]["prob"] == pytest.approx(1 / (1 + np.exp(-2.0)))
+    assert out[1]["pred"] == 1
+    # doc 2's only bucket is unseen → z = 0 → prob 0.5 < 0.6
+    assert out[2]["prob"] == pytest.approx(0.5)
+    assert out[2]["pred"] == 0
+
+
+def test_empty_labels_raise(spark):
+    feats = _features(spark, [(1, 0, 1.0)])
+    labels = _labels(spark, []) if False else spark.createDataFrame(
+        [], "doc_id long, label int")
+    with pytest.raises(ValueError, match="no labelled"):
+        clf.fit_logreg(feats, labels, iters=1, dim=8)
+
+
+def test_large_dim_skips_broadcast_hint(spark):
+    """Above the gate the margin join must not carry a broadcast hint —
+    weights at dim 2^24 cannot be force-broadcast."""
+    feats = _features(spark, [(1, 0, 1.0), (1, 1, 2.0), (2, 1, 1.0)])
+    labels = _labels(spark, [(1, 1), (2, 0)])
+    w = clf.fit_logreg(feats, labels, iters=1, lr=0.1,
+                       dim=10, broadcast_limit=4)
+    # gate off → plan builds without ResolvedHint; value sanity via predict
+    out = clf.predict_logreg(feats, w, dim=10, broadcast_limit=4)
+    assert out.count() == 2
+    w_small = clf.fit_logreg(feats, labels, iters=1, lr=0.1, dim=10)
+    a = {r["bucket"]: r["w"] for r in w.collect()}
+    b = {r["bucket"]: r["w"] for r in w_small.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
