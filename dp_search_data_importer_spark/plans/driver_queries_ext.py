@@ -6340,3 +6340,105 @@ EXT_ORACLES["quality_classifier"] = f"""
     {_logreg_gd_sql(3, 0.5, 0.01)}
     SELECT bucket, round(w, 4) AS w FROM w3
 """
+
+
+SEARCH_TEMPLATE_SRC = (
+    '{"query": {"bool": {'
+    '"must": [{"match": {"text": "{{qtext}}"}}],'
+    '"filter": [{"range": {"n_chars": {{#toJson}}rng{{/toJson}}}}]'
+    '}}, "size": {{size}}{{^size}}10{{/size}}}'
+)
+
+
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_search/template`` twin: a mustache-subset template —
+    ``{{var}}`` substitution, ``{{#toJson}}`` object injection, and the
+    inverted-section default idiom ``{{size}}{{^size}}10{{/size}}`` —
+    renders driver-side to exactly ``ES_DSL_BODY`` and compiles through
+    the same ``search`` plan, so templating provably adds zero execution
+    surface. Oracle = the es_dsl_search SQL with the params inlined."""
+    return _dsl_planner(spark, sf_dir).search_template(
+        SEARCH_TEMPLATE_SRC,
+        {"qtext": "hash join", "rng": {"gte": 300, "lte": 1500}},
+    ).hits.select("doc_id", "score")
+
+
+EXT_QUERIES["search_template"] = q_search_template
+EXT_ORACLES["search_template"] = EXT_ORACLES["es_dsl_search"]
+
+
+def q_facet_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``matrix_stats`` aggregation twin over a query's hit set:
+    per-field moments (count/mean/sample variance/skewness/kurtosis)
+    plus the sample covariance/correlation matrix for (n_chars, doc_id),
+    computed as ONE map-side-combinable hash agg of raw power sums with
+    the O(F²) matrix assembled by exploding the single result row —
+    one scan, one agg, any corpus size. Oracle replays the identical
+    power-sum formulas in SQL."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"m": {"matrix_stats":
+                           {"fields": ["n_chars", "doc_id"]}}}}
+    return _dsl_planner(spark, sf_dir).search(body).aggregations["m"]
+
+
+def _matrix_pair_sql(a: str, b: str) -> str:
+    """One (field, other_field) row of the matrix_stats oracle from the
+    power-sum row ``s`` — same formulas as plans/es_dsl.py."""
+    sxy = f"s2_{a}" if a == b else f"sxy_{min(a, b)}_{max(a, b)}"
+    return f"""
+      SELECT '{a}' AS field, '{b}' AS other_field,
+             n::BIGINT AS count,
+             round(s1_{a} / n, 4) AS mean,
+             round((s2_{a} - n * (s1_{a} / n) * (s1_{a} / n)) / (n - 1),
+                   4) AS variance,
+             round((s3_{a} / n - 3 * (s1_{a} / n) * s2_{a} / n
+                    + 2 * power(s1_{a} / n, 3))
+                   / power(s2_{a} / n - (s1_{a} / n) * (s1_{a} / n),
+                           1.5), 4) AS skewness,
+             round((s4_{a} / n - 4 * (s1_{a} / n) * s3_{a} / n
+                    + 6 * (s1_{a} / n) * (s1_{a} / n) * s2_{a} / n
+                    - 3 * power(s1_{a} / n, 4))
+                   / power(s2_{a} / n - (s1_{a} / n) * (s1_{a} / n), 2),
+                   4) AS kurtosis,
+             round(({sxy} - n * (s1_{a} / n) * (s1_{b} / n)) / (n - 1),
+                   4) AS covariance,
+             round((({sxy} - n * (s1_{a} / n) * (s1_{b} / n)) / (n - 1))
+                   / sqrt(((s2_{a} - n * (s1_{a} / n) * (s1_{a} / n))
+                           / (n - 1))
+                          * ((s2_{b} - n * (s1_{b} / n) * (s1_{b} / n))
+                             / (n - 1))), 4) AS correlation
+      FROM s"""
+
+
+EXT_QUERIES["facet_matrix_stats"] = q_facet_matrix_stats
+EXT_ORACLES["facet_matrix_stats"] = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+    j AS (
+      SELECT d.n_chars::DOUBLE AS v_n_chars, d.doc_id::DOUBLE AS v_doc_id
+      FROM hits h JOIN documents d USING (doc_id)
+      WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL
+    ),
+    s AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(v_n_chars) AS s1_n_chars,
+             sum(v_n_chars * v_n_chars) AS s2_n_chars,
+             sum(v_n_chars * v_n_chars * v_n_chars) AS s3_n_chars,
+             sum(v_n_chars * v_n_chars * v_n_chars * v_n_chars)
+               AS s4_n_chars,
+             sum(v_doc_id) AS s1_doc_id,
+             sum(v_doc_id * v_doc_id) AS s2_doc_id,
+             sum(v_doc_id * v_doc_id * v_doc_id) AS s3_doc_id,
+             sum(v_doc_id * v_doc_id * v_doc_id * v_doc_id) AS s4_doc_id,
+             sum(v_n_chars * v_doc_id) AS sxy_doc_id_n_chars
+      FROM j
+    )
+    {_matrix_pair_sql('n_chars', 'n_chars')}
+    UNION ALL {_matrix_pair_sql('n_chars', 'doc_id')}
+    UNION ALL {_matrix_pair_sql('doc_id', 'n_chars')}
+    UNION ALL {_matrix_pair_sql('doc_id', 'doc_id')}
+"""

@@ -1497,6 +1497,81 @@ class EsSearchPlanner:
         if kind == "extended_stats":
             return agg_ops.extended_stats_agg(
                 qhits, meta, body["field"]).drop("query_id")
+        if kind == "matrix_stats":
+            # ES matrix_stats: multi-field numeric matrix — per-field
+            # moment stats (count/mean/variance/skewness/kurtosis) plus
+            # the covariance/correlation matrix. ES streams running
+            # higher-order moments per shard and merges
+            # (MatrixStatsResults); the Spark form is ONE map-side-
+            # combinable hash agg of raw power sums Σx..Σx⁴ + pairwise
+            # Σxy over the hit set, then the O(F²) matrix assembles as
+            # an explode over the single result row — one scan, one
+            # agg, no second pass. Docs missing ANY requested field
+            # leave the whole matrix (the ES default missing
+            # treatment). Moment definitions match ES RunningStats:
+            # sample variance/covariance (n−1), population skewness
+            # g1 = m3/m2^{3/2}, population non-excess kurtosis m4/m2².
+            flds = [str(f) for f in _as_list(body["fields"])]
+            if len(flds) != len(set(flds)) or not flds:
+                raise EsDslError("matrix_stats needs distinct fields")
+            for f_ in flds:
+                if f_ not in meta.columns:
+                    raise EsDslError(
+                        f"matrix_stats field {f_!r} is not a doc-value "
+                        f"column")
+            j = qhits.join(meta, "doc_id")
+            for f_ in flds:
+                j = j.filter(F.col(f_).isNotNull())
+            exprs = [F.count(F.lit(1)).cast("double").alias("n")]
+            for f_ in flds:
+                v = F.col(f_).cast("double")
+                exprs += [F.sum(v).alias(f"s1_{f_}"),
+                          F.sum(v * v).alias(f"s2_{f_}"),
+                          F.sum(v * v * v).alias(f"s3_{f_}"),
+                          F.sum(v * v * v * v).alias(f"s4_{f_}")]
+            for i_, a_ in enumerate(flds):
+                for b_ in flds[i_ + 1:]:
+                    exprs.append(
+                        F.sum(F.col(a_).cast("double")
+                              * F.col(b_).cast("double"))
+                        .alias(f"sxy_{a_}_{b_}"))
+            sums = j.agg(*exprs)
+            n = F.col("n")
+            pairs = []
+            for i_, a_ in enumerate(flds):
+                ma = F.col(f"s1_{a_}") / n
+                m2 = F.col(f"s2_{a_}") / n - ma * ma
+                m3 = (F.col(f"s3_{a_}") / n
+                      - F.lit(3.0) * ma * F.col(f"s2_{a_}") / n
+                      + F.lit(2.0) * ma * ma * ma)
+                m4 = (F.col(f"s4_{a_}") / n
+                      - F.lit(4.0) * ma * F.col(f"s3_{a_}") / n
+                      + F.lit(6.0) * ma * ma * F.col(f"s2_{a_}") / n
+                      - F.lit(3.0) * ma * ma * ma * ma)
+                var_a = (F.col(f"s2_{a_}") - n * ma * ma) / (n - 1)
+                for k_, b_ in enumerate(flds):
+                    mb = F.col(f"s1_{b_}") / n
+                    var_b = (F.col(f"s2_{b_}") - n * mb * mb) / (n - 1)
+                    if a_ == b_:
+                        sxy = F.col(f"s2_{a_}")
+                    else:
+                        lo, hi = (a_, b_) if i_ < k_ else (b_, a_)
+                        sxy = F.col(f"sxy_{lo}_{hi}")
+                    cov = (sxy - n * ma * mb) / (n - 1)
+                    pairs.append(F.struct(
+                        F.lit(a_).alias("field"),
+                        F.lit(b_).alias("other_field"),
+                        n.cast("long").alias("count"),
+                        F.round(ma, 4).alias("mean"),
+                        F.round(var_a, 4).alias("variance"),
+                        F.round(m3 / F.pow(m2, F.lit(1.5)), 4)
+                        .alias("skewness"),
+                        F.round(m4 / (m2 * m2), 4).alias("kurtosis"),
+                        F.round(cov, 4).alias("covariance"),
+                        F.round(cov / F.sqrt(var_a * var_b), 4)
+                        .alias("correlation")))
+            return (sums.select(F.explode(F.array(*pairs)).alias("p"))
+                    .select("p.*"))
         if kind == "percentiles":
             return agg_ops.percentiles_agg(
                 qhits, meta, body["field"],
@@ -3007,6 +3082,62 @@ class EsSearchPlanner:
                                         F.col("doc_id").asc()).limit(size)
                 results[i] = SearchResult(hits=hits)
         return results
+
+    def search_template(self, source, params: dict) -> SearchResult:
+        """ES ``_search/template`` twin: render a mustache-subset
+        template against ``params`` and compile the resulting body
+        through :meth:`search`.
+
+        Supported mustache subset (the forms the ES 7.10 search-template
+        docs use): ``{{var}}`` value substitution — strings JSON-escape
+        into the template's own quotes, numbers/bools/null render as
+        JSON, missing params render empty (mustache semantics, which is
+        what makes the ES default-value idiom work) —
+        ``{{#toJson}}var{{/toJson}}`` whole-value JSON injection for
+        arrays/objects, and non-nested sections ``{{#var}}…{{/var}}``
+        (kept iff the param is present and truthy) / inverted
+        ``{{^var}}…{{/var}}`` (the ``{{size}}{{^size}}10{{/size}}``
+        default idiom). Rendering is pure driver-side string work over
+        the request body — the compiled query takes the identical plan
+        :meth:`search` builds, so templating adds zero execution
+        surface at any corpus size."""
+        import json as _json
+        import re as _re
+
+        src = source if isinstance(source, str) else _json.dumps(source)
+
+        def _tojson(m):
+            name = m.group(1)
+            if name not in params:
+                raise EsDslError(f"missing toJson template param "
+                                 f"{name!r}")
+            return _json.dumps(params[name])
+
+        s = _re.sub(r"\{\{#toJson\}\}\s*([\w.]+)\s*\{\{/toJson\}\}",
+                    _tojson, src)
+        s = _re.sub(
+            r"\{\{([#^])([\w.]+)\}\}(.*?)\{\{/\2\}\}",
+            lambda m: m.group(3)
+            if (m.group(1) == "#") == bool(params.get(m.group(2)))
+            else "",
+            s, flags=_re.S)
+
+        def _var(m):
+            v = params.get(m.group(1))
+            if v is None and m.group(1) not in params:
+                return ""  # mustache: missing variables render empty
+            if isinstance(v, str):
+                return _json.dumps(v)[1:-1]
+            return _json.dumps(v)
+
+        s = _re.sub(r"\{\{([\w.]+)\}\}", _var, s)
+        try:
+            body = _json.loads(s)
+        except ValueError as e:
+            raise EsDslError(
+                f"template did not render to valid JSON: {e}; "
+                f"rendered: {s[:200]!r}") from e
+        return self.search(body)
 
 
 # ---------------------------------------------------------------------------

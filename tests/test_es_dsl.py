@@ -2089,3 +2089,111 @@ def test_nested_query_compiles(spark, planner):
         p.search({"query": {"bool": {"filter": [{"nested": {
             "path": "lang", "query": {"match_all": {}}}}],
             "must": [{"match_all": {}}]}}, "size": 1})
+
+
+def test_search_template_renders_and_matches_direct_search(planner):
+    """The rendered template must compile to the identical body: var
+    substitution, toJson object injection, and the inverted-section
+    default idiom all at once."""
+    src = ('{"query": {"bool": {'
+           '"must": [{"match": {"text": "{{qtext}}"}}],'
+           '"filter": [{"range": {"n_chars": {{#toJson}}rng{{/toJson}}}}]'
+           '}}, "size": {{size}}{{^size}}10{{/size}}}')
+    got = _ranked(planner.search_template(
+        src, {"qtext": "hash join", "rng": {"gte": 300, "lte": 1500}}
+    ).hits)
+    want = _ranked(planner.search(
+        {"query": {"bool": {
+            "must": [{"match": {"text": "hash join"}}],
+            "filter": [{"range": {"n_chars": {"gte": 300, "lte": 1500}}}],
+        }}, "size": 10}).hits)
+    assert got == want and len(got) == 10
+
+
+def test_search_template_sections_and_size_param(planner):
+    # positive section kept when param truthy; size param wins over the
+    # inverted default
+    src = ('{"query": {"match": {"text": "{{qtext}}"}}'
+           '{{#want_size}}, "size": {{size}}{{/want_size}}'
+           '{{^want_size}}, "size": 3{{/want_size}}}')
+    a = planner.search_template(
+        src, {"qtext": "hash", "want_size": True, "size": 5})
+    assert a.hits.count() == 5
+    b = planner.search_template(src, {"qtext": "hash"})
+    assert b.hits.count() == 3
+
+
+def test_search_template_string_params_json_escape(planner):
+    # a param containing a quote must escape INTO the template's quotes
+    src = '{"query": {"match": {"text": "{{qtext}}"}}, "size": 2}'
+    res = planner.search_template(src, {"qtext": 'hash "join'})
+    assert res.hits.count() == 2  # renders to valid JSON, quote escaped
+
+
+def test_search_template_errors(planner):
+    with pytest.raises(EsDslError, match="toJson"):
+        planner.search_template(
+            '{"query": {{#toJson}}q{{/toJson}}}', {})
+    with pytest.raises(EsDslError, match="render"):
+        # missing {{var}} renders empty -> invalid JSON here
+        planner.search_template('{"size": {{n}}}', {})
+
+
+def test_matrix_stats_matches_numpy(planner):
+    """The one-pass power-sum matrix must equal numpy's two-pass
+    moments (sample var/cov, population g1 skewness, non-excess
+    kurtosis) on the same hit set."""
+    import numpy as np
+
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"m": {"matrix_stats":
+                           {"fields": ["n_chars", "doc_id"]}}}}
+    out = {(r["field"], r["other_field"]): r
+           for r in planner.search(body).aggregations["m"].collect()}
+    assert len(out) == 4
+
+    hit_ids = [r["doc_id"] for r in
+               planner.score({"match": {"text": "hash"}})
+               .select("doc_id").collect()]
+    meta = {r["doc_id"]: r["n_chars"] for r in
+            planner.docs.select("doc_id", "n_chars").collect()}
+    x = np.array([float(meta[d]) for d in hit_ids])
+    y = np.array([float(d) for d in hit_ids])
+    n = len(x)
+
+    def mom(v):
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        m3 = ((v - m) ** 3).mean()
+        m4 = ((v - m) ** 4).mean()
+        return (m, ((v - m) ** 2).sum() / (n - 1),
+                m3 / m2 ** 1.5, m4 / m2 ** 2)
+
+    for fld, v in (("n_chars", x), ("doc_id", y)):
+        r = out[(fld, fld)]
+        m, var, skw, kur = mom(v)
+        assert r["count"] == n
+        assert r["mean"] == pytest.approx(m, abs=2e-4)
+        assert r["variance"] == pytest.approx(var, rel=1e-6)
+        assert r["skewness"] == pytest.approx(skw, abs=2e-4)
+        assert r["kurtosis"] == pytest.approx(kur, abs=2e-4)
+        # diagonal: covariance == variance, correlation == 1
+        assert r["covariance"] == pytest.approx(var, rel=1e-6)
+        assert r["correlation"] == pytest.approx(1.0, abs=1e-4)
+
+    cov = ((x - x.mean()) * (y - y.mean())).sum() / (n - 1)
+    corr = cov / np.sqrt((((x - x.mean()) ** 2).sum() / (n - 1))
+                         * (((y - y.mean()) ** 2).sum() / (n - 1)))
+    for a, b in (("n_chars", "doc_id"), ("doc_id", "n_chars")):
+        r = out[(a, b)]
+        assert r["covariance"] == pytest.approx(cov, abs=2e-4)
+        assert r["correlation"] == pytest.approx(corr, abs=2e-4)
+
+
+def test_matrix_stats_errors(planner):
+    with pytest.raises(EsDslError, match="distinct"):
+        planner.search({"size": 0, "aggs": {"m": {"matrix_stats":
+                       {"fields": ["n_chars", "n_chars"]}}}})
+    with pytest.raises(EsDslError, match="doc-value"):
+        planner.search({"size": 0, "aggs": {"m": {"matrix_stats":
+                       {"fields": ["n_chars", "nope"]}}}})
