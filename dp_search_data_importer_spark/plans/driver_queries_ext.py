@@ -6442,3 +6442,61 @@ EXT_ORACLES["facet_matrix_stats"] = f"""
     UNION ALL {_matrix_pair_sql('doc_id', 'n_chars')}
     UNION ALL {_matrix_pair_sql('doc_id', 'doc_id')}
 """
+
+
+def q_facet_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` aggregation twin (Welch, the ES default): n_chars of
+    English vs non-English docs within the match hit set. ONE
+    map-side-combinable conditional hash agg collects both populations'
+    count/Σx/Σx²; the statistic assembles on the 1-row result.
+    Documented divergence: ES returns the p-value — the Student CDF is a
+    scalar driver-side lookup with no distributed component, so the twin
+    returns (t_stat, df, n_a, n_b), the CDF's inputs. Oracle replays the
+    Welch formulas over the identical conditional sums."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"t": {"t_test": {
+                "a": {"field": "n_chars",
+                      "filter": {"term": {"lang": "en"}}},
+                "b": {"field": "n_chars",
+                      "filter": {"__not__": {"term": {"lang": "en"}}}},
+                "type": "heteroscedastic"}}}}
+    return _dsl_planner(spark, sf_dir).search(body).aggregations["t"]
+
+
+EXT_QUERIES["facet_t_test"] = q_facet_t_test
+EXT_ORACLES["facet_t_test"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash'),
+    j AS (
+      SELECT d.n_chars::DOUBLE AS v, d.lang = 'en' AS is_a
+      FROM hits h JOIN documents d USING (doc_id)
+      WHERE d.n_chars IS NOT NULL
+    ),
+    s AS (
+      SELECT sum(CASE WHEN is_a THEN 1.0 ELSE 0.0 END) AS na,
+             sum(CASE WHEN is_a THEN v ELSE 0.0 END) AS sa1,
+             sum(CASE WHEN is_a THEN v * v ELSE 0.0 END) AS sa2,
+             sum(CASE WHEN NOT is_a THEN 1.0 ELSE 0.0 END) AS nb,
+             sum(CASE WHEN NOT is_a THEN v ELSE 0.0 END) AS sb1,
+             sum(CASE WHEN NOT is_a THEN v * v ELSE 0.0 END) AS sb2
+      FROM j
+    ),
+    m AS (
+      SELECT na, nb,
+             (sa2 - na * (sa1 / na) * (sa1 / na)) / (na - 1) / na AS se1,
+             (sb2 - nb * (sb1 / nb) * (sb1 / nb)) / (nb - 1) / nb AS se2,
+             sa1 / na - sb1 / nb AS dmean
+      FROM s
+    )
+    SELECT 'heteroscedastic' AS type,
+           round(dmean / sqrt(se1 + se2), 4) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (na - 1) + se2 * se2 / (nb - 1)), 4)
+             AS df,
+           na::BIGINT AS n_a, nb::BIGINT AS n_b
+    FROM m
+"""

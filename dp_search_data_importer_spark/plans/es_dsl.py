@@ -1572,6 +1572,78 @@ class EsSearchPlanner:
                         .alias("correlation")))
             return (sums.select(F.explode(F.array(*pairs)).alias("p"))
                     .select("p.*"))
+        if kind == "t_test":
+            # ES t_test agg (7.8+ analytics): Student's t between two
+            # populations of the hit set. ONE conditional hash agg
+            # collects both populations' count/Σx/Σx² (map-side
+            # combinable — the whole test is a single pass at any
+            # corpus size); the statistic assembles on the 1-row
+            # result. Divergence, documented: ES returns the p-value;
+            # the Student CDF is a scalar driver-side lookup with no
+            # distributed component, so this twin returns the
+            # (t_stat, df, n_a, n_b) tuple the CDF consumes.
+            # ``paired`` runs over docs carrying BOTH fields (per-doc
+            # difference, one agg); ``homoscedastic`` pools variance
+            # (df = n1+n2−2); ``heteroscedastic`` (the ES default) is
+            # Welch's t with the Welch–Satterthwaite df.
+            ttype = str(body.get("type", "heteroscedastic"))
+            a_spec, b_spec = body["a"], body["b"]
+            va = F.col(str(a_spec["field"])).cast("double")
+            vb = F.col(str(b_spec["field"])).cast("double")
+            j = qhits.join(meta, "doc_id")
+            if ttype == "paired":
+                if "filter" in a_spec or "filter" in b_spec:
+                    raise EsDslError("paired t_test takes no filters — "
+                                     "both fields read from each doc")
+                d = va - vb
+                row = (j.filter(va.isNotNull() & vb.isNotNull())
+                       .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                            F.sum(d).alias("s1"),
+                            F.sum(d * d).alias("s2")))
+                n = F.col("n")
+                mean_d = F.col("s1") / n
+                var_d = (F.col("s2") - n * mean_d * mean_d) / (n - 1)
+                return row.select(
+                    F.lit("paired").alias("type"),
+                    F.round(mean_d / F.sqrt(var_d / n), 4)
+                    .alias("t_stat"),
+                    F.round(n - 1, 4).alias("df"),
+                    n.cast("long").alias("n_a"),
+                    n.cast("long").alias("n_b"))
+            if ttype not in ("homoscedastic", "heteroscedastic"):
+                raise EsDslError(f"unsupported t_test type {ttype!r}")
+            pa = _meta_predicate(a_spec["filter"]) if "filter" in a_spec \
+                else F.lit(True)
+            pb = _meta_predicate(b_spec["filter"]) if "filter" in b_spec \
+                else F.lit(True)
+            ca = pa & va.isNotNull()
+            cb = pb & vb.isNotNull()
+            row = j.agg(
+                F.sum(F.when(ca, 1.0).otherwise(0.0)).alias("na"),
+                F.sum(F.when(ca, va).otherwise(0.0)).alias("sa1"),
+                F.sum(F.when(ca, va * va).otherwise(0.0)).alias("sa2"),
+                F.sum(F.when(cb, 1.0).otherwise(0.0)).alias("nb"),
+                F.sum(F.when(cb, vb).otherwise(0.0)).alias("sb1"),
+                F.sum(F.when(cb, vb * vb).otherwise(0.0)).alias("sb2"))
+            na, nb = F.col("na"), F.col("nb")
+            m1, m2 = F.col("sa1") / na, F.col("sb1") / nb
+            v1 = (F.col("sa2") - na * m1 * m1) / (na - 1)
+            v2 = (F.col("sb2") - nb * m2 * m2) / (nb - 1)
+            if ttype == "homoscedastic":
+                sp2 = ((na - 1) * v1 + (nb - 1) * v2) / (na + nb - 2)
+                t = (m1 - m2) / F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+                dof = na + nb - 2
+            else:
+                se1, se2 = v1 / na, v2 / nb
+                t = (m1 - m2) / F.sqrt(se1 + se2)
+                dof = ((se1 + se2) * (se1 + se2)
+                       / (se1 * se1 / (na - 1) + se2 * se2 / (nb - 1)))
+            return row.select(
+                F.lit(ttype).alias("type"),
+                F.round(t, 4).alias("t_stat"),
+                F.round(dof, 4).alias("df"),
+                na.cast("long").alias("n_a"),
+                nb.cast("long").alias("n_b"))
         if kind == "percentiles":
             return agg_ops.percentiles_agg(
                 qhits, meta, body["field"],

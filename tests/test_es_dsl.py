@@ -2197,3 +2197,67 @@ def test_matrix_stats_errors(planner):
     with pytest.raises(EsDslError, match="doc-value"):
         planner.search({"size": 0, "aggs": {"m": {"matrix_stats":
                        {"fields": ["n_chars", "nope"]}}}})
+
+
+def test_t_test_welch_and_pooled_match_numpy(planner):
+    import numpy as np
+
+    hit_ids = [r["doc_id"] for r in
+               planner.score({"match": {"text": "hash"}})
+               .select("doc_id").collect()]
+    meta = {r["doc_id"]: (r["n_chars"], r["lang"]) for r in
+            planner.docs.select("doc_id", "n_chars", "lang").collect()}
+    a = np.array([float(meta[d][0]) for d in hit_ids
+                  if meta[d][1] == "en"])
+    b = np.array([float(meta[d][0]) for d in hit_ids
+                  if meta[d][1] != "en"])
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    n1, n2 = len(a), len(b)
+    se1, se2 = v1 / n1, v2 / n2
+    t_welch = (a.mean() - b.mean()) / np.sqrt(se1 + se2)
+    df_welch = (se1 + se2) ** 2 / (se1 ** 2 / (n1 - 1)
+                                   + se2 ** 2 / (n2 - 1))
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    t_pool = (a.mean() - b.mean()) / np.sqrt(sp2 * (1 / n1 + 1 / n2))
+
+    spec = {"a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+            "b": {"field": "n_chars",
+                  "filter": {"__not__": {"term": {"lang": "en"}}}}}
+    for ttype, t_want, df_want in (
+            ("heteroscedastic", t_welch, df_welch),
+            ("homoscedastic", t_pool, float(n1 + n2 - 2))):
+        body = {"query": {"match": {"text": "hash"}}, "size": 0,
+                "aggs": {"t": {"t_test": {**spec, "type": ttype}}}}
+        r, = planner.search(body).aggregations["t"].collect()
+        assert r["type"] == ttype and r["n_a"] == n1 and r["n_b"] == n2
+        assert r["t_stat"] == pytest.approx(t_want, abs=2e-4)
+        assert r["df"] == pytest.approx(df_want, abs=2e-4)
+
+
+def test_t_test_paired_and_errors(planner):
+    import numpy as np
+
+    # paired: n_chars vs doc_id per doc over the hit set
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"t": {"t_test": {"a": {"field": "n_chars"},
+                                      "b": {"field": "doc_id"},
+                                      "type": "paired"}}}}
+    r, = planner.search(body).aggregations["t"].collect()
+    hit_ids = [x["doc_id"] for x in
+               planner.score({"match": {"text": "hash"}})
+               .select("doc_id").collect()]
+    meta = {x["doc_id"]: x["n_chars"] for x in
+            planner.docs.select("doc_id", "n_chars").collect()}
+    d = np.array([float(meta[i]) - float(i) for i in hit_ids])
+    t_want = d.mean() / np.sqrt(d.var(ddof=1) / len(d))
+    assert r["t_stat"] == pytest.approx(t_want, abs=2e-4)
+    assert r["df"] == len(d) - 1 and r["n_a"] == len(d)
+
+    with pytest.raises(EsDslError, match="no filters"):
+        planner.search({"size": 0, "aggs": {"t": {"t_test": {
+            "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+            "b": {"field": "doc_id"}, "type": "paired"}}}})
+    with pytest.raises(EsDslError, match="t_test type"):
+        planner.search({"size": 0, "aggs": {"t": {"t_test": {
+            "a": {"field": "n_chars"}, "b": {"field": "doc_id"},
+            "type": "zscore"}}}})
