@@ -6500,3 +6500,37 @@ EXT_ORACLES["facet_t_test"] = """
            na::BIGINT AS n_a, nb::BIGINT AS n_b
     FROM m
 """
+
+
+def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``scripted_metric`` aggregation twin: the associative
+    accumulator pattern (the only distributable scripted_metric shape —
+    init/map/combine/reduce is exactly Spark's partial-agg contract)
+    compiled from the Painless subset into ONE map-side-combinable hash
+    agg; order-dependent state, list appends, mismatched merge ops, and
+    the shard-count-dependent nonzero += init are refused at compile
+    time. Here: Σ n_chars² over the match hit set."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"sq": {"scripted_metric": {
+                "init_script": "state.sq = 0",
+                "map_script": "state.sq += doc['n_chars'].value "
+                              "* doc['n_chars'].value",
+                "combine_script": "return state.sq",
+                "reduce_script": "double s = 0; "
+                                 "for (t in states) { s += t } "
+                                 "return s"}}}}
+    return _dsl_planner(spark, sf_dir).search(body).aggregations["sq"]
+
+
+EXT_QUERIES["scripted_metric"] = q_scripted_metric
+EXT_ORACLES["scripted_metric"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash')
+    SELECT CAST(sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE) AS DOUBLE)
+             AS value
+    FROM hits h JOIN documents d USING (doc_id)
+"""

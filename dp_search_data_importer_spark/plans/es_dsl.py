@@ -68,6 +68,7 @@ stored-index scale the same request compiles against ``plans/query``
 the streaming-ingest side's query twin."""
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1644,6 +1645,22 @@ class EsSearchPlanner:
                 F.round(dof, 4).alias("df"),
                 na.cast("long").alias("n_a"),
                 nb.cast("long").alias("n_b"))
+        if kind == "scripted_metric":
+            # ES scripted_metric: init/map/combine/reduce scripts. The
+            # ONLY shape that is correct under distribution is the
+            # associative-accumulator pattern (state.v += expr, or
+            # min/max folds) with the canonical states-merge reduce —
+            # exactly Spark's partial aggregation contract — so that is
+            # what compiles: the map expression becomes ONE Catalyst
+            # column (Painless subset, zero Python per row) under a
+            # map-side-combinable sum/min/max. Everything else (list
+            # appends, order-dependent state, mismatched merge ops)
+            # is refused at compile time rather than silently computed
+            # wrong across partitions. A nonzero += init is refused
+            # too: ES runs init once PER SHARD, making the result
+            # shard-count-dependent — the anti-pattern has no
+            # deterministic meaning at any scale.
+            return self._scripted_metric(body, qhits, meta)
         if kind == "percentiles":
             return agg_ops.percentiles_agg(
                 qhits, meta, body["field"],
@@ -1936,6 +1953,118 @@ class EsSearchPlanner:
         "MovingFunctions.max": F.max,
         "MovingFunctions.sum": F.sum,
     }
+
+    _SM_MAP_SUM = _re.compile(
+        r"^state\.(\w+)\s*\+=\s*(.+)$", _re.S)
+    _SM_MAP_FOLD = _re.compile(
+        r"^state\.(\w+)\s*=\s*Math\.(max|min)\(\s*state\.\1\s*,\s*(.+)\)$",
+        _re.S)
+    _SM_REDUCE_SUM = _re.compile(
+        r"^(?:double\s+|def\s+)?(\w+)\s*=\s*0(?:\.0)?\s*;\s*"
+        r"for\s*\(\s*(?:\w+\s+)?(\w+)\s+in\s+states\s*\)\s*\{?\s*"
+        r"\1\s*\+=\s*\2(?:\.(\w+))?\s*;?\s*\}?\s*return\s+\1\s*;?$", _re.S)
+    _SM_REDUCE_FOLD = _re.compile(
+        r"^(?:double\s+|def\s+)?(\w+)\s*=\s*(-?(?:\d+(?:\.\d+)?|"
+        r"Double\.MAX_VALUE))\s*;\s*"
+        r"for\s*\(\s*(?:\w+\s+)?(\w+)\s+in\s+states\s*\)\s*\{?\s*"
+        r"\1\s*=\s*Math\.(max|min)\(\s*\1\s*,\s*\3(?:\.(\w+))?\s*\)"
+        r"\s*;?\s*\}?\s*return\s+\1\s*;?$", _re.S)
+
+    def _scripted_metric(self, body: dict, qhits: DataFrame,
+                         meta: DataFrame) -> DataFrame:
+        """Compile the associative scripted_metric pattern (see the
+        dispatch comment in :meth:`_agg`) to one hash agg."""
+        from dp_search_data_importer_spark.plans.painless import (
+            PainlessError,
+            compile_script,
+        )
+
+        def _norm(s) -> str:
+            return str(s or "").strip().rstrip(";").strip()
+
+        map_s = _norm(body["map_script"])
+        reduce_s = str(body["reduce_script"]).strip()  # ES: required
+        init_s = _norm(body.get("init_script"))
+        combine_s = _norm(body.get("combine_script", "return state"))
+        if "_score" in map_s:
+            raise EsDslError("scripted_metric map_script cannot read "
+                             "_score (map runs over the hit set)")
+
+        m = self._SM_MAP_SUM.match(map_s)
+        fold = None
+        if m:
+            var, expr_src = m.group(1), m.group(2)
+            op = "sum"
+        else:
+            m = self._SM_MAP_FOLD.match(map_s)
+            if not m:
+                raise EsDslError(
+                    "scripted_metric compiles only the associative "
+                    "accumulator pattern (state.v += expr, or "
+                    "state.v = Math.max/min(state.v, expr)) — "
+                    "order-dependent state is not distributable")
+            var, fold, expr_src = m.group(1), m.group(2), m.group(3)
+            op = fold
+
+        init_val = None
+        if init_s:
+            im = _re.match(r"^state\.(\w+)\s*=\s*(-?\d+(?:\.\d+)?)$",
+                           init_s)
+            if not im or im.group(1) != var:
+                raise EsDslError(
+                    f"scripted_metric init_script must initialize "
+                    f"state.{var} to a numeric literal")
+            init_val = float(im.group(2))
+            if op == "sum" and init_val != 0.0:
+                raise EsDslError(
+                    "scripted_metric += with nonzero init is "
+                    "shard-count-dependent in ES (init runs once per "
+                    "shard) — refuse rather than pick a shard count")
+        if combine_s not in ("return state", f"return state.{var}"):
+            raise EsDslError(
+                "scripted_metric combine_script must be 'return state' "
+                f"or 'return state.{var}' — partial states merge in "
+                "the aggregation itself")
+        rm = self._SM_REDUCE_SUM.match(reduce_s)
+        if rm:
+            red_op, red_var = "sum", rm.group(3)
+        else:
+            rm = self._SM_REDUCE_FOLD.match(reduce_s)
+            if not rm:
+                raise EsDslError(
+                    "scripted_metric reduce_script must be the "
+                    "canonical states merge loop (acc = init; for (s "
+                    "in states) { acc += s } return acc, or the "
+                    "Math.max/min fold)")
+            red_op, red_var = rm.group(4), rm.group(5)
+        if red_op != op or (red_var is not None and red_var != var):
+            raise EsDslError(
+                f"scripted_metric reduce op {red_op!r} does not match "
+                f"map op {op!r} — a mismatched merge is not "
+                f"associative and has no distributed meaning")
+
+        try:
+            expr, flds = compile_script(expr_src, body.get("params"),
+                                        F.lit(0.0), F.col)
+        except PainlessError as e:
+            raise EsDslError(f"scripted_metric map expression: {e}") \
+                from e
+        bad = [f_ for f_ in flds if f_ not in meta.columns]
+        if bad:
+            raise EsDslError(f"scripted_metric reads non-doc-value "
+                             f"fields {bad}")
+        j = qhits.join(meta.select("doc_id", *sorted(flds)), "doc_id") \
+            if flds else qhits
+        agg = {"sum": F.sum, "max": F.max, "min": F.min}[op](expr)
+        if op == "sum":
+            out = F.coalesce(agg, F.lit(0.0))
+        elif init_val is not None:
+            pick = F.greatest if op == "max" else F.least
+            out = pick(F.lit(init_val), agg)
+            out = F.coalesce(out, F.lit(init_val))
+        else:
+            out = agg
+        return j.agg(out.cast("double").alias("value"))
 
     def _split_subaggs(self, sub: dict, parent: str,
                        pipeline_ok: tuple | None = None) -> tuple:

@@ -2261,3 +2261,79 @@ def test_t_test_paired_and_errors(planner):
         planner.search({"size": 0, "aggs": {"t": {"t_test": {
             "a": {"field": "n_chars"}, "b": {"field": "doc_id"},
             "type": "zscore"}}}})
+
+
+def test_scripted_metric_semantics(planner):
+    import numpy as np
+
+    hit_ids = [r["doc_id"] for r in
+               planner.score({"match": {"text": "hash"}})
+               .select("doc_id").collect()]
+    meta = {r["doc_id"]: r["n_chars"] for r in
+            planner.docs.select("doc_id", "n_chars").collect()}
+    vals = np.array([float(meta[d]) for d in hit_ids])
+
+    def run(sm):
+        body = {"query": {"match": {"text": "hash"}}, "size": 0,
+                "aggs": {"m": {"scripted_metric": sm}}}
+        r, = planner.search(body).aggregations["m"].collect()
+        return r["value"]
+
+    assert run({
+        "init_script": "state.s = 0",
+        "map_script": "state.s += doc['n_chars'].value * 2 + params.k",
+        "params": {"k": 3},
+        "combine_script": "return state.s",
+        "reduce_script": "double acc = 0; for (t in states) "
+                         "{ acc += t } return acc",
+    }) == pytest.approx((vals * 2 + 3).sum())
+
+    assert run({
+        "init_script": "state.m = -1",
+        "map_script": "state.m = Math.max(state.m, doc['n_chars'].value)",
+        "reduce_script": "double m = 0; for (t in states) "
+                         "{ m = Math.max(m, t.m) } return m",
+    }) == pytest.approx(vals.max())
+
+    assert run({
+        "map_script": "state.lo = Math.min(state.lo, "
+                      "doc['n_chars'].value)",
+        "reduce_script": "double lo = 0; for (t in states) "
+                         "{ lo = Math.min(lo, t.lo) } return lo",
+    }) == pytest.approx(vals.min())
+
+
+def test_scripted_metric_refusals(planner):
+    def body(sm):
+        return {"size": 0, "aggs": {"m": {"scripted_metric": sm}}}
+
+    # order-dependent state (list append) — the published ES example
+    with pytest.raises(EsDslError, match="associative"):
+        planner.search(body({
+            "map_script": "state.txs.add(doc['n_chars'].value)",
+            "reduce_script": "double s = 0; for (t in states) "
+                             "{ s += t } return s"}))
+    # nonzero += init is shard-count-dependent in ES
+    with pytest.raises(EsDslError, match="shard-count-dependent"):
+        planner.search(body({
+            "init_script": "state.s = 5",
+            "map_script": "state.s += doc['n_chars'].value",
+            "reduce_script": "double s = 0; for (t in states) "
+                             "{ s += t } return s"}))
+    # mismatched merge op: sum map, max reduce
+    with pytest.raises(EsDslError, match="not .*associative|does not match"):
+        planner.search(body({
+            "map_script": "state.s += doc['n_chars'].value",
+            "reduce_script": "double s = 0; for (t in states) "
+                             "{ s = Math.max(s, t.s) } return s"}))
+    # _score is not in scope for map
+    with pytest.raises(EsDslError, match="_score"):
+        planner.search(body({
+            "map_script": "state.s += _score",
+            "reduce_script": "double s = 0; for (t in states) "
+                             "{ s += t } return s"}))
+    # non-canonical reduce
+    with pytest.raises(EsDslError, match="canonical"):
+        planner.search(body({
+            "map_script": "state.s += doc['n_chars'].value",
+            "reduce_script": "return states[0]"}))
