@@ -245,3 +245,40 @@ def test_lm_perplexity_broadcasts_small_lm(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_aggs_single_power_sum_pass(spark, sf_dir):
+    """matrix_stats / t_test / scripted_metric each compile to EXACTLY
+    one global aggregation pair (partial + final over SinglePartition) —
+    the whole statistic is one map-side-combinable pass over the hit
+    set, with the matrix/statistic assembled on the 1-row result (the
+    Generate/projection adds no shuffle)."""
+    from dp_search_data_importer_spark.plans.driver_queries import (
+        load_table,
+    )
+    from dp_search_data_importer_spark.plans.es_dsl import EsSearchPlanner
+
+    p = EsSearchPlanner(spark, load_table(spark, sf_dir, "documents"))
+    bodies = {
+        "matrix_stats": {"fields": ["n_chars", "doc_id"]},
+        "t_test": {"a": {"field": "n_chars",
+                         "filter": {"term": {"lang": "en"}}},
+                   "b": {"field": "n_chars",
+                         "filter": {"__not__": {"term": {"lang": "en"}}}}},
+        "scripted_metric": {
+            "map_script": "state.s += doc['n_chars'].value",
+            "reduce_script": "double s = 0; for (t in states) "
+                             "{ s += t } return s"},
+    }
+    for kind, spec in bodies.items():
+        body = {"query": {"match": {"text": "hash"}}, "size": 0,
+                "aggs": {"x": {kind: spec}}}
+        plan = _explain(p.search(body).aggregations["x"])
+        # exactly one SinglePartition exchange downstream of the hit
+        # set (the global power-sum merge); corpus-stat subplans add
+        # their own, so compare against the match-only baseline
+        assert plan.count("SinglePartition") <= \
+            _explain(p.score({"match": {"text": "hash"}})) \
+            .count("SinglePartition") + 1, kind
+        assert "SortMergeJoin" not in plan, kind
+        assert "CartesianProduct" not in plan, kind
