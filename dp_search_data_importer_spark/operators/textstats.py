@@ -318,6 +318,35 @@ def pii_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII anonymization keep-pass (the ROOTS / StarCoder-style redaction
+    step pretraining corpora apply after the ``pii_stats`` screen):
+    replace emails → IPv4s → phone-like digit runs with typed
+    placeholders, in that FIXED order — emails first so the phone
+    detector cannot eat an address's digit run, IPs before phones so a
+    dotted quad redacts as ``<IP>`` not ``<PHONE>`` — which also makes
+    the per-type counts well-defined (each counted on the text AFTER the
+    preceding replacements). One Catalyst projection of chained
+    regexp_replace/regexp_count: zero shuffle, zero Python, whole-stage
+    codegen at any corpus size. Returns (doc_id, clean_text, n_emails,
+    n_ipv4, n_phones)."""
+    t0 = F.col(text_col)
+    n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_ph = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("clean_text"),
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_ph.cast("long").alias("n_phones"),
+    )
+
+
 def strip_html_expr(text: Column) -> Column:
     """Boilerplate cleanup: drop script/style elements wholesale, strip
     remaining tags, decode the five core entities, collapse whitespace —

@@ -6534,3 +6534,67 @@ EXT_ORACLES["scripted_metric"] = """
              AS value
     FROM hits h JOIN documents d USING (doc_id)
 """
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII anonymization keep-pass (ROOTS/StarCoder-style): each doc is
+    deterministically augmented with an email + IPv4 + phone line (the
+    synthetic corpus carries no PII), then redacted with typed
+    placeholders in the fixed email→IP→phone order; per-type counts are
+    taken on the text AFTER the preceding replacements, so they are
+    well-defined. One zero-shuffle Catalyst projection; the oracle
+    replays the same chain with RE2 regexp_replace('g')."""
+    from dp_search_data_importer_spark.operators.textstats import (
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncontact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"))
+    return pii_redact(aug)
+
+
+EXT_QUERIES["pii_redact"] = q_pii_redact
+EXT_ORACLES["pii_redact"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'contact: user' || doc_id::VARCHAR
+               || '@example.com from 10.0.' || (doc_id % 256)::VARCHAR
+               || '.7 call +1 (555) 010-'
+               || (1000 + doc_id % 9000)::VARCHAR AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+             regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                            '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')
+             AS clean_text,
+           n_emails, n_ipv4,
+           len(regexp_extract_all(t2,
+               '\+?\d[\d\s().-]{7,}\d'))::BIGINT AS n_phones
+    FROM s2
+"""

@@ -632,3 +632,34 @@ def test_strip_boilerplate_paths_agree(spark):
                 docs, bl, broadcast_limit=0).collect()}
     assert fast == slow == {1: "alpha first\nmore alpha",
                             2: "beta line", 3: ""}
+
+
+def test_pii_redact_order_and_counts(spark):
+    """email -> IP -> phone order: the dotted quad becomes <IP> (not
+    <PHONE>), the email's digits never trip the phone detector, and
+    counts are taken after the preceding replacements."""
+    from dp_search_data_importer_spark.operators.textstats import pii_redact
+    from dp_search_data_importer_spark.session import local_df
+
+    rows = [
+        (1, "mail 12345678@example.com end"),          # email only
+        (2, "server 192.168.0.1 up"),                  # ip only
+        (3, "call +1 (555) 010-1234 now"),             # phone only
+        (4, "a@b.io and 10.0.0.7 and +44 20 7946 0958"),  # all three
+        (5, "clean text, no pii"),
+    ]
+    out = {r["doc_id"]: r for r in pii_redact(
+        local_df(spark, rows, "doc_id long, text string")).collect()}
+
+    assert out[1]["clean_text"] == "mail <EMAIL> end"
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) \
+        == (1, 0, 0)  # 8-digit local part did NOT trip the phone screen
+    assert out[2]["clean_text"] == "server <IP> up"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phones"] == 0
+    assert out[3]["clean_text"] == "call <PHONE> now"
+    assert out[4]["clean_text"] == "<EMAIL> and <IP> and <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) \
+        == (1, 1, 1)
+    assert out[5]["clean_text"] == rows[4][1]
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) \
+        == (0, 0, 0)
