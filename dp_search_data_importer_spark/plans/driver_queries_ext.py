@@ -6598,3 +6598,52 @@ EXT_ORACLES["pii_redact"] = r"""
                '\+?\d[\d\s().-]{7,}\d'))::BIGINT AS n_phones
     FROM s2
 """
+
+
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``collapse.inner_hits`` twin: top-2 docs of every collapse
+    group that made the page (collapse on lang over the match hit set).
+    The per-group rank is the same salted two-phase window as the
+    winner pass (never one task per group); the page's group keys
+    broadcast-semi-join the expansion, so only page groups rank."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 10,
+            "collapse": {"field": "lang",
+                         "inner_hits": {"name": "per_lang", "size": 2}}}
+    return _dsl_planner(spark, sf_dir).search(body).inner_hits
+
+
+EXT_QUERIES["collapse_inner_hits"] = q_collapse_inner_hits
+EXT_ORACLES["collapse_inner_hits"] = f"""
+    WITH qt(term) AS (VALUES ('hash')),
+    {_BM25_CORPUS_SQL},
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * (1.2 + 1.0)
+                 / (t.tf + 1.2 * ((1.0 - 0.75)
+                    + 0.75 * dd.dl / s.avgdl))) AS score
+      FROM tf t JOIN qt USING (term) JOIN dfs d USING (term)
+      JOIN dl_docs dd ON t.doc_id = dd.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    jj AS (
+      SELECT sc.doc_id, round(sc.score, 4) AS score, dc.lang
+      FROM scored sc JOIN documents dc ON sc.doc_id = dc.doc_id
+    ),
+    win AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+      FROM jj
+    ),
+    page AS (
+      SELECT lang FROM win WHERE rn = 1
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    )
+    SELECT jj.lang, jj.doc_id, jj.score,
+           row_number() OVER (
+             PARTITION BY jj.lang
+             ORDER BY jj.score DESC, jj.doc_id ASC)::INTEGER AS hit_rank
+    FROM jj JOIN page USING (lang)
+    QUALIFY hit_rank <= 2
+"""

@@ -89,6 +89,9 @@ class SearchResult:
     aggregations: dict[str, DataFrame] = dc_field(default_factory=dict)
     highlights: DataFrame | None = None
     suggestions: dict[str, DataFrame] = dc_field(default_factory=dict)
+    #: collapse inner_hits: (group key col, doc_id, score, hit_rank)
+    #: for the groups on the returned page; None unless requested
+    inner_hits: DataFrame | None = None
 
 
 def _as_list(x):
@@ -2792,7 +2795,32 @@ class EsSearchPlanner:
                        .filter(F.col("rn") == 1).drop("rn"))
             hits = (winners.orderBy(F.col("score").desc(),
                                     F.col("doc_id").asc()).limit(size))
+            if "inner_hits" in collapse:
+                # ES collapse.inner_hits: the top-N docs of each group
+                # that made the page. Same salted two-phase per-group
+                # rank as the winner pass (never one task per group);
+                # the page's group keys are ≤ size rows — broadcast
+                # semi-join prunes the expansion to exactly those
+                # groups before the rank runs.
+                ih = collapse["inner_hits"]
+                n_inner = int(ih.get("size", 3))
+                page_keys = hits.select(fld).distinct()
+                grp = j.join(F.broadcast(page_keys), fld, "left_semi")
+                iw = Window.partitionBy(
+                    fld, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32))
+                ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                iwf = Window.partitionBy(fld).orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc())
+                inner = (grp.withColumn("prn", F.row_number().over(iw))
+                         .filter(F.col("prn") <= n_inner).drop("prn")
+                         .withColumn("hit_rank",
+                                     F.row_number().over(iwf))
+                         .filter(F.col("hit_rank") <= n_inner)
+                         .select(fld, "doc_id", "score", "hit_rank"))
+            else:
+                inner = None
         else:
+            inner = None
             sort = _as_list(body.get("sort", ["_score"]))
             primary = sort[0]
             after = body.get("search_after")
@@ -2844,7 +2872,8 @@ class EsSearchPlanner:
         suggestions = self._suggest(body.get("suggest") or {})
         return SearchResult(hits=hits, aggregations=aggregations,
                             highlights=highlights,
-                            suggestions=suggestions)
+                            suggestions=suggestions,
+                            inner_hits=inner)
 
     def mget(self, ids: list[int],
              source=None) -> DataFrame:

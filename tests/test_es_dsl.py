@@ -2337,3 +2337,41 @@ def test_scripted_metric_refusals(planner):
         planner.search(body({
             "map_script": "state.s += doc['n_chars'].value",
             "reduce_script": "return states[0]"}))
+
+
+def test_collapse_inner_hits_matches_bruteforce(planner):
+    """inner_hits = per-group top-N (rounded score desc, doc_id asc)
+    restricted to the groups whose winners made the page."""
+    body = {"query": {"match": {"text": "hash"}}, "size": 10,
+            "collapse": {"field": "lang",
+                         "inner_hits": {"name": "g", "size": 2}}}
+    res = planner.search(body)
+    got = sorted((r["lang"], r["doc_id"], r["score"], r["hit_rank"])
+                 for r in res.inner_hits.collect())
+
+    scores = {r["doc_id"]: round(r["score"], 4) for r in
+              planner.score({"match": {"text": "hash"}}).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in
+             planner.docs.select("doc_id", "lang").collect()}
+    by_grp: dict = {}
+    for d, sc in scores.items():
+        by_grp.setdefault(langs[d], []).append((-sc, d))
+    winners = sorted((min(v), g) for g, v in by_grp.items())[:10]
+    page = {g for _, g in winners}
+    want = sorted(
+        (g, d, -negsc, i + 1)
+        for g in page
+        for i, (negsc, d) in enumerate(sorted(by_grp[g])[:2]))
+    assert got == want
+    # page winners == collapse hits
+    hit_ids = [r["doc_id"] for r in res.hits.collect()]
+    assert set(hit_ids) == {sorted(by_grp[g])[0][1] for g in page}
+
+
+def test_collapse_without_inner_hits_returns_none(planner):
+    res = planner.search({"query": {"match": {"text": "hash"}},
+                          "size": 5, "collapse": {"field": "lang"}})
+    assert res.inner_hits is None
+    res2 = planner.search({"query": {"match": {"text": "hash"}},
+                           "size": 5})
+    assert res2.inner_hits is None
