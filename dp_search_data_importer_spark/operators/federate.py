@@ -108,3 +108,21 @@ def federated_topk(scores: DataFrame, k: int,
             .withColumn("score", F.round(F.col("score"), round_digits))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+def apply_indices_boost(scores: DataFrame,
+                        boosts: dict[str, float]) -> DataFrame:
+    """ES body-level ``indices_boost``: multiply each hit's score by its
+    home index's boost; unlisted indexes keep 1.0 (public ES semantics —
+    the knob that weights fresh daily indexes over stale ones under one
+    alias). The boost table is request-sized, so it compiles to a
+    literal CASE chain — a pure projection, adding nothing to the
+    shuffle or the rank. Apply BEFORE :func:`federated_topk` so the
+    rounded ranking order sees boosted scores."""
+    if not boosts:
+        return scores
+    expr = F.lit(1.0)
+    for name, mult in sorted(boosts.items()):
+        expr = F.when(F.col(INDEX_COL) == F.lit(str(name)),
+                      F.lit(float(mult))).otherwise(expr)
+    return scores.withColumn("score", F.col("score") * expr)

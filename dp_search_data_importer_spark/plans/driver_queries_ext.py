@@ -6647,3 +6647,63 @@ EXT_ORACLES["collapse_inner_hits"] = f"""
     FROM jj JOIN page USING (lang)
     QUALIFY hit_rank <= 2
 """
+
+
+def q_multi_index_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``indices_boost`` twin: the same query_then_fetch federated
+    search with per-index score multipliers (idx0 ×2.0, idx2 ×0.5 —
+    the fresh-over-stale alias weighting). The boost is a literal CASE
+    projection applied BEFORE the coordinating top-k, so the rounded
+    ranking order sees boosted scores; nothing joins, nothing shuffles.
+    Stored-index form: `search_indices(..., indices_boost=...)`."""
+    from dp_search_data_importer_spark.config import EngineConfig
+    from dp_search_data_importer_spark.operators.federate import (
+        apply_indices_boost,
+        federated_scores,
+        federated_topk,
+    )
+
+    tf, qt, dfs, stats = _mi_frames(spark, sf_dir)
+    scores = federated_scores(tf, qt, dfs, stats, EngineConfig(),
+                              mode="query_then_fetch")
+    return federated_topk(
+        apply_indices_boost(scores, {"idx0": 2.0, "idx2": 0.5}), 10)
+
+
+EXT_QUERIES["multi_index_boosted"] = q_multi_index_boosted
+EXT_ORACLES["multi_index_boosted"] = f"""
+    WITH {_MI_COMMON_SQL.strip()},
+    stats AS (
+      SELECT index_name, count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+      FROM dl_docs GROUP BY 1
+    ),
+    dfs AS (
+      SELECT index_name, term, count(*)::BIGINT AS df
+      FROM tf GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qt2.query_id, tf.index_name, tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))
+             ) * CASE tf.index_name WHEN 'idx0' THEN 2.0
+                                    WHEN 'idx2' THEN 0.5
+                                    ELSE 1.0 END AS score
+      FROM qt2
+      JOIN tf USING (term)
+      JOIN dfs ON dfs.index_name = tf.index_name AND dfs.term = tf.term
+      JOIN dl_docs dl ON tf.doc_id = dl.doc_id
+      JOIN stats s ON s.index_name = tf.index_name
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_id, index_name, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 4) DESC, index_name ASC, doc_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, index_name, doc_id, score FROM ranked WHERE rn <= 10
+"""

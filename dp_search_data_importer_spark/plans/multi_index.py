@@ -41,7 +41,9 @@ from dp_search_data_importer_spark.plans.query import (
 def search_indices(spark: SparkSession, index_dirs: list[str],
                    queries: DataFrame, cfg: EngineConfig | None = None,
                    k: int | None = None,
-                   mode: str = "query_then_fetch") -> DataFrame:
+                   mode: str = "query_then_fetch",
+                   indices_boost: dict[str, float] | None = None,
+                   ) -> DataFrame:
     """Top-k BM25 across ``index_dirs`` (the alias members), returning
     (query_id, index_name, doc_id, score). ``mode`` is the ES search
     type: ``query_then_fetch`` scores with each index's own statistics
@@ -88,4 +90,14 @@ def search_indices(spark: SparkSession, index_dirs: list[str],
         dfs = part_df if dfs is None else dfs.unionByName(part_df)
 
     scores = federated_scores(tf, qt, dfs, stats, cfg, mode=mode)
+    if indices_boost:
+        from dp_search_data_importer_spark.operators.federate import (
+            apply_indices_boost,
+        )
+
+        unknown = set(indices_boost) - set(names)
+        if unknown:
+            raise ValueError(
+                f"indices_boost names not in the alias: {sorted(unknown)}")
+        scores = apply_indices_boost(scores, indices_boost)
     return federated_topk(scores, k or cfg.k)

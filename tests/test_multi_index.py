@@ -218,3 +218,40 @@ def test_federated_plan_broadcasts_stats(spark):
                                          EngineConfig(), mode=mode))
         assert "BroadcastHashJoin" in plan, mode
         assert "SortMergeJoin" not in plan, mode
+
+
+def test_indices_boost_reranks_and_refuses_unknown(spark, alias_dirs):
+    """indices_boost multiplies each hit's score by its home index's
+    factor before the coordinating top-k; unlisted members keep 1.0;
+    unknown names are refused."""
+    from dp_search_data_importer_spark.plans.multi_index import (
+        search_indices,
+    )
+
+    d_a, d_b, _ = alias_dirs
+    queries = spark.createDataFrame([(1, "import merge")],
+                                    "query_id long, query_text string")
+    base = search_indices(spark, [d_a, d_b], queries, CFG, k=50)
+    boosted = search_indices(spark, [d_a, d_b], queries, CFG, k=50,
+                             indices_boost={"idx_b": 3.0})
+    # base scores are already rounded to 4dp by the topk, so multiply-
+    # then-round can differ by one ulp at the 4th decimal — compare
+    # keys exactly, scores to that tolerance
+    want = sorted(
+        ((round(r["score"] * (3.0 if r["index_name"] == "idx_b"
+                              else 1.0), 4)), r["index_name"], r["doc_id"])
+        for r in base.collect())
+    got = sorted((r["score"], r["index_name"], r["doc_id"])
+                 for r in boosted.collect())
+    assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[0] == pytest.approx(w[0], abs=2e-4)
+    # boosting must be able to flip the winner across members
+    top_base = max(base.collect(), key=lambda r: (r["score"],))
+    top_boost = max(boosted.collect(), key=lambda r: (r["score"],))
+    assert top_boost["index_name"] == "idx_b" \
+        or top_base["index_name"] == "idx_b"
+
+    with pytest.raises(ValueError, match="indices_boost"):
+        search_indices(spark, [d_a, d_b], queries, CFG,
+                       indices_boost={"nope": 2.0})
