@@ -126,15 +126,22 @@ def fit_logreg(features: DataFrame, labels: DataFrame, *,
 def predict_logreg(features: DataFrame, weights: DataFrame, *,
                    dim: int | None = None,
                    broadcast_limit: int = BROADCAST_DIM_LIMIT,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   all_ids: DataFrame | None = None) -> DataFrame:
     """Score docs with a fitted weights frame → (doc_id, prob, pred).
 
     Buckets unseen in training contribute 0 (left join), exactly as a
     hashed linear model behaves on out-of-vocabulary features. One join +
     one hash agg — the keep-pass over 100 TB is a single pass.
+
+    ``all_ids`` (optional, one ``doc_id`` column): the full id universe
+    to score. Docs with ZERO feature rows (empty text hashes to nothing)
+    would otherwise vanish from the output; with ``all_ids`` they get
+    the intercept-only score, so the keep-pass covers every doc.
     """
-    x = _with_intercept(features,
-                        features.select("doc_id").distinct())
+    ids = all_ids.select("doc_id").distinct() if all_ids is not None \
+        else features.select("doc_id").distinct()
+    x = _with_intercept(features, ids)
     small_dim = dim is not None and dim + 1 <= broadcast_limit
     w_side = F.broadcast(weights) if small_dim else weights
     z = (x.join(w_side, "bucket", "left")
@@ -167,4 +174,6 @@ def train_quality_classifier(docs: DataFrame, seed_labels: DataFrame, *,
     feats = hashed_tfidf_sparse(docs, dim, text_col=text_col,
                                 id_col=id_col)
     w = fit_logreg(feats, seed_labels, iters=iters, lr=lr, l2=l2, dim=dim)
-    return predict_logreg(feats, w, dim=dim)
+    return predict_logreg(
+        feats, w, dim=dim,
+        all_ids=docs.select(F.col(id_col).alias("doc_id")))

@@ -140,3 +140,24 @@ def test_large_dim_skips_broadcast_hint(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_empty_text_docs_get_intercept_only_score(spark):
+    """A doc whose text hashes to zero features must still appear in the
+    corpus-wide keep-pass, scored on the intercept alone."""
+    docs = spark.createDataFrame(
+        [(1, "useful words here"), (2, "more useful words"), (3, "")],
+        "doc_id long, text string")
+    seed = spark.createDataFrame([(1, 1), (2, 0)],
+                                 "doc_id long, label int")
+    out = {r["doc_id"]: r for r in clf.train_quality_classifier(
+        docs, seed, dim=64, iters=2, lr=0.5, l2=0.0).collect()}
+    assert set(out) == {1, 2, 3}
+    from dp_search_data_importer_spark.operators.textstats import (
+        hashed_tfidf_sparse,
+    )
+
+    w = clf.fit_logreg(hashed_tfidf_sparse(docs, 64), seed,
+                       iters=2, lr=0.5, l2=0.0, dim=64)
+    b = {r["bucket"]: r["w"] for r in w.collect()}[clf.INTERCEPT_BUCKET]
+    assert out[3]["prob"] == pytest.approx(1 / (1 + np.exp(-b)))
