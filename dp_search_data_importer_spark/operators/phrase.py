@@ -229,22 +229,35 @@ def phrase_matches_batch_slop(
     )
 
 
-def phrase_score_batch(matches: DataFrame, n_docs: int, avgdl: float,
-                       cfg: EngineConfig | None = None) -> DataFrame:
+def phrase_score_batch(matches: DataFrame, n_docs: int | None = None,
+                       avgdl: float | None = None,
+                       cfg: EngineConfig | None = None,
+                       stats: DataFrame | None = None) -> DataFrame:
     """BM25 over phrase frequencies with exact per-phrase df computed
     IN-PLAN as a window count over the matched set (replacing the round-2
     eager ``matches.count()`` per phrase). Same formula, same rounding
-    discipline downstream."""
+    discipline downstream.
+
+    Corpus statistics come either as driver scalars (``n_docs``/``avgdl``)
+    or as a 1-row ``stats`` frame (n_docs, avgdl) that broadcast-joins
+    into the same plan — the frame form keeps the whole query ONE Spark
+    job (no eager stats collect before the main action; guide §1.2
+    job-count discipline). Same arithmetic either way."""
     from pyspark.sql.window import Window
 
     cfg = cfg or EngineConfig()
+    if stats is not None:
+        matches = matches.join(F.broadcast(stats))  # 1-row cross join
+        nd, av = F.col("n_docs").cast("double"), F.col("avgdl")
+    else:
+        nd, av = F.lit(float(n_docs)), F.lit(avgdl)
     w = Window.partitionBy("query_id")
     dfq = F.count(F.lit(1)).over(w).cast("double")
     idf = F.log(F.lit(1.0)
-                + (F.lit(float(n_docs)) - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
+                + (nd - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
     tf = F.col("phrase_tf").cast("double")
     norm = tf + F.lit(cfg.k1) * (
-        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl").cast("double") / avgdl)
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("dl").cast("double") / av)
     return matches.select(
         "query_id", "doc_id",
         (idf * tf * F.lit(cfg.k1 + 1.0) / norm).alias("score"),

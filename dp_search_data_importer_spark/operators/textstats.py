@@ -825,35 +825,37 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
 
 def global_exclusive_cumsum(df: DataFrame, order_col: str, val_col: str,
                             out_col: str = "cum",
-                            num_partitions: int | None = None) -> DataFrame:
+                            num_partitions: int | None = None,
+                            boundaries: list | None = None) -> DataFrame:
     """Distributed exclusive prefix sum of ``val_col`` in ``order_col``
-    order — the two-phase scan (Blelloch 1990): range-repartition on the
-    order column, a partition-LOCAL running sum (window partitioned by
-    ``spark_partition_id`` — never a global single-task window), then one
-    tiny per-partition-totals aggregation whose exclusive cumsum joins
-    back as a broadcast offset table. The driver state is one row per
-    partition (bounded by cluster config, thousands at 100 TB — never by
-    data size); the per-partition totals reuse the repartition shuffle
-    (the second action's scan stage is skipped).
+    order — the two-phase scan (Blelloch 1990): bucket rows by
+    DETERMINISTIC literal range boundaries over the (numeric) order
+    column, a bucket-LOCAL running sum (window partitioned by bucket —
+    never a global single-task window), then one tiny per-bucket-totals
+    aggregation whose exclusive cumsum joins back as a broadcast offset
+    table. The driver state is one row per bucket (bounded by cluster
+    config, thousands at 100 TB — never by data size).
 
     Requires ``order_col`` values to be unique (ties straddling a range
-    boundary would make "exclusive" ambiguous); ``val_col`` must be
-    non-null. Deterministic for a given input regardless of input
+    boundary would make "exclusive" ambiguous) and numeric; ``val_col``
+    must be non-null. Deterministic for a given input regardless of input
     partitioning.
 
-    The range-partitioned frame is pinned with an EAGER localCheckpoint
-    before anything reads it. This is correctness, not caching:
-    ``repartitionByRange`` draws a fresh boundary SAMPLE per evaluation,
-    and this operator runs two actions over the same partitioning — the
-    per-partition-totals collect and the final windowed frame. Without
-    pinning, the two jobs can see *different* boundaries, and the
-    offsets computed under partitioning A silently join against _pid
-    values from partitioning B (measured at 500k docs: nondeterministic
-    off-by-tens piece counts vs a driver-side replay; invisible at unit
-    scale where the sample is exact). The checkpoint also collapses the
-    upstream projection — e.g. pack's tokenize over raw text — to one
-    evaluation (133 s → 25 s at 500k docs), and holds only the (order,
-    value, _pid) triples, never the text.
+    Bucketing is literal boundaries — NOT ``repartitionByRange`` +
+    ``spark_partition_id`` — because this operator runs two actions over
+    the same bucketing (the totals collect and the final windowed frame)
+    and repartitionByRange draws a fresh boundary SAMPLE per evaluation:
+    the round-5 implementation had to pin the sampled partitioning with
+    an eager localCheckpoint or the offsets computed under partitioning A
+    silently joined against bucket ids from partitioning B (measured at
+    500k docs: nondeterministic off-by-tens piece counts). Boundaries
+    collected once on the driver and embedded as literals make both jobs
+    agree BY CONSTRUCTION — no pin, no checkpoint storage, one fewer
+    pass over the upstream projection. Callers that can compute cheap
+    boundaries (e.g. quantiles of a raw id column, skipping an expensive
+    projection) pass ``boundaries``; otherwise one approxQuantile action
+    over ``df`` derives them. Boundary quality affects only bucket
+    balance, never the result.
     """
     from pyspark.sql.window import Window
 
@@ -861,19 +863,30 @@ def global_exclusive_cumsum(df: DataFrame, order_col: str, val_col: str,
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    p = (df.repartitionByRange(num_partitions, F.col(order_col))
-         .withColumn("_pid", F.spark_partition_id())
-         .localCheckpoint(eager=True))
+    if boundaries is None:
+        qs = [i / num_partitions for i in range(1, num_partitions)]
+        boundaries = df.stat.approxQuantile(order_col, qs, 0.01) if qs else []
+    bounds = sorted({b for b in boundaries if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(
+            barr, lambda b: b < F.col(order_col))).cast("int")
+    else:
+        bucket = F.lit(0)
+    p = df.withColumn("_pid", bucket)
     tots = (p.groupBy("_pid")
-            .agg(F.sum(F.col(val_col)).cast("long").alias("_tot"),
-                 F.min(F.col(order_col)).alias("_lo"))
+            .agg(F.sum(F.col(val_col)).cast("long").alias("_tot"))
             .collect())
-    tots.sort(key=lambda r: r["_lo"])
+    # buckets are monotone in order_col by construction: offset order is
+    # bucket-id order
+    tots.sort(key=lambda r: r["_pid"])
     offs, acc = [], 0
     for r in tots:
         offs.append((r["_pid"], acc))
         acc += r["_tot"]
-    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    from dp_search_data_importer_spark.session import local_df
+
+    off_df = local_df(spark, offs or [(0, 0)], "_pid int, _off long")
     w = (Window.partitionBy("_pid").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (p.withColumn("_incl", F.sum(F.col(val_col)).over(w))
@@ -918,7 +931,19 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 2048, *,
                      F.size(tokenize_expr(F.col(text_col)))
                      .cast("long").alias("n_tokens"))
          .filter(F.col("n_tokens") >= F.lit(min_tokens)))
-    c = global_exclusive_cumsum(t, "doc_id", "n_tokens", "start_tok")
+    # bucket boundaries from the RAW id column (a pruned parquet column
+    # scan): quantiles through `t` would evaluate the tokenize projection
+    # an extra time just to pick balance points (guide §1.2 — don't
+    # compute what you throw away). The unfiltered id distribution is a
+    # superset of t's; any imbalance from filtered-out docs affects only
+    # bucket sizes, never the cumsum.
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / nparts for i in range(1, nparts)]
+    bounds = (docs.select(F.col(id_col).cast("double").alias("_id"))
+              .stat.approxQuantile("_id", qs, 0.01)) if qs else []
+    c = global_exclusive_cumsum(t, "doc_id", "n_tokens", "start_tok",
+                                num_partitions=nparts, boundaries=bounds)
     cap = F.lit(int(seq_tokens))
     first = F.floor(F.col("start_tok") / cap).cast("long")
     if not split_docs:

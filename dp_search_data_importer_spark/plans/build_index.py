@@ -183,6 +183,32 @@ def _compress_runs(
         yield to_pdf(got)
 
 
+def _sorted_runs_frame(subset: DataFrame, wave_shards: list[int],
+                       par: int) -> DataFrame:
+    """Shuffle tf rows into doc_id-sorted (shard, term) runs for the block
+    compressor, using ALL available task slots (guide §2.5): with fewer
+    shards than cores, one-task-per-shard leaves (par − n_shards) cores
+    idle through the sort+compress+write stage. Sub-bucket each shard by a
+    deterministic term hash — every (shard, term) run stays whole inside
+    one task (bucket is a function of term), so block numbering and
+    compression are byte-identical; only the file fan-out per shard dir
+    changes. Bucket count is ~4× the task count so the hash spreads evenly
+    (guide §2.5: use many more distinct key values than partitions)."""
+    n_sh = len(wave_shards)
+    sub = max(1, min(8, (4 * par) // max(1, n_sh)))
+    if sub > 1:
+        ntasks = min(par, n_sh * sub)
+        return (
+            subset.withColumn(
+                "_tb", F.pmod(F.xxhash64("term"), F.lit(sub)).cast("int"))
+            .repartition(ntasks, "shard", "_tb")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .drop("_tb")
+        )
+    return subset.repartition(n_sh, "shard").sortWithinPartitions(
+        "shard", "term", "doc_id")
+
+
 def tokenize_docs(docs: DataFrame, *, code_aware: bool = True,
                   text_col: str = "content",
                   tokenizer: str = "arrow",
@@ -230,7 +256,7 @@ def build_index(
     code_aware: bool = True,
     text_col: str = "content",
     tokenizer: str = "arrow",
-    waves: int = 2,
+    waves: int | None = None,
     resume: bool = True,
     already_normalized: bool = False,
     check_collisions: bool = False,
@@ -239,6 +265,11 @@ def build_index(
     verbose: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index under ``out_dir``.
+
+    ``waves=None`` (default) sizes the wave count adaptively: one wave when
+    the cluster has at least one task slot per shard (the common case —
+    serial waves would leave slots idle), more only when shards exceed
+    parallelism. Pass an explicit ``waves`` to pin the resume granularity.
 
     ``positions=True`` builds a POSITIONAL index: each block carries a
     varint position stream (``poss``) and phrase queries decode positions
@@ -257,16 +288,15 @@ def build_index(
     """
     import time as _time
 
-    _t = _time.time()
+    _t0 = _time.time()
     _phases: dict[str, float] = {}
 
     def _mark(name: str) -> None:
-        nonlocal _t
+        # phases overlap across driver threads now, so report absolute
+        # elapsed-since-build-start (monotone per thread, thread-safe)
         if verbose:
-            now = _time.time()
-            _phases[name] = round(now - _t, 2)
-            print(f"[build_index] {name}: {_phases[name]}s", flush=True)
-            _t = now
+            _phases[name] = round(_time.time() - _t0, 2)
+            print(f"[build_index] {name}: +{_phases[name]}s", flush=True)
 
     import shutil as _shutil
 
@@ -320,6 +350,64 @@ def build_index(
     if resume and os.path.exists(stats_path) and len(done) == cfg.n_shards:
         return read_stats_json(out_dir)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    if waves is None:
+        # adaptive: serial waves only when shards exceed task slots —
+        # at 16 shards on 32 slots, two waves of 8 tasks each left half
+        # the host idle twice (guide §2.6 / scale-adaptive partitioning)
+        waves = max(1, -(-cfg.n_shards // par))
+
+    # Independent jobs overlap via a small driver thread pool (guide §2.6):
+    # the docs write (a second pass over the source) runs concurrently with
+    # the tokenize spill; the term_df aggregation and the stats assembly run
+    # concurrently with the postings waves. Spark's scheduler back-fills
+    # idle slots from the concurrent job; commit ORDER is unchanged — the
+    # manifest still lands only after its wave's postings are on disk, and
+    # stats.json still requires docs/ + term_df/ to be committed first.
+    do_stats = not (resume and os.path.exists(stats_path))
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def _docs_job() -> dict[int, int]:
+        # ---- docs write (one pass over the source). N and per-shard doc
+        # counts come from the WRITTEN docs table, not from tf: a doc whose
+        # content tokenizes to zero terms is still a document — Lucene's
+        # BM25 docCount includes it, so idf/avgdl must divide by it too,
+        # and the manifest must agree with docs/.
+        # repartition to one task per shard before the partitioned write:
+        # writing K shard dirs from T unrelated tasks creates T×K file
+        # fragments and a per-task partition sort (measured 25× slower at
+        # local[32]); post-shuffle each task owns exactly one shard dir.
+        # per-shard doc counts piggyback on the docs write via observe
+        # (observe supports only global aggs, so the per-shard breakdown
+        # is a when-sum per shard — fine for shard counts in the
+        # hundreds; beyond that, fall back to counting the written dirs)
+        docs_obs = Observation() if cfg.n_shards <= 256 else None
+        to_write = docs.drop(text_col, "content", "dl")
+        if docs_obs is not None:
+            to_write = to_write.observe(docs_obs, *[
+                F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
+                for s in range(cfg.n_shards)
+            ])
+        (to_write.repartition(cfg.n_shards, "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "docs")))
+        _mark("docs_write")
+        if docs_obs is not None:
+            got = docs_obs.get
+            return {s: int(got[f"s{s}"] or 0) for s in range(cfg.n_shards)}
+        return {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(os.path.join(out_dir, "docs"))
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    docs_fut = pool.submit(_docs_job) if do_stats else None
+
     # Materialize the tf pairs ONCE as a compact parquet intermediate (the
     # tokenizer is the expensive pass; three consumers read the result).
     # A .persist() memory cache here anti-scales: materializing tens of
@@ -328,8 +416,6 @@ def build_index(
     # 156 s vs 88 s at 8 cores on 120k docs; parquet spill removes it).
     # This is also the 10^12-scale design — the intermediate is a table,
     # not executor memory.
-    from pyspark.sql import Observation
-
     tf_tmp = os.path.join(out_dir, "_tf_tmp")
     tf_src = tokenize_docs(docs, code_aware=code_aware, text_col=text_col,
                            tokenizer=tokenizer,
@@ -345,87 +431,61 @@ def build_index(
          .write.mode("overwrite").parquet(tf_tmp))
     tf = spark.read.parquet(tf_tmp)
     _mark("tokenize_spill")
+    # set BEFORE concurrent jobs start: session conf, not thread-local
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        if not (resume and os.path.exists(stats_path)):
-            # ---- docs write FIRST (one pass over the source), then stats.
-            # N and per-shard doc counts come from the WRITTEN docs table,
-            # not from tf: a doc whose content tokenizes to zero terms is
-            # still a document — Lucene's BM25 docCount includes it, so
-            # idf/avgdl must divide by it too, and the manifest must agree
-            # with docs/. Counting the written parquet (tiny, content-free)
-            # instead of the `docs` plan avoids re-running the whole
-            # normalize/generate pipeline just for a count.
-            # repartition to one task per shard before the partitioned write:
-            # writing K shard dirs from T unrelated tasks creates T×K file
-            # fragments and a per-task partition sort (measured 25× slower at
-            # local[32]); post-shuffle each task owns exactly one shard dir.
-            # per-shard doc counts piggyback on the docs write the same way
-            # (observe supports only global aggs, so the per-shard breakdown
-            # is a when-sum per shard — fine for shard counts in the
-            # hundreds; beyond that, fall back to counting the written dirs)
-            docs_obs = Observation() if cfg.n_shards <= 256 else None
-            to_write = docs.drop(text_col, "content", "dl")
-            if docs_obs is not None:
-                to_write = to_write.observe(docs_obs, *[
-                    F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
-                    for s in range(cfg.n_shards)
-                ])
-            (to_write.repartition(cfg.n_shards, "shard")
-             .write.mode("overwrite").partitionBy("shard")
-             .parquet(os.path.join(out_dir, "docs")))
-            _mark("docs_write")
-            if docs_obs is not None:
-                got = docs_obs.get
-                shard_counts = {s: int(got[f"s{s}"] or 0)
-                                for s in range(cfg.n_shards)}
-            else:
-                shard_counts = {
-                    int(r["shard"]): int(r["n"])
-                    for r in spark.read.parquet(os.path.join(out_dir, "docs"))
-                    .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-            # Σ_doc dl = Σ_doc Σ_term tf = sum(tf): observed on the spill
-            # job above; the agg below runs only on the rare
-            # resume-with-tf-but-no-stats path. Zero-term docs contribute 0
-            # to the sum and are counted in N via docs.
-            if tf_obs is not None:
-                sum_dl_total = int(tf_obs.get["sum_dl"] or 0)
-            else:
-                sum_dl_total = (
-                    tf.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+        shard_docs: dict[int, int] | None = None
+        stats_fut = None
+        if do_stats:
+            def _stats_job() -> dict:
+                # measured-df-driven salting (SURVEY.md §7 hard part b):
+                # static hot list bootstraps; the previous build's measured
+                # heavy hitters (prior_hot, captured before cleanup above)
+                # extend it, and this build's measurement is recorded in
+                # stats.json below to drive the NEXT build.
+                hot = sorted(set(cfg.static_hot_terms) | set(prior_hot))
+                doc_freqs(tf, cfg, hot=hot).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "term_df")
                 )
-            n_docs_total = sum(shard_counts.values())
-            stats = {
-                "n_docs": int(n_docs_total),
-                "sum_dl": int(sum_dl_total),  # exact int: incremental
-                # upserts adjust it by ±deltas instead of reconstructing
-                # from the float avgdl
-                "avgdl": float(sum_dl_total / n_docs_total) if n_docs_total else 0.0,
-                "k1": cfg.k1, "b": cfg.b,
-                "block_size": cfg.block_size, "n_shards": cfg.n_shards,
-                "code_aware": code_aware,
-                "positions": positions,
-                "shard_docs": {int(s): n for s, n in shard_counts.items()},
-            }
-            # measured-df-driven salting (SURVEY.md §7 hard part b): static
-            # hot list bootstraps; the previous build's measured heavy
-            # hitters (prior_hot, captured before cleanup above) extend it,
-            # and this build's measurement is recorded in stats.json below
-            # to drive the NEXT build.
-            hot = sorted(set(cfg.static_hot_terms) | set(prior_hot))
-            doc_freqs(tf, cfg, hot=hot).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "term_df")
-            )
-            stats["hot_terms"] = hot_terms(
-                spark.read.parquet(os.path.join(out_dir, "term_df")),
-                n_docs_total, cfg,
-            )
-            _mark("term_df_write")
-            write_stats_json(out_dir, stats)
+                _mark("term_df_write")
+                shard_counts = docs_fut.result()
+                # Σ_doc dl = Σ_doc Σ_term tf = sum(tf): observed on the
+                # spill job above; the agg below runs only on the rare
+                # resume-with-tf-but-no-stats path. Zero-term docs
+                # contribute 0 to the sum and are counted in N via docs.
+                if tf_obs is not None:
+                    sum_dl_total = int(tf_obs.get["sum_dl"] or 0)
+                else:
+                    sum_dl_total = (
+                        tf.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+                    )
+                n_docs_total = sum(shard_counts.values())
+                stats = {
+                    "n_docs": int(n_docs_total),
+                    "sum_dl": int(sum_dl_total),  # exact int: incremental
+                    # upserts adjust it by ±deltas instead of reconstructing
+                    # from the float avgdl
+                    "avgdl": (float(sum_dl_total / n_docs_total)
+                              if n_docs_total else 0.0),
+                    "k1": cfg.k1, "b": cfg.b,
+                    "block_size": cfg.block_size, "n_shards": cfg.n_shards,
+                    "code_aware": code_aware,
+                    "positions": positions,
+                    "shard_docs": {int(s): n
+                                   for s, n in shard_counts.items()},
+                }
+                stats["hot_terms"] = hot_terms(
+                    spark.read.parquet(os.path.join(out_dir, "term_df")),
+                    n_docs_total, cfg,
+                )
+                write_stats_json(out_dir, stats)
+                return stats
+
+            stats_fut = pool.submit(_stats_job)
         else:
             stats = read_stats_json(out_dir)
-        shard_docs = {int(k): v for k, v in stats.get("shard_docs", {}).items()}
+            shard_docs = {int(k): v
+                          for k, v in stats.get("shard_docs", {}).items()}
 
         # ---- postings waves (unit of resume)
         shards_per_wave = max(1, -(-cfg.n_shards // waves))
@@ -437,15 +497,14 @@ def build_index(
             ]
             if not wave_shards:
                 continue
-            subset = tf.filter(F.col("shard").isin(wave_shards))
-            # one task per shard: shuffle on the shard key (no sampling pass,
-            # unlike repartitionByRange) and sort (term, doc_id) within. Task
-            # sizes are uniform because shard = hash(doc_id) — hot TERMS
-            # cannot skew a doc-partitioned build. Output files align 1:1
-            # with the partitionBy(shard) dirs.
-            sorted_runs = subset.repartition(
-                len(wave_shards), "shard"
-            ).sortWithinPartitions("shard", "term", "doc_id")
+            subset = (tf if len(wave_shards) == cfg.n_shards
+                      else tf.filter(F.col("shard").isin(wave_shards)))
+            # shuffle on (shard, term-bucket): doc-hash sharding keeps task
+            # sizes uniform (hot TERMS cannot skew a doc-partitioned
+            # build); the term sub-bucket spreads the sort+compress stage
+            # over every task slot when shards < cores (see
+            # _sorted_runs_frame).
+            sorted_runs = _sorted_runs_frame(subset, wave_shards, par)
             blocks = sorted_runs.mapInPandas(
                 lambda it: _compress_runs(it, cfg.block_size,
                                           with_positions=positions),
@@ -456,10 +515,11 @@ def build_index(
             # un-manifested; the resume rebuilds it, and overwrite replaces
             # the stale shard=s dirs instead of appending duplicate blocks
             # (duplicated postings would double exact scores and inflate WAND).
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (blocks.write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(out_dir, "postings")))
             _mark(f"wave{w}_compress_write")
+            if shard_docs is None:
+                shard_docs = docs_fut.result()
             # manifest from read-back: certifies disk state (checkpoint.py)
             written = spark.read.parquet(
                 os.path.join(out_dir, "postings")
@@ -479,8 +539,11 @@ def build_index(
                 out_dir,
             )
             _mark(f"wave{w}_manifest")
+        if stats_fut is not None:
+            stats = stats_fut.result()
         return stats
     finally:
+        pool.shutdown(wait=True)
         _shutil.rmtree(tf_tmp, ignore_errors=True)
 
 
@@ -493,7 +556,7 @@ def _build_index_fused(
     code_aware: bool = True,
     text_col: str = "content",
     tokenizer: str = "arrow",
-    waves: int = 2,
+    waves: int | None = None,
     resume: bool = True,
     already_normalized: bool = False,
     check_collisions: bool = False,
@@ -632,6 +695,9 @@ def _build_index_fused(
     # statistics that round 2 harvested from the tf spill (Σdl, term df)
     # now derive from block METADATA read back from the written index —
     # a column-pruned scan ~128× smaller than the tf rows (see below).
+    par = max(1, spark.sparkContext.defaultParallelism)
+    if waves is None:
+        waves = max(1, -(-cfg.n_shards // par))
     shards_per_wave = max(1, -(-cfg.n_shards // waves))
     for w in range(waves):
         wave_shards = [
@@ -649,14 +715,11 @@ def _build_index_fused(
         ).withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int")
         )
-        # one task per shard: shuffle on the shard key (no sampling pass,
-        # unlike repartitionByRange) and sort (term, doc_id) within. Task
-        # sizes are uniform because shard = hash(doc_id) — hot TERMS
-        # cannot skew a doc-partitioned build. Output files align 1:1
-        # with the partitionBy(shard) dirs.
-        sorted_runs = tf_src.repartition(
-            len(wave_shards), "shard"
-        ).sortWithinPartitions("shard", "term", "doc_id")
+        # shuffle on (shard, term-bucket): doc-hash sharding keeps task
+        # sizes uniform (hot TERMS cannot skew a doc-partitioned build);
+        # the term sub-bucket spreads the sort+compress stage over every
+        # task slot when shards < cores (see _sorted_runs_frame).
+        sorted_runs = _sorted_runs_frame(tf_src, wave_shards, par)
         blocks = sorted_runs.mapInPandas(
             lambda it: _compress_runs(it, cfg.block_size,
                                       with_positions=positions),

@@ -1241,10 +1241,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pos = ph.doc_positions(docs, code_aware=False)
-    srow = corpus_stats_from_docs(docs).collect()[0]
     qtoks = [(qid, phrase_text.split()) for qid, phrase_text in PHRASES]
     m = ph.phrase_matches_batch(pos, qtoks)
-    scored = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    # stats as a broadcast 1-row frame: one Spark job, no eager collect
+    scored = ph.phrase_score_batch(m, stats=corpus_stats_from_docs(docs))
     return topk(scored, 10)
 
 
@@ -1266,10 +1266,10 @@ def q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pos = ph.doc_positions(docs, code_aware=False)
-    srow = corpus_stats_from_docs(docs).collect()[0]
     qtoks = [(qid, text.split(), slop) for qid, text, slop in SLOP_PHRASES]
     m = ph.phrase_matches_batch_slop(pos, qtoks)
-    scored = ph.phrase_score_batch(m, srow["n_docs"], srow["avgdl"])
+    # stats as a broadcast 1-row frame: one Spark job, no eager collect
+    scored = ph.phrase_score_batch(m, stats=corpus_stats_from_docs(docs))
     return topk(scored, 10)
 
 
@@ -5922,7 +5922,10 @@ def _mi_frames(spark: SparkSession, sf_dir: str):
         F.size(tokenize_expr(F.col("text"))).cast("long").alias("dl"))
         .groupBy("index_name")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")))
-    queries = spark.createDataFrame(
+    from dp_search_data_importer_spark.session import local_df
+
+    queries = local_df(
+        spark,
         [(1, "hash join merge"), (2, "window agg sort"), (3, "the")],
         "query_id long, query_text string")
     return tf, query_terms(queries), dfs, stats
@@ -6104,13 +6107,14 @@ def q_explain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_term_score,
         query_terms,
     )
+    from dp_search_data_importer_spark.session import local_df
 
     cfg = EngineConfig()
     docs = load_table(spark, sf_dir, "documents")
     tf = P.term_freqs_sql(docs)
     stats = P.corpus_stats_from_docs(docs).collect()[0]
-    queries = spark.createDataFrame([(0, "window merge join zzznope")],
-                                    "query_id long, query_text string")
+    queries = local_df(spark, [(0, "window merge join zzznope")],
+                       "query_id long, query_text string")
     qt = query_terms(queries).select("term").distinct()
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs, avgdl = F.lit(stats["n_docs"]), F.lit(stats["avgdl"])

@@ -420,8 +420,9 @@ class EsSearchPlanner:
                 m = phrase_matches_batch_slop(pos, [(qid, toks, slop)])
             else:
                 m = phrase_matches_batch(pos, [(qid, toks)])
-        n_docs, avgdl = self.stats_row(field)
-        out = phrase_score_batch(m, n_docs, avgdl, self.cfg).drop("query_id")
+        # stats as a broadcast 1-row frame: no eager collect per request
+        out = phrase_score_batch(m, cfg=self.cfg,
+                                 stats=self.stats(field)).drop("query_id")
         boost = float(params.get("boost", 1.0))
         if boost != 1.0:
             out = out.withColumn("score", F.col("score") * F.lit(boost))
@@ -503,10 +504,10 @@ class EsSearchPlanner:
             phrase_score_batch,
         )
 
-        n_docs, avgdl = self.stats_row(field)
+        # stats as a broadcast 1-row frame: no eager collect per request
         out = phrase_score_batch(
             matches.withColumnRenamed("span_tf", "phrase_tf"),
-            n_docs, avgdl, self.cfg).drop("query_id")
+            cfg=self.cfg, stats=self.stats(field)).drop("query_id")
         if boost != 1.0:
             out = out.withColumn("score", F.col("score") * F.lit(boost))
         return out
@@ -3579,8 +3580,10 @@ def search_indexed(spark: SparkSession, out_dir: str, body: dict,
         (field, v), = pairs
         if isinstance(v, dict):
             v = v["query"]
-        return spark.createDataFrame([(0, str(v))],
-                                     "query_id long, query_text string")
+        from dp_search_data_importer_spark.session import local_df
+
+        return local_df(spark, [(0, str(v))],
+                        "query_id long, query_text string")
 
     hits = None
     hits_full = None  # full match set where the branch computes one

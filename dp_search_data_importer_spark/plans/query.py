@@ -588,8 +588,10 @@ def explain_score(spark: SparkSession, out_dir: str, text: str,
     )
 
     stats_sdf, stats = _stats_df(spark, out_dir)
-    queries = spark.createDataFrame([(0, text)],
-                                    "query_id long, query_text string")
+    from dp_search_data_importer_spark.session import local_df
+
+    queries = local_df(spark, [(0, text)],
+                       "query_id long, query_text string")
     qt = query_terms(queries, code_aware=stats.get("code_aware", False))
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     tf = decompress_blocks(load_blocks(spark, out_dir, terms)).filter(

@@ -661,8 +661,10 @@ def match_ids(spark: SparkSession, out_dir: str, text: str, *,
     if operator not in ("or", "and"):
         raise ValueError("operator must be 'or' or 'and'")
     stats = read_stats_json(out_dir)
-    queries = spark.createDataFrame([(0, text)],
-                                    "query_id long, query_text string")
+    from dp_search_data_importer_spark.session import local_df
+
+    queries = local_df(spark, [(0, text)],
+                       "query_id long, query_text string")
     qt = query_terms(queries, code_aware=bool(stats.get("code_aware",
                                                         False)))
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
