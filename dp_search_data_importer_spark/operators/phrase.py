@@ -36,16 +36,29 @@ from dp_search_data_importer_spark.functions.tokenize import (
 
 
 def doc_positions(docs: DataFrame, *, code_aware: bool = False,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  terms: list[str] | None = None) -> DataFrame:
     """(doc_id, term, positions array<int>, dl) — sorted 0-based token
     positions per (doc, term), dl alongside so phrase scoring never joins
-    the docs table (same discipline as the postings blocks)."""
+    the docs table (same discipline as the postings blocks).
+
+    ``terms`` restricts the OUTPUT to that term set with the filter pushed
+    BELOW the collect_list aggregation: phrase/span/percolate consumers
+    join these rows against a small literal slot set, so building position
+    arrays for the whole vocabulary only to drop them at the join makes
+    the agg/shuffle O(corpus tokens) instead of O(slot-term positions)
+    (guide §2.3). positions/dl values are unchanged (positions come from
+    posexplode before the filter; dl from the full token array). Only
+    valid when every downstream consumer restricts to ⊆ ``terms``."""
     tok = tokenize_code_expr if code_aware else tokenize_expr
     toks = docs.select(F.col(id_col).alias("doc_id"), tok(text_col).alias("t"))
     exploded = toks.select(
         "doc_id", F.size("t").cast("long").alias("dl"),
         F.posexplode("t").alias("p", "term"),
     )
+    if terms is not None:
+        exploded = exploded.filter(
+            F.col("term").isin([str(t) for t in terms]))
     return (
         exploded.groupBy("doc_id", "dl", "term")
         .agg(F.sort_array(F.collect_list("p")).alias("positions"))

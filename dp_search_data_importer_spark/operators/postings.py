@@ -47,12 +47,22 @@ def term_freqs(docs: DataFrame, *, code_aware: bool, id_col: str = "doc_id",
 
 def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
                    text_col: str = "text",
-                   code_aware: bool = False) -> DataFrame:
+                   code_aware: bool = False,
+                   terms: list[str] | None = None) -> DataFrame:
     """Pure-Catalyst twin of :func:`term_freqs`: explode + two aggs, fully
     whole-stage-codegen'd. Used as the oracle-parity path — DuckDB can
     express it 1:1 — and property-tested equal to the Arrow path. With
     ``code_aware=True`` the camelCase/snake_case-splitting analyzer runs as
     regexp_replace + split, still JVM-side (see tokenize_code_expr).
+
+    ``terms`` restricts the OUTPUT to that term set, with the filter pushed
+    BELOW the tf aggregation: a query that joins tf against a known literal
+    term set otherwise aggregates the whole vocabulary and throws away all
+    but the query terms' rows — the filter makes the agg/shuffle
+    O(query-term postings), not O(corpus tokens) (guide §2.3). tf/dl values
+    are unchanged (tf groups per (doc, term); dl is computed from the full
+    token array before the filter). Only valid when every downstream
+    consumer restricts to ⊆ ``terms``.
     """
     from dp_search_data_importer_spark.functions.tokenize import (
         tokenize_code_expr,
@@ -67,6 +77,9 @@ def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
         "doc_id", F.size("toks").cast("long").alias("dl"),
         F.explode("toks").alias("term")
     )
+    if terms is not None:
+        exploded = exploded.filter(
+            F.col("term").isin([str(t) for t in terms]))
     return (
         exploded.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -184,16 +184,24 @@ def _compress_runs(
 
 
 def _sorted_runs_frame(subset: DataFrame, wave_shards: list[int],
-                       par: int) -> DataFrame:
+                       par: int) -> tuple[DataFrame, bool]:
     """Shuffle tf rows into doc_id-sorted (shard, term) runs for the block
     compressor, using ALL available task slots (guide §2.5): with fewer
     shards than cores, one-task-per-shard leaves (par − n_shards) cores
     idle through the sort+compress+write stage. Sub-bucket each shard by a
     deterministic term hash — every (shard, term) run stays whole inside
     one task (bucket is a function of term), so block numbering and
-    compression are byte-identical; only the file fan-out per shard dir
-    changes. Bucket count is ~4× the task count so the hash spreads evenly
-    (guide §2.5: use many more distinct key values than partitions)."""
+    compression are byte-identical. Bucket count is ~4× the task count so
+    the hash spreads evenly (guide §2.5: use many more distinct key
+    values than partitions).
+
+    Returns (frame, bucketed). When ``bucketed``, the caller must gather
+    the compressed blocks back to one task per shard before the
+    partitioned write: leaving sub² files per shard dir measured 2.3×
+    slower exact-query reads (115 vs 16 files at the bench index). The
+    gather shuffles BLOCK rows (compressed bytes, far smaller than tf)
+    and only exists in the shards<cores regime — at scale shards ≥
+    parallelism, sub=1, and neither extra shuffle happens."""
     n_sh = len(wave_shards)
     sub = max(1, min(8, (4 * par) // max(1, n_sh)))
     if sub > 1:
@@ -204,9 +212,9 @@ def _sorted_runs_frame(subset: DataFrame, wave_shards: list[int],
             .repartition(ntasks, "shard", "_tb")
             .sortWithinPartitions("shard", "term", "doc_id")
             .drop("_tb")
-        )
+        ), True
     return subset.repartition(n_sh, "shard").sortWithinPartitions(
-        "shard", "term", "doc_id")
+        "shard", "term", "doc_id"), False
 
 
 def tokenize_docs(docs: DataFrame, *, code_aware: bool = True,
@@ -504,12 +512,19 @@ def build_index(
             # build); the term sub-bucket spreads the sort+compress stage
             # over every task slot when shards < cores (see
             # _sorted_runs_frame).
-            sorted_runs = _sorted_runs_frame(subset, wave_shards, par)
+            sorted_runs, bucketed = _sorted_runs_frame(subset, wave_shards,
+                                                       par)
             blocks = sorted_runs.mapInPandas(
                 lambda it: _compress_runs(it, cfg.block_size,
                                           with_positions=positions),
                 schema=BLOCKS_SCHEMA,
             )
+            if bucketed:
+                # gather compressed blocks to one sorted file per shard
+                # dir (read-side layout; see _sorted_runs_frame)
+                blocks = blocks.repartition(
+                    len(wave_shards), "shard"
+                ).sortWithinPartitions("shard", "term", "block_id")
             # dynamic partition overwrite, NOT append: a crash in the window
             # between the postings commit and append_manifest leaves the wave
             # un-manifested; the resume rebuilds it, and overwrite replaces
@@ -591,16 +606,15 @@ def _build_index_fused(
     """
     import time as _time
 
-    _t = _time.time()
+    _t0 = _time.time()
     _phases: dict[str, float] = {}
 
     def _mark(name: str) -> None:
-        nonlocal _t
+        # phases overlap across driver threads, so report absolute
+        # elapsed-since-build-start (monotone per thread, thread-safe)
         if verbose:
-            now = _time.time()
-            _phases[name] = round(now - _t, 2)
-            print(f"[build_index] {name}: {_phases[name]}s", flush=True)
-            _t = now
+            _phases[name] = round(_time.time() - _t0, 2)
+            print(f"[build_index] {name}: +{_phases[name]}s", flush=True)
 
     import shutil as _shutil
 
@@ -649,40 +663,48 @@ def _build_index_fused(
     # supports only global aggs, so the breakdown is a when-sum per shard —
     # fine for shard counts in the hundreds; beyond that, fall back to
     # counting the written dirs).
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     docs_done = resume and os.path.exists(
         os.path.join(out_dir, "docs", "_SUCCESS"))
-    shard_counts: dict[int, int]
-    if not docs_done:
-        docs_obs = Observation() if cfg.n_shards <= 256 else None
-        to_write = docs.drop(text_col, "content", "dl")
-        if docs_obs is not None:
-            to_write = to_write.observe(docs_obs, *[
-                F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
-                for s in range(cfg.n_shards)
-            ])
-        (to_write.repartition(cfg.n_shards, "shard")
-         .write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(out_dir, "docs")))
-        _mark("docs_write")
-        if docs_obs is not None:
-            got = docs_obs.get
-            shard_counts = {s: int(got[f"s{s}"] or 0)
+
+    def _docs_job() -> dict[int, int]:
+        shard_counts: dict[int, int] = {}
+        if not docs_done:
+            docs_obs = Observation() if cfg.n_shards <= 256 else None
+            to_write = docs.drop(text_col, "content", "dl")
+            if docs_obs is not None:
+                to_write = to_write.observe(docs_obs, *[
+                    F.sum((F.col("shard") == s).cast("long")).alias(f"s{s}")
+                    for s in range(cfg.n_shards)
+                ])
+            (to_write.repartition(cfg.n_shards, "shard")
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(out_dir, "docs")))
+            _mark("docs_write")
+            if docs_obs is not None:
+                got = docs_obs.get
+                shard_counts = {s: int(got[f"s{s}"] or 0)
+                                for s in range(cfg.n_shards)}
+        if not shard_counts:
+            shard_counts = {
+                int(r["shard"]): int(r["n"])
+                for r in spark.read.parquet(os.path.join(out_dir, "docs"))
+                .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            shard_counts = {s: shard_counts.get(s, 0)
                             for s in range(cfg.n_shards)}
-        else:
-            shard_counts = {}
-    else:
-        shard_counts = {}
-    if not shard_counts:
-        shard_counts = {
-            int(r["shard"]): int(r["n"])
-            for r in spark.read.parquet(os.path.join(out_dir, "docs"))
-            .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        shard_counts = {s: shard_counts.get(s, 0)
-                        for s in range(cfg.n_shards)}
+        return shard_counts
+
+    # the docs pass is independent of the postings waves — run it
+    # concurrently so the wave's tokenize stage back-fills its tail
+    # (guide §2.6); its result is first needed at manifest time
+    pool = ThreadPoolExecutor(max_workers=2)
+    docs_fut = pool.submit(_docs_job)
+    shard_counts: dict[int, int] | None = None
 
     # ---- postings waves (unit of resume). Round-3 dataflow: each wave
     # tokenizes ITS OWN docs straight into the one wide shuffle — the
@@ -699,14 +721,14 @@ def _build_index_fused(
     if waves is None:
         waves = max(1, -(-cfg.n_shards // par))
     shards_per_wave = max(1, -(-cfg.n_shards // waves))
-    for w in range(waves):
-        wave_shards = [
-            s for s in range(w * shards_per_wave,
-                             min((w + 1) * shards_per_wave, cfg.n_shards))
-            if s not in done
-        ]
-        if not wave_shards:
-            continue
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    wave_lists = [ws for ws in (
+        [s for s in range(w * shards_per_wave,
+                          min((w + 1) * shards_per_wave, cfg.n_shards))
+         if s not in done]
+        for w in range(waves)) if ws]
+    manifest_fut = None
+    for i, wave_shards in enumerate(wave_lists):
         wave_docs = docs.filter(F.col("shard").isin(wave_shards))
         tf_src = tokenize_docs(
             wave_docs.select("doc_id", text_col),
@@ -719,40 +741,61 @@ def _build_index_fused(
         # sizes uniform (hot TERMS cannot skew a doc-partitioned build);
         # the term sub-bucket spreads the sort+compress stage over every
         # task slot when shards < cores (see _sorted_runs_frame).
-        sorted_runs = _sorted_runs_frame(tf_src, wave_shards, par)
+        sorted_runs, bucketed = _sorted_runs_frame(tf_src, wave_shards, par)
         blocks = sorted_runs.mapInPandas(
             lambda it: _compress_runs(it, cfg.block_size,
                                       with_positions=positions),
             schema=BLOCKS_SCHEMA,
         )
+        if bucketed:
+            # gather compressed blocks to one sorted file per shard dir
+            # (read-side layout; see _sorted_runs_frame)
+            blocks = blocks.repartition(
+                len(wave_shards), "shard"
+            ).sortWithinPartitions("shard", "term", "block_id")
         # dynamic partition overwrite, NOT append: a crash in the window
         # between the postings commit and append_manifest leaves the wave
         # un-manifested; the resume rebuilds it, and overwrite replaces
         # the stale shard=s dirs instead of appending duplicate blocks
         # (duplicated postings would double exact scores and inflate WAND).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (blocks.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(out_dir, "postings")))
-        _mark(f"wave{w}_tokenize_compress_write")
-        # manifest from read-back: certifies disk state (checkpoint.py)
-        written = spark.read.parquet(
-            os.path.join(out_dir, "postings")
-        ).filter(F.col("shard").isin(wave_shards))
-        ndocs_expr = F.coalesce(
-            *[F.when(F.col("shard") == s, F.lit(int(shard_counts.get(s, 0))))
-              for s in wave_shards],
-            F.lit(0),
-        )
-        append_manifest(
-            shard_metrics(written).select(
-                "shard",
-                ndocs_expr.cast("long").alias("n_docs"),
-                "n_postings", "n_blocks", "bytes_compressed",
-                "content_fingerprint", "n_terms",
-            ),
-            out_dir,
-        )
-        _mark(f"wave{w}_manifest")
+        _mark(f"wave{i}_tokenize_compress_write")
+        if shard_counts is None:
+            shard_counts = docs_fut.result()
+
+        def _manifest_job(ws=wave_shards, idx=i) -> None:
+            # manifest from read-back: certifies disk state (checkpoint.py)
+            written = spark.read.parquet(
+                os.path.join(out_dir, "postings")
+            ).filter(F.col("shard").isin(ws))
+            ndocs_expr = F.coalesce(
+                *[F.when(F.col("shard") == s,
+                         F.lit(int(shard_counts.get(s, 0))))
+                  for s in ws],
+                F.lit(0),
+            )
+            append_manifest(
+                shard_metrics(written).select(
+                    "shard",
+                    ndocs_expr.cast("long").alias("n_docs"),
+                    "n_postings", "n_blocks", "bytes_compressed",
+                    "content_fingerprint", "n_terms",
+                ),
+                out_dir,
+            )
+            _mark(f"wave{idx}_manifest")
+
+        if i == len(wave_lists) - 1:
+            # final wave: the manifest read-back and the metadata-derived
+            # term_df/stats below both read the now-committed postings —
+            # independent jobs, overlap them (guide §2.6). stats.json (the
+            # commit marker) is only written after the manifest lands.
+            manifest_fut = pool.submit(_manifest_job)
+        else:
+            _manifest_job()
+    if shard_counts is None:
+        shard_counts = docs_fut.result()
 
     # ---- term dictionary + corpus stats from block METADATA (read-back:
     # certifies disk, like the manifest). Block rows are pre-aggregated
@@ -817,6 +860,10 @@ def _build_index_fused(
         n_docs_total, cfg,
     )
     # stats.json is written LAST — its presence plus a full manifest is the
-    # build's commit marker (resume returns early on it above)
+    # build's commit marker (resume returns early on it above), so join the
+    # overlapped final-wave manifest before writing it
+    if manifest_fut is not None:
+        manifest_fut.result()
+    pool.shutdown(wait=True)
     write_stats_json(out_dir, stats)
     return stats

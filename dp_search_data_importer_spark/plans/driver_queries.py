@@ -108,11 +108,24 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_ops.corpus_stats_from_docs(docs)
 
 
+def _query_vocab() -> list[str]:
+    """The reference query set's term vocabulary, tokenized driver-side
+    with the property-tested Python twin of ``tokenize_expr`` — feeds the
+    below-agg tf filter (guide §2.3: the scorer joins tf against exactly
+    this set, so aggregating the rest of the vocabulary is thrown away)."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _simple_tokens_py,
+    )
+
+    return sorted({t for _, q in QUERY_SET for t in _simple_tokens_py(q)})
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (B4+B5): exact BM25 top-10 for the reference query set.
     N/avgdl come from the documents table (Lucene docCount semantics)."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
+                                     text_col="text", terms=_query_vocab())
     stats = postings_ops.corpus_stats_from_docs(docs)
     return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats)
 
@@ -125,7 +138,8 @@ def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine already enforces makes this exactly equal to OFFSET over
     the same ordering, which is what the oracle runs."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
+                                     text_col="text", terms=_query_vocab())
     stats = postings_ops.corpus_stats_from_docs(docs)
     page1 = bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K,
                                stats=stats).collect()

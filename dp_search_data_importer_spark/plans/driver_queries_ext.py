@@ -1240,8 +1240,12 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = ph.doc_positions(docs, code_aware=False)
     qtoks = [(qid, phrase_text.split()) for qid, phrase_text in PHRASES]
+    # positions built for the phrase vocabulary only (filter below the
+    # collect_list agg — guide §2.3); dl stays the full doc length
+    pos = ph.doc_positions(
+        docs, code_aware=False,
+        terms=sorted({t for _, toks in qtoks for t in toks}))
     m = ph.phrase_matches_batch(pos, qtoks)
     # stats as a broadcast 1-row frame: one Spark job, no eager collect
     scored = ph.phrase_score_batch(m, stats=corpus_stats_from_docs(docs))
@@ -1265,8 +1269,11 @@ def q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = ph.doc_positions(docs, code_aware=False)
     qtoks = [(qid, text.split(), slop) for qid, text, slop in SLOP_PHRASES]
+    # positions built for the phrase vocabulary only (guide §2.3)
+    pos = ph.doc_positions(
+        docs, code_aware=False,
+        terms=sorted({t for _, toks, _ in qtoks for t in toks}))
     m = ph.phrase_matches_batch_slop(pos, qtoks)
     # stats as a broadcast 1-row frame: one Spark job, no eager collect
     scored = ph.phrase_score_batch(m, stats=corpus_stats_from_docs(docs))
@@ -1337,10 +1344,19 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dp_search_data_importer_spark.session import local_df
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    qlist = [(1, "hash join merge"), (2, "window agg"), (3, "the zzznope")]
+    # tf restricted to the query vocabulary via the tested analyzer twin
+    # (filter below the agg — guide §2.3)
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _simple_tokens_py,
+    )
+
+    vocab = sorted({t for _, q in qlist for t in _simple_tokens_py(q)})
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
+                                     text_col="text", terms=vocab)
     queries = local_df(
         spark,
-        [(1, "hash join merge"), (2, "window agg"), (3, "the zzznope")],
+        qlist,
         "query_id long, query_text string",
     )
     qt = bm25_ops.query_terms(queries)
@@ -1386,10 +1402,15 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dp_search_data_importer_spark.operators import postings as postings_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id", text_col="text")
+    specs = _bool_specs()
+    # tf restricted to the clause vocabulary, filter below the agg (§2.3)
+    vocab = sorted({t for s in specs
+                    for t in (*s.must, *s.should, *s.must_not)})
+    tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
+                                     text_col="text", terms=vocab)
     dfs = postings_ops.doc_freqs(tf)
     stats = postings_ops.corpus_stats_from_docs(docs)
-    return bm25_ops.bool_topk(tf, _bool_specs(), dfs, stats, k=10)
+    return bm25_ops.bool_topk(tf, specs, dfs, stats, k=10)
 
 
 def _bool_search_sql() -> str:
@@ -2396,8 +2417,11 @@ def q_percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     queries = local_df(spark, PERC_QUERIES,
                        "query_id long, kind string, terms array<string>")
+    # positions built for the stored queries' vocabulary only (§2.3)
+    vocab = sorted({t for _, _, ts_ in PERC_QUERIES for t in ts_})
     return percolate_batch(queries,
-                           doc_positions(docs, code_aware=False))
+                           doc_positions(docs, code_aware=False,
+                                         terms=vocab))
 
 
 NAGG_BODY = {"query": {"match": {"text": "hash"}}, "size": 0,
@@ -5912,7 +5936,15 @@ def _mi_frames(spark: SparkSession, sf_dir: str):
         "doc_id", "text",
         F.concat(F.lit("idx"), (F.col("doc_id") % 3).cast("string"))
         .alias("index_name"))
-    tf = P.term_freqs_sql(tagged).join(
+    qlist = [(1, "hash join merge"), (2, "window agg sort"), (3, "the")]
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _simple_tokens_py,
+    )
+
+    # tf restricted to the query vocabulary via the tested analyzer twin
+    # (filter below the agg — guide §2.3); per-index stats stay corpus-wide
+    vocab = sorted({t for _, q in qlist for t in _simple_tokens_py(q)})
+    tf = P.term_freqs_sql(tagged, terms=vocab).join(
         tagged.select("doc_id", "index_name"), "doc_id")
     dfs = tf.groupBy("index_name", "term").agg(
         F.count(F.lit(1)).alias("df"))
@@ -5924,10 +5956,7 @@ def _mi_frames(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")))
     from dp_search_data_importer_spark.session import local_df
 
-    queries = local_df(
-        spark,
-        [(1, "hash join merge"), (2, "window agg sort"), (3, "the")],
-        "query_id long, query_text string")
+    queries = local_df(spark, qlist, "query_id long, query_text string")
     return tf, query_terms(queries), dfs, stats
 
 
@@ -6109,11 +6138,17 @@ def q_explain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dp_search_data_importer_spark.session import local_df
 
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _simple_tokens_py,
+    )
+
     cfg = EngineConfig()
     docs = load_table(spark, sf_dir, "documents")
-    tf = P.term_freqs_sql(docs)
+    qtext = "window merge join zzznope"
+    # tf restricted to the query vocabulary (filter below the agg — §2.3)
+    tf = P.term_freqs_sql(docs, terms=sorted(set(_simple_tokens_py(qtext))))
     stats = P.corpus_stats_from_docs(docs).collect()[0]
-    queries = local_df(spark, [(0, "window merge join zzznope")],
+    queries = local_df(spark, [(0, qtext)],
                        "query_id long, query_text string")
     qt = query_terms(queries).select("term").distinct()
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

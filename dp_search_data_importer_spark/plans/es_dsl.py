@@ -192,11 +192,19 @@ class EsSearchPlanner:
             self._stats_row[field] = (r["n_docs"], r["avgdl"])
         return self._stats_row[field]
 
-    def pos(self, field: str) -> DataFrame:
+    def pos(self, field: str,
+            terms: list[str] | None = None) -> DataFrame:
         from dp_search_data_importer_spark.operators.phrase import (
             doc_positions,
         )
 
+        if terms is not None:
+            # term-pruned positions: the caller's slot set is a known
+            # literal, so the collect_list agg runs over those terms'
+            # postings only (guide §2.3). Not memoized — each term set is
+            # its own (much smaller) frame.
+            return doc_positions(self.docs, id_col=self.id_col,
+                                 text_col=field, terms=terms)
         if field not in self._pos:
             self._pos[field] = doc_positions(
                 self.docs, id_col=self.id_col, text_col=field)
@@ -406,7 +414,11 @@ class EsSearchPlanner:
         if not toks:
             raise EsDslError(f"empty phrase: {spec}")
         qid = self._next_qid()
-        pos = self.pos(field)
+        # exact/slop phrases know their vocabulary up front → term-pruned
+        # positions; the prefix form needs the term dictionary to expand
+        # first, so it keeps the full frame
+        pos = self.pos(field) if prefix else self.pos(
+            field, terms=sorted(set(toks)))
         if prefix:
             expansions = expand_prefix_terms(
                 self.tf(field).select("term").distinct(), toks[-1],
@@ -518,7 +530,9 @@ class EsSearchPlanner:
         )
 
         field, slots, slop, end = self._span_tree({node_kind: spec})
-        m = span_matches_batch(self.pos(field),
+        # slot vocabulary is literal → term-pruned positions (§2.3)
+        vocab = sorted({t for slot in slots for t in slot})
+        m = span_matches_batch(self.pos(field, terms=vocab),
                                [(self._next_qid(), slots, slop, end)])
         return self._span_score(m, field,
                                 float(spec.get("boost", 1.0))
@@ -548,7 +562,8 @@ class EsSearchPlanner:
                 raise EsDslError("span_near clauses must share one field")
             field = fields.pop()
             m = span_unordered_matches_batch(
-                self.pos(field),
+                self.pos(field,
+                         terms=sorted({t for s in slots for t in s})),
                 [(self._next_qid(), slots, int(spec.get("slop", 0)))])
             return self._span_score(m, field,
                                     float(spec.get("boost", 1.0)))
@@ -611,16 +626,19 @@ class EsSearchPlanner:
         ordered = bool(rspec.get("ordered", False)) \
             if rkind in ("match", "all_of") else True
         slop = (1 << 30) if gaps < 0 else int(gaps)
+        # interval vocabulary is literal → term-pruned positions (§2.3)
+        ipos = self.pos(field,
+                        terms=sorted({t for s in slots for t in s}))
         if len(slots) == 1:
-            m = span_matches_batch(self.pos(field),
+            m = span_matches_batch(ipos,
                                    [(self._next_qid(), slots, 0, None)])
         elif ordered:
             m = span_matches_batch(
-                self.pos(field),
+                ipos,
                 [(self._next_qid(), slots, slop, None)])
         else:
             m = span_unordered_matches_batch(
-                self.pos(field),
+                ipos,
                 [(self._next_qid(), slots,
                   min(slop, (1 << 30) - len(slots)))])
         return self._span_score(m, field, float(spec.get("boost", 1.0)))
@@ -635,7 +653,7 @@ class EsSearchPlanner:
         if fi != fe:
             raise EsDslError("span_not include/exclude must share a field")
         m = span_not_matches_batch(
-            self.pos(fi),
+            self.pos(fi, terms=sorted({*inc, *exc})),
             [(self._next_qid(), inc, exc,
               int(spec.get("pre", spec.get("dist", 0))),
               int(spec.get("post", spec.get("dist", 0))))])
