@@ -117,22 +117,19 @@ def _compress_runs(
     """
     from dp_search_data_importer_spark.operators.codec import encode_positions
 
-    carry: pd.DataFrame | None = None
+    # carry = column arrays of a run's (< block_size) tail awaiting the
+    # next batch: (shard, term, doc_ids, tfs, dls, plists)
+    carry: tuple | None = None
     out_cols = ("shard", "term", "block_id", "first_doc_id", "n_docs",
                 "doc_gaps", "tfs", "dls", "imp_tfs", "imp_dls", "poss",
                 "sum_tf")
 
-    def flush(group: pd.DataFrame, *, final: bool) -> tuple[list, pd.DataFrame | None]:
-        """Emit full blocks; keep the (< block_size) tail unless final."""
-        rows = []
-        n = len(group)
+    def flush(shard: int, term, doc_ids, tfs, dls, plists, rows: list, *,
+              final: bool) -> int:
+        """Emit full blocks from the array slices; return the number of
+        rows consumed (a multiple of block_size unless final)."""
+        n = len(doc_ids)
         n_full_end = n if final else (n // block_size) * block_size
-        doc_ids = group["doc_id"].to_numpy(dtype=np.int64)
-        tfs = group["tf"].to_numpy(dtype=np.int64)
-        dls = group["dl"].to_numpy(dtype=np.int64)
-        plists = group["positions"].to_numpy() if with_positions else None
-        shard = int(group["shard"].iloc[0])
-        term = group["term"].iloc[0]
         for start in range(0, n_full_end, block_size):
             end = min(start + block_size, n_full_end)
             ids_b, tfs_b, dls_b = doc_ids[start:end], tfs[start:end], dls[start:end]
@@ -152,35 +149,59 @@ def _compress_runs(
                 (shard, term, start // block_size, int(ids_b[0]), end - start,
                  g, t, d, imp_tf, imp_dl, p, int(tfs_b.sum()))
             )
-        tail = None if final or n_full_end == n else group.iloc[n_full_end:]
-        return rows, tail
+        return n_full_end
 
     def to_pdf(rows: list) -> pd.DataFrame:
         return pd.DataFrame(rows, columns=out_cols)
 
     for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        if pdf.empty:
+        if pdf.empty and carry is None:
             continue
-        rows: list = []
+        # column arrays once per batch — the earlier per-run DataFrame
+        # slicing and a string-concat run key cost seconds per task at
+        # millions of tf rows (guide §1.2 step 2: per-task work)
+        sh = pdf["shard"].to_numpy()
+        tm = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        plists = pdf["positions"].to_numpy() if with_positions else None
+        if carry is not None:
+            c_sh, c_tm, c_ids, c_tfs, c_dls, c_pl = carry
+            sh = np.concatenate((np.full(len(c_ids), c_sh), sh))
+            tm = np.concatenate((np.full(len(c_ids), c_tm, dtype=object), tm))
+            doc_ids = np.concatenate((c_ids, doc_ids))
+            tfs = np.concatenate((c_tfs, tfs))
+            dls = np.concatenate((c_dls, dls))
+            if with_positions:
+                plists = np.concatenate((c_pl, plists))
+            carry = None
+        n = len(doc_ids)
+        if n == 0:
+            continue
         # contiguous (shard, term) runs within the batch
-        keys = pdf["shard"].astype(str) + "\x00" + pdf["term"]
-        change = np.flatnonzero(keys.to_numpy()[1:] != keys.to_numpy()[:-1]) + 1
-        bounds = np.concatenate(([0], change, [len(pdf)]))
+        change = np.flatnonzero(
+            (sh[1:] != sh[:-1]) | (tm[1:] != tm[:-1])) + 1
+        bounds = np.concatenate(([0], change, [n]))
+        rows: list = []
         for i in range(len(bounds) - 1):
-            grp = pdf.iloc[bounds[i]:bounds[i + 1]]
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
             is_last_run = i == len(bounds) - 2
-            got, tail = flush(grp, final=not is_last_run)
-            rows.extend(got)
-            if is_last_run:
-                carry = tail
+            used = flush(int(sh[lo]), tm[lo], doc_ids[lo:hi], tfs[lo:hi],
+                         dls[lo:hi], None if plists is None
+                         else plists[lo:hi], rows, final=not is_last_run)
+            if is_last_run and lo + used < hi:
+                s = lo + used
+                carry = (int(sh[lo]), tm[lo], doc_ids[s:hi], tfs[s:hi],
+                         dls[s:hi],
+                         None if plists is None else plists[s:hi])
         if rows:
             yield to_pdf(rows)
-    if carry is not None and len(carry):
-        got, _ = flush(carry, final=True)
-        yield to_pdf(got)
+    if carry is not None:
+        c_sh, c_tm, c_ids, c_tfs, c_dls, c_pl = carry
+        rows = []
+        flush(c_sh, c_tm, c_ids, c_tfs, c_dls, c_pl, rows, final=True)
+        yield to_pdf(rows)
 
 
 def _sorted_runs_frame(subset: DataFrame, wave_shards: list[int],
