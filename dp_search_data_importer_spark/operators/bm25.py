@@ -63,7 +63,7 @@ def query_terms(queries: DataFrame, text_col: str = "query_text",
 def bm25_scores(
     tf: DataFrame,
     qterms: DataFrame,
-    dfs: DataFrame,
+    dfs: DataFrame | None,
     stats: DataFrame,
     cfg: EngineConfig | None = None,
     min_match: int | None = None,
@@ -73,17 +73,32 @@ def bm25_scores(
     ``tf``: (doc_id, term, tf, dl); ``qterms``: (query_id, term);
     ``dfs``: (term, df); ``stats``: 1-row (n_docs, avgdl).
 
+    ``dfs=None`` computes df IN-PLAN as a window count over the tf frame
+    (one row per (doc, term), so count-per-term ≡ df) — removing the
+    separate dfs aggregation branch, which Catalyst cannot share with the
+    tf branch (column pruning makes their exchanges non-identical, so the
+    whole tokenize pipeline ran twice; measured in plans/r06). ONLY for
+    term-PRUNED tf frames: a corpus-wide window by term funnels a hot
+    term into one partition — ``doc_freqs``' salted aggregation stays the
+    general-path answer (guide §2.5).
+
     ``min_match`` (ES ``match`` operator=and / minimum_should_match):
     keep only docs matching ≥ that many DISTINCT query terms — the
     matched-term count rides the SAME single hash aggregation as the
     score (one extra count column, no second join/shuffle). Terms absent
-    from the corpus drop at the dfs join, so an unseen term under
-    operator=and (min_match = n_terms) yields no hits, as in ES.
+    from the corpus drop at the dfs join (or simply have no tf rows on
+    the window path), so an unseen term under operator=and
+    (min_match = n_terms) yields no hits, as in ES.
     ``None``/≤1 keeps the plan byte-identical to the OR form.
     """
     cfg = cfg or EngineConfig()
-    qdf = qterms.join(dfs, "term", "inner")  # unseen query terms drop out here
-    cand = tf.join(F.broadcast(qdf), "term", "inner")
+    if dfs is None:
+        w = Window.partitionBy("term")
+        cand = (tf.withColumn("df", F.count(F.lit(1)).over(w))
+                .join(F.broadcast(qterms), "term", "inner"))
+    else:
+        qdf = qterms.join(dfs, "term", "inner")  # unseen terms drop here
+        cand = tf.join(F.broadcast(qdf), "term", "inner")
     cand = cand.join(F.broadcast(stats))  # 1-row cross join, broadcast
     scored = cand.withColumn(
         "term_score",
@@ -359,6 +374,7 @@ def bm25_topk(
     code_aware: bool = False,
     stats: DataFrame | None = None,
     after: dict[int, tuple[float, int]] | None = None,
+    pruned_tf: bool = False,
 ) -> DataFrame:
     """End-to-end exact path: tf table + (query_id, query_text) → top-k.
 
@@ -366,6 +382,10 @@ def bm25_topk(
     production plan these come precomputed from the index manifest). Pass
     ``stats`` explicitly (e.g. ``corpus_stats_from_docs``) for
     Lucene-consistent N/avgdl on corpora containing zero-token docs.
+    ``pruned_tf=True`` declares that ``tf`` is already restricted to the
+    query vocabulary (``term_freqs_sql(..., terms=)``): df then computes
+    in-plan as a window count (see :func:`bm25_scores`), saving the
+    separate dfs aggregation branch and its duplicate tokenize pipeline.
     """
     from dp_search_data_importer_spark.operators.postings import (
         corpus_stats,
@@ -374,7 +394,7 @@ def bm25_topk(
 
     cfg = cfg or EngineConfig()
     qt = query_terms(queries, code_aware=code_aware)
-    dfs = doc_freqs(tf)
+    dfs = None if pruned_tf else doc_freqs(tf)
     stats = corpus_stats(tf) if stats is None else stats
     scores = bm25_scores(tf, qt, dfs, stats, cfg)
     return topk(scores, k or cfg.k, after=after)
@@ -456,7 +476,7 @@ class BoolSpec:
 def bool_topk(
     tf: DataFrame,
     specs: list[BoolSpec],
-    dfs: DataFrame,
+    dfs: DataFrame | None,
     stats: DataFrame,
     cfg: EngineConfig | None = None,
     k: int = 10,
@@ -507,8 +527,17 @@ def bool_topk(
         "boost double")
     totals = local_df(spark, tot_rows, "query_id long, n_must long, msm long")
 
-    cdf = clauses.join(dfs, "term", "inner")  # unseen terms drop out, as ES
-    j = tf.join(F.broadcast(cdf), "term").join(F.broadcast(stats))
+    if dfs is None:
+        # df in-plan as a window count — ONLY for term-pruned tf (see
+        # bm25_scores); unseen clause terms simply have no tf rows, the
+        # same drop the dfs join performed
+        j = (tf.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+             .join(F.broadcast(clauses), "term"))
+    else:
+        cdf = clauses.join(dfs, "term", "inner")  # unseen terms drop, as ES
+        j = tf.join(F.broadcast(cdf), "term")
+    j = j.join(F.broadcast(stats))
     scored = j.withColumn(
         "term_score",
         F.when(

@@ -141,6 +141,12 @@ def predict_logreg(features: DataFrame, weights: DataFrame, *,
     """
     ids = all_ids.select("doc_id").distinct() if all_ids is not None \
         else features.select("doc_id").distinct()
+    if all_ids is not None:
+        # the output universe is exactly ``all_ids``: feature rows for
+        # docs outside it would survive the union/groupBy without an
+        # intercept row and receive a silently wrong probability —
+        # exclude them up front
+        features = features.join(ids, "doc_id", "left_semi")
     x = _with_intercept(features, ids)
     small_dim = dim is not None and dim + 1 <= broadcast_limit
     w_side = F.broadcast(weights) if small_dim else weights

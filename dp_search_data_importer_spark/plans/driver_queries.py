@@ -127,7 +127,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
                                      text_col="text", terms=_query_vocab())
     stats = postings_ops.corpus_stats_from_docs(docs)
-    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats)
+    return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats,
+                              pruned_tf=True)
 
 
 def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,10 +143,10 @@ def q_bm25_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      text_col="text", terms=_query_vocab())
     stats = postings_ops.corpus_stats_from_docs(docs)
     page1 = bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K,
-                               stats=stats).collect()
+                               stats=stats, pruned_tf=True).collect()
     after = bm25_ops.page_cursor(page1)
     return bm25_ops.bm25_topk(tf, _query_df(spark), CFG, K, stats=stats,
-                              after=after)
+                              after=after, pruned_tf=True)
 
 
 def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

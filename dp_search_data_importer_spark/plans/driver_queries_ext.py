@@ -1361,9 +1361,9 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = bm25_ops.query_terms(queries)
     n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nt"))
-    dfs = postings_ops.doc_freqs(tf)
     stats = postings_ops.corpus_stats_from_docs(docs)
-    scores = bm25_ops.bm25_scores(tf, qt, dfs, stats)
+    # dfs=None: df in-plan over the pruned tf (see bm25_scores)
+    scores = bm25_ops.bm25_scores(tf, qt, None, stats)
     matched = (
         tf.join(F.broadcast(qt), "term")
         .groupBy("query_id", "doc_id")
@@ -1408,9 +1408,9 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for t in (*s.must, *s.should, *s.must_not)})
     tf = postings_ops.term_freqs_sql(docs, id_col="doc_id",
                                      text_col="text", terms=vocab)
-    dfs = postings_ops.doc_freqs(tf)
     stats = postings_ops.corpus_stats_from_docs(docs)
-    return bm25_ops.bool_topk(tf, specs, dfs, stats, k=10)
+    # dfs=None: df in-plan over the pruned tf (see bm25_scores)
+    return bm25_ops.bool_topk(tf, specs, None, stats, k=10)
 
 
 def _bool_search_sql() -> str:

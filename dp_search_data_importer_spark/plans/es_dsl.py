@@ -2059,11 +2059,37 @@ class EsSearchPlanner:
                     "in states) { acc += s } return acc, or the "
                     "Math.max/min fold)")
             red_op, red_var = rm.group(4), rm.group(5)
+            red_init_s = rm.group(2)
         if red_op != op or (red_var is not None and red_var != var):
             raise EsDslError(
                 f"scripted_metric reduce op {red_op!r} does not match "
                 f"map op {op!r} — a mismatched merge is not "
                 f"associative and has no distributed meaning")
+        if red_op in ("max", "min"):
+            # the reduce loop's own init PARTICIPATES in the ES fold
+            # (reduce runs once over the per-shard states): accept only
+            # the op's identity or the map init — anything else (e.g.
+            # 'm = 0' over all-negative data for max) would make the twin
+            # silently return a different value than ES for a script it
+            # accepted, against this module's refuse-don't-guess contract
+            import sys as _sys
+
+            red_init = (
+                _sys.float_info.max if red_init_s == "Double.MAX_VALUE"
+                else -_sys.float_info.max
+                if red_init_s == "-Double.MAX_VALUE"
+                else float(red_init_s))
+            ident = (-_sys.float_info.max if red_op == "max"
+                     else _sys.float_info.max)
+            if red_init != ident and (init_val is None
+                                      or red_init != init_val):
+                raise EsDslError(
+                    f"scripted_metric reduce init {red_init_s!r} "
+                    f"participates in the ES fold; only the "
+                    f"Math.{red_op} identity "
+                    f"({'-' if red_op == 'max' else ''}Double.MAX_VALUE) "
+                    "or the map init_script value is supported — any "
+                    "other init would silently change the result vs ES")
 
         try:
             expr, flds = compile_script(expr_src, body.get("params"),
@@ -2822,6 +2848,15 @@ class EsSearchPlanner:
                 # semi-join prunes the expansion to exactly those
                 # groups before the rank runs.
                 ih = collapse["inner_hits"]
+                # loud refusal on unsupported options (sort, from,
+                # _source, …) — a custom inner sort silently served
+                # score-ordered otherwise, unlike the body-level
+                # unknown-key check
+                bad = sorted(set(ih) - {"name", "size"})
+                if bad:
+                    raise EsDslError(
+                        f"collapse.inner_hits supports only "
+                        f"'name'/'size'; got {bad}")
                 n_inner = int(ih.get("size", 3))
                 page_keys = hits.select(fld).distinct()
                 grp = j.join(F.broadcast(page_keys), fld, "left_semi")

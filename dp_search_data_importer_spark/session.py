@@ -78,6 +78,9 @@ def get_spark(
     return spark
 
 
+_LOCAL_DF_CACHE: dict[tuple, object] = {}
+
+
 def local_df(spark: SparkSession, rows: list[tuple], schema: str):
     """Small driver-side table → DataFrame via the pandas/Arrow path.
 
@@ -86,11 +89,31 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str):
     per slice (measured ~20 s of pure worker boot on local[32] right after a
     heavy job). The pandas route converts once through Arrow into a JVM
     ``LocalTableScan``: no Python at execution time, one partition.
+
+    The constructed frame is memoized per (session, schema, rows): these
+    are immutable literal PLANS (a LocalTableScan is its data), and query
+    paths rebuild the same few literal tables (query sets, clause specs)
+    on every call — the pandas→Arrow→py4j conversion was ~0.1 s of driver
+    time per build (guide §1.2 step 2). Bounded: distinct literal tables
+    per process are a handful; keys use ``repr`` so list-valued cells
+    hash fine.
     """
     import pandas as pd
     from pyspark.sql.types import _parse_datatype_string
 
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    key = (app_id, schema, repr(rows)) if app_id else None
+    if key is not None and key in _LOCAL_DF_CACHE:
+        return _LOCAL_DF_CACHE[key]
     st = _parse_datatype_string(schema)
     names = [f.name for f in st.fields]
     pdf = pd.DataFrame.from_records(list(rows), columns=names)
-    return spark.createDataFrame(pdf, schema=st)
+    out = spark.createDataFrame(pdf, schema=st)
+    if key is not None:
+        if len(_LOCAL_DF_CACHE) > 256:
+            _LOCAL_DF_CACHE.clear()
+        _LOCAL_DF_CACHE[key] = out
+    return out

@@ -161,3 +161,30 @@ def test_empty_text_docs_get_intercept_only_score(spark):
                        iters=2, lr=0.5, l2=0.0, dim=64)
     b = {r["bucket"]: r["w"] for r in w.collect()}[clf.INTERCEPT_BUCKET]
     assert out[3]["prob"] == pytest.approx(1 / (1 + np.exp(-b)))
+
+
+def test_predict_all_ids_subset_bounds_output(spark):
+    """all_ids that is a SUBSET of the feature doc_ids must bound the
+    output exactly: feature docs outside it would otherwise be scored
+    without an intercept row (silently wrong probability)."""
+    docs = spark.createDataFrame(
+        [(1, "useful words here"), (2, "more useful words"),
+         (3, "other text rows")],
+        "doc_id long, text string")
+    seed = spark.createDataFrame([(1, 1), (2, 0)],
+                                 "doc_id long, label int")
+    from dp_search_data_importer_spark.operators.textstats import (
+        hashed_tfidf_sparse,
+    )
+
+    feats = hashed_tfidf_sparse(docs, 64)
+    w = clf.fit_logreg(feats, seed, iters=2, lr=0.5, l2=0.0, dim=64)
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {r["doc_id"]: r["prob"] for r in clf.predict_logreg(
+        feats, w, dim=64, all_ids=ids).collect()}
+    assert set(out) == {1, 2}
+    # the surviving docs' scores agree with the unrestricted pass
+    full = {r["doc_id"]: r["prob"] for r in clf.predict_logreg(
+        feats, w, dim=64).collect()}
+    for d in (1, 2):
+        assert out[d] == pytest.approx(full[d])

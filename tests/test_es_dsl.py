@@ -2291,14 +2291,14 @@ def test_scripted_metric_semantics(planner):
     assert run({
         "init_script": "state.m = -1",
         "map_script": "state.m = Math.max(state.m, doc['n_chars'].value)",
-        "reduce_script": "double m = 0; for (t in states) "
+        "reduce_script": "double m = -1; for (t in states) "
                          "{ m = Math.max(m, t.m) } return m",
     }) == pytest.approx(vals.max())
 
     assert run({
         "map_script": "state.lo = Math.min(state.lo, "
                       "doc['n_chars'].value)",
-        "reduce_script": "double lo = 0; for (t in states) "
+        "reduce_script": "double lo = Double.MAX_VALUE; for (t in states) "
                          "{ lo = Math.min(lo, t.lo) } return lo",
     }) == pytest.approx(vals.min())
 
@@ -2337,6 +2337,15 @@ def test_scripted_metric_refusals(planner):
         planner.search(body({
             "map_script": "state.s += doc['n_chars'].value",
             "reduce_script": "return states[0]"}))
+    # non-identity reduce init participates in the ES fold: 'lo = 0'
+    # over all-positive data would return 0 in ES, not the data min —
+    # refuse rather than silently diverge
+    with pytest.raises(EsDslError, match="participates in the ES fold"):
+        planner.search(body({
+            "map_script": "state.lo = Math.min(state.lo, "
+                          "doc['n_chars'].value)",
+            "reduce_script": "double lo = 0; for (t in states) "
+                             "{ lo = Math.min(lo, t.lo) } return lo"}))
 
 
 def test_collapse_inner_hits_matches_bruteforce(planner):
@@ -2366,6 +2375,17 @@ def test_collapse_inner_hits_matches_bruteforce(planner):
     # page winners == collapse hits
     hit_ids = [r["doc_id"] for r in res.hits.collect()]
     assert set(hit_ids) == {sorted(by_grp[g])[0][1] for g in page}
+
+
+def test_collapse_inner_hits_refuses_unknown_options(planner):
+    """A custom inner sort (or any unsupported inner_hits option) must
+    refuse loudly, not silently serve score-ordered hits."""
+    with pytest.raises(EsDslError, match="inner_hits supports only"):
+        planner.search({"query": {"match": {"text": "hash"}}, "size": 5,
+                        "collapse": {"field": "lang",
+                                     "inner_hits": {
+                                         "name": "g", "size": 2,
+                                         "sort": [{"n_chars": "desc"}]}}})
 
 
 def test_collapse_without_inner_hits_returns_none(planner):
