@@ -21,11 +21,31 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning + predicate pushdown reach the
-    parquet scan because this returns the raw declarative reader result."""
+    parquet scan because this returns the raw declarative reader result.
+
+    The reader PLAN is memoized per (session, path): every call otherwise
+    re-reads the footer for schema inference and re-lists the directory
+    (~0.05–0.1 s of driver time per table per query). The testdata dirs
+    are immutable for a session's lifetime; engine-written artifacts
+    (index dirs) do NOT go through this loader."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.parquet(path)
+    try:
+        key = (spark.sparkContext.applicationId, path)
+    except Exception:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = spark.read.parquet(path)
+    if key is not None:
+        if len(_TABLE_CACHE) > 256:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_documents(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
