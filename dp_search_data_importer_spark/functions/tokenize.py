@@ -76,6 +76,20 @@ def tokenize_code_expr(col: Column | str) -> Column:
     return tokenize_expr(with_bounds)
 
 
+def token_count_expr(col: Column | str, code_aware: bool = False) -> Column:
+    """Token COUNT without materializing the token array: the number of
+    non-empty tokens under :func:`tokenize_expr` equals the number of
+    maximal ``[a-z0-9]+`` runs, so ``regexp_count`` gives the same value
+    while skipping the per-token string allocation that ``size(split(…))``
+    pays (property-tested equal to ``size(tokenize_expr(col))``). Use for
+    dl/stats computations that never need the tokens themselves."""
+    c = F.col(col) if isinstance(col, str) else col
+    if code_aware:
+        c = F.regexp_replace(
+            F.regexp_replace(c, _ACRONYM_RE, r"$1 $2"), _CAMEL_RE, r"$1 $2")
+    return F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
+
+
 def _simple_tokens_py(text: str) -> list[str]:
     return [t for t in _PY_SPLIT.split(text.lower()) if t]
 

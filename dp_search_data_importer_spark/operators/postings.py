@@ -106,14 +106,15 @@ def corpus_stats_from_docs(docs: DataFrame, text_col: str = "text",
     ``BM25Similarity`` docCount/avgdl (an ES-built index includes empty docs
     in its stats). Pure Catalyst — one projection + one agg."""
     from dp_search_data_importer_spark.functions.tokenize import (
-        tokenize_code_expr,
-        tokenize_expr,
+        token_count_expr,
     )
 
-    tok = tokenize_code_expr if code_aware else tokenize_expr
+    # counting twin of the analyzer: same value as size(tokenize(…))
+    # without materializing the token array (property-tested)
     per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tok(text_col)).cast("long").alias("dl"),
+        token_count_expr(text_col, code_aware=code_aware)
+        .cast("long").alias("dl"),
     )
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -979,8 +979,12 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 2048, *,
     """
     if seq_tokens < 1:
         raise ValueError("seq_tokens must be positive")
+    from dp_search_data_importer_spark.functions.tokenize import (
+        token_count_expr,
+    )
+
     t = (docs.select(F.col(id_col).alias("doc_id"),
-                     F.size(tokenize_expr(F.col(text_col)))
+                     token_count_expr(F.col(text_col))
                      .cast("long").alias("n_tokens"))
          .filter(F.col("n_tokens") >= F.lit(min_tokens)))
     # bucket boundaries from the RAW id column (a pruned parquet column

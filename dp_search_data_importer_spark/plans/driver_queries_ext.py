@@ -5929,7 +5929,6 @@ _MI_QUERY_VALUES = "(1, 'hash join merge'), (2, 'window agg sort'), (3, 'the')"
 def _mi_frames(spark: SparkSession, sf_dir: str):
     from dp_search_data_importer_spark.operators import postings as P
     from dp_search_data_importer_spark.operators.bm25 import query_terms
-    from dp_search_data_importer_spark.functions.tokenize import tokenize_expr
 
     docs = load_table(spark, sf_dir, "documents")
     tagged = docs.select(
@@ -5948,10 +5947,15 @@ def _mi_frames(spark: SparkSession, sf_dir: str):
         tagged.select("doc_id", "index_name"), "doc_id")
     dfs = tf.groupBy("index_name", "term").agg(
         F.count(F.lit(1)).alias("df"))
-    # stats include zero-token docs (Lucene docCount semantics)
+    # stats include zero-token docs (Lucene docCount semantics);
+    # token_count_expr = counting twin, no token-array materialization
+    from dp_search_data_importer_spark.functions.tokenize import (
+        token_count_expr,
+    )
+
     stats = (tagged.select(
         "index_name",
-        F.size(tokenize_expr(F.col("text"))).cast("long").alias("dl"))
+        token_count_expr("text").cast("long").alias("dl"))
         .groupBy("index_name")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")))
     from dp_search_data_importer_spark.session import local_df

@@ -99,3 +99,31 @@ def test_code_aware_arrow_equals_sql(spark, corpus):
                        code_aware=True)
     sym_diff = a.exceptAll(b).union(b.exceptAll(a))
     assert sym_diff.count() == 0
+
+
+def test_token_count_expr_equals_size_of_tokenize(spark):
+    """token_count_expr is the counting twin of the analyzers: equal to
+    size(tokenize_expr/tokenize_code_expr) on adversarial inputs
+    (unicode, punctuation runs, camelCase/acronyms, empties)."""
+    from pyspark.sql import functions as F
+
+    from dp_search_data_importer_spark.functions.tokenize import (
+        token_count_expr,
+        tokenize_code_expr,
+        tokenize_expr,
+    )
+
+    rows = [(i, s) for i, s in enumerate([
+        "", "   ", "a", "hash join merge", "x9y Z..Q!!", "ÄÖÜ émigré",
+        "getUserName HTTPServer2 parse_JSONBlob", "a.b.c_d-e", "123 456",
+        "tabs\tand\nnewlines  mix", "trailing space ", " leading",
+        "ALLCAPS lower 0digits9", "__dunder__ __x__", "a" * 500,
+        ("word " * 200).strip(),
+    ])]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for code_aware, tok in ((False, tokenize_expr),
+                            (True, tokenize_code_expr)):
+        got = df.select(
+            (F.size(tok(F.col("s"))) ==
+             token_count_expr("s", code_aware=code_aware)).alias("eq"))
+        assert all(r["eq"] for r in got.collect()), code_aware
