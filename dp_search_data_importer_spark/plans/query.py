@@ -106,6 +106,26 @@ def _stats_df(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
     return sdf, stats
 
 
+def _query_term_pairs(queries: DataFrame,
+                      code_aware: bool) -> list[tuple[int, str]]:
+    """Distinct (query_id, term) pairs tokenized DRIVER-side with the
+    property-tested Python twins of the analyzers (same discipline as
+    ``phrase_topk``): the query batch is a driver-sized frame by contract
+    (interactive query sets), so collecting it and tokenizing in Python
+    replaces a Spark job (explode+distinct+collect) per request with
+    driver work — the term list is needed on the driver anyway for the
+    postings-scan pushdown."""
+    from dp_search_data_importer_spark.functions.tokenize import (
+        _code_tokens_py,
+        _simple_tokens_py,
+    )
+
+    tok = _code_tokens_py if code_aware else _simple_tokens_py
+    rows = queries.select("query_id", "query_text").collect()
+    return sorted({(int(r["query_id"]), t)
+                   for r in rows for t in tok(r["query_text"] or "")})
+
+
 def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
                cfg: EngineConfig | None = None, k: int | None = None,
                after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
@@ -114,10 +134,13 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
     ``after`` paginates (ES ``search_after`` twin — see
     ``operators.bm25.topk``): the cursor predicate applies before the
     window, so page n never re-materializes pages 1..n−1."""
+    from dp_search_data_importer_spark.session import local_df
+
     cfg = cfg or EngineConfig()
     stats_sdf, stats = _stats_df(spark, out_dir)
-    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    pairs = _query_term_pairs(queries, stats.get("code_aware", False))
+    qt = local_df(spark, pairs, "query_id long, term string")
+    terms = sorted({t for _, t in pairs})
     blocks = load_blocks(spark, out_dir, terms)
     tf = decompress_blocks(blocks)
     dfs = spark.read.parquet(os.path.join(out_dir, "term_df")).filter(
@@ -133,10 +156,10 @@ def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
     cfg = cfg or EngineConfig()
     k = k or cfg.k
     _, stats = _stats_df(spark, out_dir)
-    qt = query_terms(queries, code_aware=stats.get("code_aware", False))
+    pairs = _query_term_pairs(queries, stats.get("code_aware", False))
     qmap: dict[int, list[str]] = {}
-    for r in qt.collect():
-        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    for qid, t in pairs:
+        qmap.setdefault(qid, []).append(t)
     terms = sorted({t for ts in qmap.values() for t in ts})
     if not terms:
         from dp_search_data_importer_spark.session import local_df
