@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,59 @@ from dp_search_data_importer_spark.functions.tokenize import (
     tokenize_code_expr,
     tokenize_expr,
 )
+
+
+# projected pruned-positions crossover (same rationale as the pruned-tf
+# projection in postings.py: per-term work scales with |vocab| × tokens,
+# the posexplode path is vocab-independent); env-overridable for re-tuning
+_PRUNED_POS_PROJECTED_MAX = int(
+    os.environ.get("SPARK_GRAFT_PRUNED_POS_PROJECTED_MAX", "48"))
+
+_POS_TOKEN_SHAPE = re.compile(r"[a-z0-9]+\Z")
+
+
+def _doc_positions_projected(docs: DataFrame, vocab: list[str], *,
+                             id_col: str, text_col: str,
+                             code_aware: bool) -> DataFrame | None:
+    """Pruned-positions fast path: per-term 0-based token-index arrays as
+    projection columns over a once-tokenized array, unpivoted to the
+    (doc_id, term, positions, dl) contract rows. Plan: Scan →
+    Project(tokens) → Project(per-term index arrays) → Generate(unpivot) →
+    Filter(non-empty) — no corpus-tokens posexplode, no collect_list
+    aggregation, no exchange (guide §1.2 step 1 / §2.4). Values are
+    identical to the posexplode path: ``transform`` with the index lambda
+    enumerates positions in ascending order (the explode path re-sorts
+    with ``sort_array``), rows are gated on ≥1 position exactly as the
+    group path only emits present terms. Returns ``None`` to fall back
+    (empty / non-token-only / too-wide vocabularies)."""
+    matchable = [t for t in vocab if _POS_TOKEN_SHAPE.fullmatch(t)]
+    if not matchable or len(matchable) > _PRUNED_POS_PROJECTED_MAX:
+        return None
+    tok = tokenize_code_expr if code_aware else tokenize_expr
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tok(text_col).alias("_t"))
+
+    def _positions_of(t: str):
+        hits = F.transform(
+            F.col("_t"),
+            lambda x, i: F.when(x == F.lit(t), i))
+        return F.filter(hits, lambda v: v.isNotNull())
+
+    per_term = toks.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        *[_positions_of(t).alias(f"_p{i}") for i, t in enumerate(matchable)],
+    )
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("term"), F.col(f"_p{i}").alias("positions"))
+        for i, t in enumerate(matchable)
+    ])
+    return (
+        per_term.select("doc_id", "dl", F.explode(entries).alias("e"))
+        .filter(F.size(F.col("e.positions")) > 0)
+        .select("doc_id", F.col("e.term").alias("term"),
+                F.col("e.positions").alias("positions"), "dl")
+    )
 
 
 def doc_positions(docs: DataFrame, *, code_aware: bool = False,
@@ -50,6 +104,13 @@ def doc_positions(docs: DataFrame, *, code_aware: bool = False,
     (guide §2.3). positions/dl values are unchanged (positions come from
     posexplode before the filter; dl from the full token array). Only
     valid when every downstream consumer restricts to ⊆ ``terms``."""
+    if terms is not None:
+        vocab = sorted({str(t) for t in terms})
+        projected = _doc_positions_projected(
+            docs, vocab, id_col=id_col, text_col=text_col,
+            code_aware=code_aware)
+        if projected is not None:
+            return projected
     tok = tokenize_code_expr if code_aware else tokenize_expr
     toks = docs.select(F.col(id_col).alias("doc_id"), tok(text_col).alias("t"))
     exploded = toks.select(

@@ -64,3 +64,30 @@ def test_corpus_has_hot_terms(spark, corpus):
     n_docs = corpus.count()
     assert dfs.get("import", 0) > 0.5 * n_docs
     assert dfs.get("def", 0) > 0.5 * n_docs
+
+
+def test_synthetic_corpus_golden_hash():
+    """The synthetic corpus is a fixed fixture: oracle-checked stored-index
+    queries depend on its exact bytes, so any generator change must keep it
+    byte-identical (these hashes were captured before the chunked-join
+    rewrite and verified equal after it)."""
+    import hashlib
+
+    import pandas as pd
+
+    from dp_search_data_importer_spark.sources.repo_files import _gen_batches
+
+    golden = {
+        False: "f69bba559904f7810e080b2d1cdcf5ca349cb90974e2ded20e3c4aad128a4e9f",
+        True: "57fc0da250c7b3ba3f9315e5e108ee5a5409e62d53739f752a09e119db718373",
+    }
+    pdf = pd.DataFrame({"id": range(500)})
+    for bursty, want in golden.items():
+        out = pd.concat(list(_gen_batches(iter([pdf]), 42, 120, 2400,
+                                          bursty=bursty)))
+        h = hashlib.sha256()
+        for c in ["repo", "path", "commit", "lang", "content"]:
+            for v in out[c]:
+                h.update(v.encode())
+                h.update(b"\0")
+        assert h.hexdigest() == want, bursty
