@@ -90,55 +90,6 @@ def token_count_expr(col: Column | str, code_aware: bool = False) -> Column:
     return F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
 
 
-# a term that is not itself a single [a-z0-9]+ token can never equal any
-# output of tokenize_expr/tokenize_code_expr (tokens are maximal lowercase
-# alnum runs), so per-term counting only needs to handle this shape
-_TOKEN_SHAPE_RE = re.compile(r"[a-z0-9]+\Z")
-
-
-def term_count_expr(col: Column | str, term: str,
-                    code_aware: bool = False) -> Column:
-    """Per-term token COUNT without materializing the token array: the
-    number of tokens equal to ``term`` under :func:`tokenize_expr` equals
-    the number of regex matches of the term literal flanked by non-alnum
-    lookarounds — a match can only start/end at maximal ``[a-z0-9]+`` run
-    boundaries, so each token occurrence is counted exactly once and
-    nothing else matches (property-tested against the explode path in
-    ``test_tokenizer.py``). Only valid for ``term`` matching
-    ``[a-z0-9]+`` — callers must drop other terms (they can never equal a
-    token, i.e. their count is 0 by construction).
-
-    Like :func:`token_count_expr` this skips the per-token string
-    allocation of ``split``; unlike it the caller usually wants many terms
-    over one normalized column — pass a pre-normalized ``col`` (already
-    ``lower`` + code-aware boundary-inserted) with ``code_aware=False``
-    normalization applied externally to avoid recomputing it per term.
-    """
-    return F.regexp_count(
-        normalized_text_expr(col, code_aware=code_aware),
-        F.lit(term_pattern(term)))
-
-
-def term_pattern(term: str) -> str:
-    """The ``regexp_count`` pattern counting occurrences of ``term`` as a
-    whole token (see :func:`term_count_expr` for the equivalence argument).
-    Raises for terms that are not single tokens."""
-    if not _TOKEN_SHAPE_RE.fullmatch(term):
-        raise ValueError(f"term is not a single token: {term!r}")
-    return f"(?<![a-z0-9]){term}(?![a-z0-9])"
-
-
-def normalized_text_expr(col: Column | str, code_aware: bool = False) -> Column:
-    """The analyzer's normalization prefix (code-aware boundary insertion +
-    ``lower``) as one column, so a projection can compute it once and fan
-    many :func:`term_count_expr`-style ``regexp_count`` references over it."""
-    c = F.col(col) if isinstance(col, str) else col
-    if code_aware:
-        c = F.regexp_replace(
-            F.regexp_replace(c, _ACRONYM_RE, r"$1 $2"), _CAMEL_RE, r"$1 $2")
-    return F.lower(c)
-
-
 def _simple_tokens_py(text: str) -> list[str]:
     return [t for t in _PY_SPLIT.split(text.lower()) if t]
 

@@ -28,9 +28,6 @@ back to the docs table (no second wide shuffle at query time).
 
 from __future__ import annotations
 
-import os
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,77 +37,12 @@ from dp_search_data_importer_spark.functions.tokenize import (
     simple_term_freqs,
 )
 
-_TOKEN_SHAPE = re.compile(r"[a-z0-9]+\Z")
-
 
 def term_freqs(docs: DataFrame, *, code_aware: bool, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf, dl) — tf/dl computed map-side in Arrow batches."""
     fn = code_term_freqs if code_aware else simple_term_freqs
     return fn(docs, id_col=id_col, text_col=text_col)
-
-
-# projected pruned-tf crossover: per-term regexp_count costs one regex pass
-# over the text per term, the explode path one split+explode+agg regardless
-# of vocabulary size — measured crossover on this host is far above typical
-# query vocabularies (8 queries → 18 terms); env-overridable for re-tuning.
-_PRUNED_TF_PROJECTED_MAX = int(
-    os.environ.get("SPARK_GRAFT_PRUNED_TF_PROJECTED_MAX", "48"))
-
-
-def _term_freqs_projected(docs: DataFrame, vocab: list[str], *,
-                          id_col: str, text_col: str,
-                          code_aware: bool) -> DataFrame | None:
-    """Pruned-tf fast path: one projection computing per-term whole-token
-    ``regexp_count`` columns over a once-normalized text column, unpivoted
-    to the (doc_id, term, tf, dl) contract rows. Plan shape: Scan →
-    Project(normalize) → Project(counts) → Generate(18-entry unpivot) →
-    Filter(tf>0) — no token-array allocation, no corpus-tokens explode, no
-    tf aggregation exchange (guide §1.2 step 1 / §2.4). Values are
-    identical to the explode path: per-term counts by the
-    :func:`term_count_expr` equivalence (property-tested), dl by the
-    :func:`token_count_expr` equivalence, rows gated on tf ≥ 1 exactly as
-    the explode+group path only emits present terms.
-
-    Returns ``None`` (caller falls back to the explode path) when the
-    vocabulary is empty, contains only never-matching terms *mixed
-    semantics aside* — a term that is not a single ``[a-z0-9]+`` token
-    never equals any analyzer output, so dropping it is value-preserving —
-    or is wide enough that per-term regex passes would cost more than one
-    explode (``_PRUNED_TF_PROJECTED_MAX``).
-    """
-    from dp_search_data_importer_spark.functions.tokenize import (
-        normalized_text_expr,
-        term_pattern,
-    )
-
-    matchable = [t for t in vocab if _TOKEN_SHAPE.fullmatch(t)]
-    if not matchable or len(matchable) > _PRUNED_TF_PROJECTED_MAX:
-        return None
-    norm = docs.select(
-        F.col(id_col).alias("doc_id"),
-        normalized_text_expr(text_col, code_aware=code_aware).alias("_n"),
-    )
-    # stage 2 references _n once per term + once for dl; CollapseProject
-    # keeps the normalization a single evaluation (multi-referenced
-    # non-cheap expression), mirroring the language_id two-stage shape
-    counts = norm.select(
-        "doc_id",
-        F.regexp_count(F.col("_n"), F.lit("[a-z0-9]+"))
-        .cast("long").alias("dl"),
-        *[F.regexp_count(F.col("_n"), F.lit(term_pattern(t)))
-          .cast("long").alias(f"_tf{i}") for i, t in enumerate(matchable)],
-    )
-    entries = F.array(*[
-        F.struct(F.lit(t).alias("term"), F.col(f"_tf{i}").alias("tf"))
-        for i, t in enumerate(matchable)
-    ])
-    return (
-        counts.select("doc_id", "dl", F.explode(entries).alias("e"))
-        .filter(F.col("e.tf") > 0)
-        .select("doc_id", F.col("e.term").alias("term"),
-                F.col("e.tf").alias("tf"), "dl")
-    )
 
 
 def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
@@ -136,14 +68,6 @@ def term_freqs_sql(docs: DataFrame, *, id_col: str = "doc_id",
         tokenize_code_expr,
         tokenize_expr,
     )
-
-    if terms is not None:
-        vocab = sorted({str(t) for t in terms})
-        projected = _term_freqs_projected(
-            docs, vocab, id_col=id_col, text_col=text_col,
-            code_aware=code_aware)
-        if projected is not None:
-            return projected
 
     tok = tokenize_code_expr if code_aware else tokenize_expr
     toks = docs.select(

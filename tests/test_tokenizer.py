@@ -129,88 +129,6 @@ def test_token_count_expr_equals_size_of_tokenize(spark):
         assert all(r["eq"] for r in got.collect()), code_aware
 
 
-def test_term_count_expr_equals_filtered_size_of_tokenize(spark):
-    """term_count_expr is the per-term counting twin: equal to
-    size(filter(tokenize_expr(s), x -> x = term)) on adversarial inputs —
-    adjacent occurrences ("the,the"), substring traps ("theme", "not-the"),
-    digit terms, camelCase splits for the code-aware variant."""
-    from pyspark.sql import functions as F
-
-    from dp_search_data_importer_spark.functions.tokenize import (
-        term_count_expr,
-        tokenize_code_expr,
-        tokenize_expr,
-    )
-
-    rows = [(i, s) for i, s in enumerate([
-        "", "the", "the the", "the,the", "theme anthem the", "THE tHe",
-        "not-the-same the0 0the the", "a the. the? the!", "x" * 300 + " the",
-        "getTheUser TheHTTPThe", "9 99 999 9a a9", "sort sort sort",
-        "zzzunseen", "word the word the word",
-    ])]
-    df = spark.createDataFrame(rows, "id long, s string")
-    for term in ("the", "9", "a9", "sort", "zzzunseen", "user"):
-        for code_aware, tok in ((False, tokenize_expr),
-                                (True, tokenize_code_expr)):
-            got = df.select(
-                (F.size(F.filter(tok(F.col("s")),
-                                 lambda x: x == F.lit(term))) ==
-                 term_count_expr("s", term, code_aware=code_aware))
-                .alias("eq"))
-            assert all(r["eq"] for r in got.collect()), (term, code_aware)
-
-
-def test_term_freqs_sql_projected_equals_explode(spark):
-    """The pruned-tf projected fast path (per-term regexp_count, no
-    explode/agg) returns exactly the full explode path's rows filtered to
-    the vocabulary — including non-token vocabulary entries (which can
-    never match) and both analyzers."""
-    from pyspark.sql import functions as F
-
-    from dp_search_data_importer_spark.operators import postings
-
-    rows = [(i, s) for i, s in enumerate([
-        "hash join merge", "the the the", "theme anthem", "",
-        "getUserName HTTPServer2 hash", "a.b.c hash-join", "9 sort 9 sort",
-        "zzzunseen zzzunseenx", None, "   ", "value line order customer",
-    ])]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    vocab = ["hash", "join", "the", "9", "sort", "user", "zzzunseen",
-             "Not-A-Token!", "", "ümlaut"]
-    for code_aware in (False, True):
-        fast = postings.term_freqs_sql(
-            docs, id_col="doc_id", text_col="text",
-            code_aware=code_aware, terms=vocab)
-        full = postings.term_freqs_sql(
-            docs, id_col="doc_id", text_col="text",
-            code_aware=code_aware).filter(
-                F.col("term").isin([t for t in vocab]))
-        sym = fast.exceptAll(full).union(full.exceptAll(fast))
-        assert sym.count() == 0, code_aware
-    # the fast path actually engaged (plan has no corpus-tokens explode of
-    # the tokenize array — its Generate unpivots the fixed-width entries)
-    fast = postings.term_freqs_sql(docs, id_col="doc_id", text_col="text",
-                                   terms=vocab)
-    plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "(?<![a-z0-9])" in plan  # regexp_count is rewritten to
-    # size(regexp_extract_all(...)) by Catalyst; the lookbehind pattern
-    # marks the per-term counting projection
-
-
-def test_term_freqs_sql_projected_wide_vocab_falls_back(spark, monkeypatch):
-    """Vocabularies wider than the crossover keep the explode path."""
-    from dp_search_data_importer_spark.operators import postings
-
-    monkeypatch.setattr(postings, "_PRUNED_TF_PROJECTED_MAX", 2)
-    docs = spark.createDataFrame(
-        [(1, "hash join merge")], "doc_id long, text string")
-    df = postings.term_freqs_sql(docs, id_col="doc_id", text_col="text",
-                                 terms=["hash", "join", "merge"])
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "(?<![a-z0-9])" not in plan
-    assert df.count() == 3
-
-
 def test_doc_positions_projected_equals_posexplode(spark, monkeypatch):
     """The pruned-positions projected fast path (per-term index arrays, no
     posexplode/collect_list agg) returns exactly the posexplode path's
