@@ -126,6 +126,18 @@ def _query_term_pairs(queries: DataFrame,
                    for r in rows for t in tok(r["query_text"] or "")})
 
 
+# analyzed-plan memo for repeated identical exact-path requests (same
+# defense as the driver_queries plan memo: a DataFrame is an immutable
+# analyzed plan; executing it recomputes from the index parquet). The key
+# pins the INDEX VERSION via stats.json identity — every index commit
+# (build, upsert, delete) swaps stats.json last, so a mutated index always
+# misses and re-plans against the new file set; the memo is also checked
+# only after read_stats_json's crash-recovery roll-forward. wand_topk is
+# deliberately NOT memoized: its construction collects term_df rows
+# (corpus-derived idf values), which a memo would pin instead of recompute.
+_EXACT_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
 def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
                cfg: EngineConfig | None = None, k: int | None = None,
                after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
@@ -138,6 +150,16 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
 
     cfg = cfg or EngineConfig()
     stats_sdf, stats = _stats_df(spark, out_dir)
+    key = None
+    try:
+        st = os.stat(os.path.join(out_dir, "stats.json"))
+        key = (spark.sparkContext.applicationId, out_dir,
+               st.st_mtime_ns, st.st_size, queries.semanticHash(),
+               repr(cfg), k, repr(sorted((after or {}).items())))
+    except Exception:
+        key = None
+    if key is not None and key in _EXACT_PLAN_MEMO:
+        return _EXACT_PLAN_MEMO[key]
     pairs = _query_term_pairs(queries, stats.get("code_aware", False))
     qt = local_df(spark, pairs, "query_id long, term string")
     terms = sorted({t for _, t in pairs})
@@ -147,7 +169,12 @@ def exact_topk(spark: SparkSession, out_dir: str, queries: DataFrame,
         F.col("term").isin(terms)
     )
     scores = bm25_scores(tf, qt, dfs, stats_sdf, cfg)
-    return topk(scores, k or cfg.k, after=after)
+    out = topk(scores, k or cfg.k, after=after)
+    if key is not None:
+        if len(_EXACT_PLAN_MEMO) > 512:
+            _EXACT_PLAN_MEMO.clear()
+        _EXACT_PLAN_MEMO[key] = out
+    return out
 
 
 def wand_topk(spark: SparkSession, out_dir: str, queries: DataFrame,

@@ -926,3 +926,32 @@ def test_update_by_query_script_and_guards(spark, updatable_index):
     # no matches: clean no-op accounting
     acc = update_by_query(spark, d, "wombat", {"lang": "x"})
     assert acc == {"matched": 0, "updated": 0, "affected_shards": []}
+
+
+def test_exact_plan_memo_invalidated_by_upsert(spark, tmp_path):
+    """The exact-path analyzed-plan memo serves the SAME immutable plan for
+    repeated identical requests against an unchanged index, and keys out as
+    soon as the index version changes (stats.json is the last artifact
+    every commit swaps) — post-upsert results must reflect the new corpus,
+    never a stale file listing."""
+    from dp_search_data_importer_spark.session import local_df
+
+    idx = str(tmp_path / "idx")
+    base = _rows(40)
+    build_index(spark, spark.createDataFrame(base, SCHEMA), idx, CFG,
+                code_aware=True, waves=1)
+    queries = local_df(spark, [(1, "zebra quokka")],
+                       "query_id long, query_text string")
+    a = q.exact_topk(spark, idx, queries, CFG, 10)
+    b = q.exact_topk(spark, idx, queries, CFG, 10)
+    assert a is b  # memo hit on the unchanged index version
+    assert a.count() == 0  # no zebra docs yet
+    batch = [("r1", "src/newz.py", "c1", "py", "zebra quokka zebra")]
+    upsert_docs(spark, idx, spark.createDataFrame(batch, SCHEMA))
+    c = q.exact_topk(spark, idx, queries, CFG, 10)
+    assert c is not a  # version bumped -> fresh plan over the new file set
+    rows = c.collect()
+    assert len(rows) == 1 and rows[0]["score"] > 0
+    # different k / different query set never share an entry
+    d = q.exact_topk(spark, idx, queries, CFG, 5)
+    assert d is not c
