@@ -82,8 +82,19 @@ def _query_df(spark: SparkSession) -> DataFrame:
 # queries
 
 def q_doc_term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1+B2 kernel: per-(doc, term) tf with doc length (map-side tf)."""
-    return _docs_tf(spark, sf_dir).select("doc_id", "term", "tf", "dl")
+    """B1+B2 kernel: per-(doc, term) tf with doc length (map-side tf).
+    Served by the Arrow map-side path: tf is final the moment each doc is
+    tokenized (one Counter per doc over Arrow batches inside the scan
+    stage), so the frame needs no aggregation exchange at all —
+    property-tested row-identical to the Catalyst explode+agg twin
+    (``test_arrow_term_freqs_equals_sql_term_freqs``) and A/B-measured
+    faster (0.35 vs 0.47 s noop at sf0.1). ``q_term_df`` keeps the
+    Catalyst twin as input: its count() action prunes through Catalyst
+    aggregations but not through an opaque Python stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return postings_ops.term_freqs(
+        docs, code_aware=False, id_col="doc_id", text_col="text"
+    ).select("doc_id", "term", "tf", "dl")
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5943,8 +5943,11 @@ def _mi_frames(spark: SparkSession, sf_dir: str):
     # tf restricted to the query vocabulary via the tested analyzer twin
     # (filter below the agg — guide §2.3); per-index stats stay corpus-wide
     vocab = sorted({t for _, q in qlist for t in _simple_tokens_py(q)})
-    tf = P.term_freqs_sql(tagged, terms=vocab).join(
-        tagged.select("doc_id", "index_name"), "doc_id")
+    # index_name is a pure function of doc_id, so the tf rows can derive
+    # it as a projection — no join back to the docs frame (guide §2.4)
+    tf = P.term_freqs_sql(tagged, terms=vocab).withColumn(
+        "index_name",
+        F.concat(F.lit("idx"), (F.col("doc_id") % 3).cast("string")))
     dfs = tf.groupBy("index_name", "term").agg(
         F.count(F.lit(1)).alias("df"))
     # stats include zero-token docs (Lucene docCount semantics);
